@@ -1,0 +1,50 @@
+"""Table catalog: load the synthetic parquet tables for a scale-factor dir.
+
+At cluster scale these would be partitioned/bucketed external tables; the
+loaders keep the access path identical (``spark.read.parquet``) so Catalyst
+gets column pruning + predicate pushdown into the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast in joins against facts.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS), surfaced as a nanos-since-epoch
+    # long under spark.sql.legacy.parquet.nanosAsLong; convert to a proper
+    # microsecond timestamp (integer DIV keeps full precision).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so ``spark.sql`` plans over them."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,328 @@
+"""Core relational analytics suite (TPC-H-style) over the star schema.
+
+Demonstrates the engine's scan → filter → join → aggregate → window paths
+with cluster-scale plan shapes: dimension joins are broadcast, aggregates
+are partial-agg friendly, filters/projections push into the parquet scan,
+and top-k uses deterministic tie-breaks so results are reproducible across
+arbitrary partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import table
+from ..functions.stable import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary — full-scan groupBy aggregate (TPC-H Q1 shape).
+# Scale: partial aggregation map-side; only 6 groups so the shuffle is tiny
+# regardless of input size. Filter + 7-column projection push into the scan.
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       count(*) as count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority — selective join + top-k with deterministic ties.
+# Scale: customer is broadcast (small dim); orders⋈lineitem shuffles on
+# o_orderkey/l_orderkey only after both sides are filtered.
+# ---------------------------------------------------------------------------
+
+_Q3_DATE = "1997-03-15"
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '{_Q3_DATE}'
+  AND l_shipdate > timestamp '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5: local supplier volume — 6-way join; all dims broadcast, single
+# fact-fact shuffle on orderkey.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier", oracle=_Q5_ORACLE)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# top customers per market segment — agg + window rank (deterministic ties).
+# Scale: window partitioned by segment over the *aggregated* (small) relation.
+# ---------------------------------------------------------------------------
+
+_TOPCUST_ORACLE = f"""
+WITH totals AS (
+  SELECT c_mktsegment, c_custkey, c_name,
+         {sql_dsum('o_totalprice', 'total_spent')}
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey, c_name
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey
+  ) as rk
+  FROM totals
+)
+SELECT c_mktsegment, c_custkey, c_name, total_spent, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("q_top_customers_window", oracle=_TOPCUST_ORACLE)
+def q_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    totals = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spent"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spent"), F.asc("c_custkey")
+    )
+    return totals.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# market share of one brand per ship-year — conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_MKTSHARE_ORACLE = f"""
+SELECT cast(year(l_shipdate) as int) as ship_year,
+       {sql_dsum("case when p_brand = 'Brand#12' then l_extendedprice * (1 - l_discount) else 0.0 end", 'brand_revenue')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+       round(
+         cast(sum(cast((case when p_brand = 'Brand#12' then l_extendedprice * (1 - l_discount) else 0.0 end) as decimal(30,10))) as double)
+         / cast(sum(cast((l_extendedprice * (1 - l_discount)) as decimal(30,10))) as double), 6) as brand_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+"""
+
+
+@register("q_market_share", oracle=_MKTSHARE_ORACLE)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#12", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            dsum(brand_rev).alias("brand_revenue"),
+            dsum(rev).alias("total_revenue"),
+            F.round(dsum(brand_rev) / dsum(rev), 6).alias("brand_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: daily windowed aggregate — date_trunc buckets, conditional counts.
+# Scale: pre-aggregates by (day, type) before any wide operation; at 100 TB
+# this is a classic map-side-combinable rollup.
+# ---------------------------------------------------------------------------
+
+_EVWINDOW_ORACLE = f"""
+SELECT date_trunc('day', ts) as day,
+       event_type,
+       count(*) as n_events,
+       count(distinct user_id) as n_users,
+       {sql_dsum('value', 'total_value')},
+       {sql_davg('value', 'avg_value')}
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+@register("q_events_window", oracle=_EVWINDOW_ORACLE)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization — lag-gap session boundaries (30 min), per-user
+# session stats. Window over user_id orders within each user's partition;
+# at scale this shuffles once on user_id and streams sorted within keys.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSIONS_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {_SESSION_GAP_MIN * 60} * 1000000
+              THEN 1 ELSE 0 END as new_session
+  FROM events
+)
+SELECT user_id,
+       cast(sum(new_session) as bigint) as n_sessions,
+       count(*) as n_events,
+       round(count(*) * 1.0 / sum(new_session), 6) as avg_events_per_session
+FROM marked
+GROUP BY user_id
+"""
+
+
+@register("q_events_sessions", oracle=_SESSIONS_ORACLE)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.sum("new_session"), 6
+            ).alias("avg_events_per_session"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: JSON property extraction (regex-based: engine-portable, no UDF) +
+# aggregate. At scale this stays entirely in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_K_EXPR = "cast(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) as int)"
+
+_EVJSON_ORACLE = f"""
+SELECT event_type,
+       {sql_dsum(_K_EXPR, 'sum_k')},
+       {sql_davg(_K_EXPR, 'avg_k')},
+       count(*) as n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_events_json", oracle=_EVJSON_ORACLE)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+    return ev.groupBy("event_type").agg(
+        dsum(k).alias("sum_k"),
+        davg(k).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

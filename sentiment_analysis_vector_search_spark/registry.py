@@ -1,0 +1,46 @@
+"""Query registry: the single source of truth behind ``__spark_entry__``.
+
+Each operator module registers ``(name, spark_fn, oracle_sql)`` triples.
+``spark_fn(spark, sf_dir) -> DataFrame``; ``oracle_sql`` is ANSI SQL DuckDB
+runs over the same parquet (views pre-registered) — or None for operators
+that are not SQL-expressible (iterative MLlib, streaming, stubbed IO), which
+the driver checks rows-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every operator module so registrations run."""
+    from .operators import (  # noqa: F401
+        dedup,
+        relational,
+        representatives,
+        sentiment_ops,
+        similarity,
+        text_ops,
+    )
+    from . import multimodal  # noqa: F401
+    from .streaming import stream_ops  # noqa: F401
