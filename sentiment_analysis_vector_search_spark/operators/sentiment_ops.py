@@ -1,1 +1,439 @@
-"""Filled in by later build steps (SURVEY.md §7)."""
+"""Sentiment pipeline operators — the reference's analysis flow re-expressed
+as declarative DataFrame plans over the ``documents`` table.
+
+Parity targets (reference file:line in each docstring):
+classification → distribution → quality scoring → per-class normalization →
+per-date trends → insurance-risk scoring (the reference's end-to-end flow in
+Context_analyzer_RoBERTa_fun.py:453 + insurance_calculator.py:13).
+
+Scale notes: every operator is a scan → narrow projection → small groupBy;
+the only wide ops are tiny (3 sentiment groups, ~dates trend rows). The
+classify expressions run in whole-stage codegen; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import sentiment as S
+from ..functions.stable import dsum, sql_dsum
+from ..registry import register
+
+BASE_RATE = 5000.0  # insurance_calculator.py:16
+
+
+def classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + (pos_hits, neg_hits, raw_label, confidence, sentiment).
+
+    Parity: analyze_sentiment_enhanced (Context_analyzer_RoBERTa_fun.py:170).
+    """
+    docs = table(spark, sf_dir, "documents")
+    pos = S.pos_hits(F.col("text"))
+    neg = S.neg_hits(F.col("text"))
+    df = docs.withColumns({"pos_hits": pos, "neg_hits": neg})
+    conf = S.confidence(F.col("pos_hits"), F.col("neg_hits"))
+    raw = S.raw_label(F.col("pos_hits"), F.col("neg_hits"))
+    return df.withColumns(
+        {
+            "raw_label": raw,
+            "confidence": conf,
+            "sentiment": S.sentiment(raw, conf),
+        }
+    )
+
+
+_CLASSIFY_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE}
+SELECT doc_id, pos_hits, neg_hits, raw_label, confidence, sentiment
+FROM labeled
+"""
+
+
+@register("sent_classify", oracle=_CLASSIFY_ORACLE)
+def sent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classified(spark, sf_dir).select(
+        "doc_id", "pos_hits", "neg_hits", "raw_label", "confidence", "sentiment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution + confidence stats.
+# Std is computed from exact decimal sums (sum, sum of squares) so the value
+# is independent of partitioning — see functions/stable.py.
+# Parity: sentiment_counts + confidence_stats (Context_analyzer:724,
+# insurance_calculator.py:37 "confidence_stats").
+# ---------------------------------------------------------------------------
+
+_DIST_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE}
+SELECT sentiment,
+       count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS pct,
+       round(cast(sum(cast(confidence as decimal(30,10))) as double) / count(*), 6) AS conf_avg,
+       round(CASE WHEN count(*) > 1 THEN sqrt(greatest(
+           (cast(sum(cast(confidence * confidence as decimal(30,10))) as double)
+            - cast(sum(cast(confidence as decimal(30,10))) as double)
+              * cast(sum(cast(confidence as decimal(30,10))) as double) / count(*))
+           / (count(*) - 1), 0.0)) ELSE 0.0 END, 6) AS conf_std,
+       min(confidence) AS conf_min,
+       max(confidence) AS conf_max
+FROM labeled
+GROUP BY sentiment
+"""
+
+
+@register("sent_distribution", oracle=_DIST_ORACLE)
+def sent_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    conf = F.col("confidence")
+    g = lab.groupBy("sentiment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(conf).alias("_s1"),
+        dsum(conf * conf).alias("_s2"),
+        F.min(conf).alias("conf_min"),
+        F.max(conf).alias("conf_max"),
+    )
+    n = F.col("n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    return g.select(
+        "sentiment",
+        "n",
+        F.round(n * F.lit(1.0) / F.sum(n).over(Window.partitionBy()), 6).alias("pct"),
+        F.round(F.col("_s1") / n, 6).alias("conf_avg"),
+        F.round(
+            F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(0.0)), 6
+        ).alias("conf_std"),
+        "conf_min",
+        "conf_max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality score + per-sentiment min-max normalization.
+# Parity: compute_original_score (Context_analyzer:200) and
+# normalize_scores_by_sentiment (Context_analyzer:250).
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE}
+SELECT doc_id, sentiment, {S.SQL_QUALITY_EXPR} AS original_score
+FROM labeled
+"""
+
+
+@register("sent_quality_score", oracle=_QUALITY_ORACLE)
+def sent_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    return lab.select(
+        "doc_id",
+        "sentiment",
+        S.quality_score(F.col("text"), F.col("sentiment")).alias("original_score"),
+    )
+
+
+_NORMALIZE_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+scored AS (
+  SELECT doc_id, sentiment, {S.SQL_QUALITY_EXPR} AS original_score FROM labeled
+)
+SELECT doc_id, sentiment,
+       round(CASE WHEN max(original_score) OVER w > min(original_score) OVER w
+             THEN (original_score - min(original_score) OVER w)
+                  / (max(original_score) OVER w - min(original_score) OVER w)
+             ELSE 0.5 END, 6) AS normalized_score
+FROM scored
+WINDOW w AS (PARTITION BY sentiment)
+"""
+
+
+@register("sent_normalize", oracle=_NORMALIZE_ORACLE)
+def sent_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = sent_quality_score(spark, sf_dir)
+    w = Window.partitionBy("sentiment")
+    lo, hi = F.min("original_score").over(w), F.max("original_score").over(w)
+    return scored.select(
+        "doc_id",
+        "sentiment",
+        F.round(
+            F.when(hi > lo, (F.col("original_score") - lo) / (hi - lo)).otherwise(
+                F.lit(0.5)
+            ),
+            6,
+        ).alias("normalized_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-date sentiment trends. The synthetic corpus carries no embedded dates,
+# so visit_date is a deterministic doc_id-derived date (stands in for
+# extract_date_from_text; the regex extractor itself is covered by
+# text_extract_dates in text_ops). Parity: trends build (Context_analyzer:687).
+# ---------------------------------------------------------------------------
+
+_SQL_TRENDS_CTE = """
+trends AS (
+  SELECT date '2024-01-01' + cast(doc_id % 30 as int) AS visit_date,
+         cast(sum(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) as bigint) AS positive,
+         cast(sum(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) as bigint) AS negative,
+         cast(sum(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) as bigint) AS neutral,
+         count(*) AS total
+  FROM labeled
+  GROUP BY 1
+)
+"""
+
+_TRENDS_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+{_SQL_TRENDS_CTE}
+SELECT * FROM trends
+"""
+
+
+def trends_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    visit_date = F.date_add(
+        F.to_date(F.lit("2024-01-01")), (F.col("doc_id") % 30).cast("int")
+    )
+    cnt = lambda s: F.sum(F.when(F.col("sentiment") == s, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        lab.withColumn("visit_date", visit_date)
+        .groupBy("visit_date")
+        .agg(
+            cnt("POSITIVE").alias("positive"),
+            cnt("NEGATIVE").alias("negative"),
+            cnt("NEUTRAL").alias("neutral"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+
+
+@register("sent_trends", oracle=_TRENDS_ORACLE)
+def sent_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trends_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# insurance-risk scoring — full parity with insurance_calculator.py:
+# calculate_insurance_risk (:13), _analyze_trend_risk (:135),
+# _calculate_risk_score (:189), _determine_risk_level (:222).
+# Everything reduces to scalars first (tiny crossJoins), so this costs one
+# pass over documents regardless of scale.
+# ---------------------------------------------------------------------------
+
+_RISK_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+{_SQL_TRENDS_CTE},
+stats AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN sentiment = 'POSITIVE' THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN sentiment = 'NEGATIVE' THEN 1 ELSE 0 END) AS n_neg,
+         sum(CASE WHEN sentiment = 'NEUTRAL' THEN 1 ELSE 0 END) AS n_neu,
+         cast(sum(cast(confidence as decimal(30,10))) as double) AS conf_sum,
+         cast(sum(cast(confidence * confidence as decimal(30,10))) as double) AS conf_sumsq
+  FROM labeled
+),
+tr AS (
+  SELECT *, row_number() OVER (ORDER BY visit_date DESC) AS rn,
+         count(*) OVER () AS n_dates
+  FROM trends
+),
+tr_agg AS (
+  SELECT max(n_dates) AS n_dates,
+         {sql_dsum('CASE WHEN rn <= 14 THEN total ELSE 0 END', 'recent_total')},
+         {sql_dsum('CASE WHEN rn <= 14 THEN negative ELSE 0 END', 'recent_neg')},
+         {sql_dsum('CASE WHEN rn BETWEEN 15 AND 28 THEN total ELSE 0 END', 'prev_total')},
+         {sql_dsum('CASE WHEN rn BETWEEN 15 AND 28 THEN negative ELSE 0 END', 'prev_neg')},
+         {sql_dsum('CASE WHEN rn <= 3 THEN total ELSE 0 END', 'last3_total')},
+         {sql_dsum('CASE WHEN rn <= 3 THEN negative ELSE 0 END', 'last3_neg')}
+  FROM tr
+),
+scalars AS (
+  SELECT s.*, t.*,
+         s.conf_sum / s.n AS avg_conf,
+         CASE WHEN s.n > 1 THEN sqrt(greatest((s.conf_sumsq - s.conf_sum * s.conf_sum / s.n) / (s.n - 1), 0.0)) ELSE 0.0 END AS conf_std,
+         s.n_pos * 1.0 / s.n AS pos_ratio,
+         s.n_neg * 1.0 / s.n AS neg_ratio,
+         s.n_neu * 1.0 / s.n AS neu_ratio
+  FROM stats s, tr_agg t
+),
+mult AS (
+  SELECT *,
+    (1.5 - avg_conf * 0.5) * (CASE WHEN conf_std > 0.2 THEN 1.1 ELSE 1.0 END) AS conf_mult,
+    (1.0 + neg_ratio * 2.5 + neu_ratio * 0.5)
+      * (CASE WHEN pos_ratio > 0.85 THEN 0.85 WHEN pos_ratio > 0.75 THEN 0.95 ELSE 1.0 END) AS sent_mult,
+    CASE WHEN n < 50 THEN 1.3 WHEN n < 100 THEN 1.15 ELSE 1.0 END AS sample_mult,
+    CASE
+      WHEN n_dates < 7 OR recent_total = 0 THEN 1.0
+      WHEN n_dates >= 28 AND prev_total > 0
+           AND recent_neg / recent_total > (prev_neg / prev_total) * 1.5 THEN 1.4
+      WHEN n_dates >= 28 AND prev_total > 0
+           AND recent_neg / recent_total > (prev_neg / prev_total) * 1.2 THEN 1.2
+      WHEN n_dates >= 28 AND prev_total > 0
+           AND recent_neg / recent_total < (prev_neg / prev_total) * 0.7 THEN 0.9
+      WHEN last3_total > 0 AND last3_neg / last3_total > 0.3 THEN 1.3
+      ELSE 1.0
+    END AS trend_mult
+  FROM scalars
+),
+scored AS (
+  SELECT *,
+    neg_ratio * 200
+      + (CASE WHEN pos_ratio < 0.6 THEN (0.6 - pos_ratio) * 50 ELSE 0.0 END)
+      + (CASE WHEN avg_conf < 0.9 THEN (0.9 - avg_conf) * 100 ELSE 0.0 END)
+      + (CASE WHEN n < 100 THEN (100 - n) / 10.0 ELSE 0.0 END)
+      + (CASE WHEN trend_mult > 1.0 THEN (trend_mult - 1.0) * 25 ELSE 0.0 END) AS raw_score
+  FROM mult
+)
+SELECT n AS total_samples,
+       round(pos_ratio, 6) AS positive_ratio,
+       round(neg_ratio, 6) AS negative_ratio,
+       round(neu_ratio, 6) AS neutral_ratio,
+       round(avg_conf, 6) AS avg_confidence,
+       round(conf_std, 6) AS confidence_std,
+       round(sent_mult, 6) AS sentiment_multiplier,
+       round(conf_mult, 6) AS confidence_multiplier,
+       round(sample_mult, 6) AS sample_multiplier,
+       round(trend_mult, 6) AS trend_multiplier,
+       round({BASE_RATE} * sent_mult * conf_mult * sample_mult * trend_mult, 2) AS insurance_cost,
+       cast(least(floor(raw_score), 100) as int) AS risk_score,
+       CASE WHEN least(floor(raw_score), 100) >= 70 THEN 'Critical'
+            WHEN least(floor(raw_score), 100) >= 50 THEN 'High'
+            WHEN least(floor(raw_score), 100) >= 30 THEN 'Medium'
+            ELSE 'Low' END AS risk_level
+FROM scored
+"""
+
+
+@register("sent_trend_risk", oracle=_RISK_ORACLE)
+def sent_trend_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    conf = F.col("confidence")
+    cnt = lambda s: F.sum(F.when(F.col("sentiment") == s, 1).otherwise(0))  # noqa: E731
+    stats = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt("POSITIVE").alias("n_pos"),
+        cnt("NEGATIVE").alias("n_neg"),
+        cnt("NEUTRAL").alias("n_neu"),
+        dsum(conf).alias("conf_sum"),
+        dsum(conf * conf).alias("conf_sumsq"),
+    )
+
+    tr = trends_df(spark, sf_dir)
+    w = Window.orderBy(F.desc("visit_date"))
+    tr = tr.withColumn("rn", F.row_number().over(w))
+    in_range = lambda col, lo, hi: F.when(  # noqa: E731
+        (F.col("rn") >= lo) & (F.col("rn") <= hi), F.col(col)
+    ).otherwise(F.lit(0))
+    tr_agg = tr.agg(
+        F.count(F.lit(1)).alias("n_dates"),
+        dsum(in_range("total", 1, 14)).alias("recent_total"),
+        dsum(in_range("negative", 1, 14)).alias("recent_neg"),
+        dsum(in_range("total", 15, 28)).alias("prev_total"),
+        dsum(in_range("negative", 15, 28)).alias("prev_neg"),
+        dsum(in_range("total", 1, 3)).alias("last3_total"),
+        dsum(in_range("negative", 1, 3)).alias("last3_neg"),
+    )
+
+    sc = stats.crossJoin(tr_agg)
+    n = F.col("n")
+    avg_conf = F.col("conf_sum") / n
+    conf_std = F.when(
+        n > 1,
+        F.sqrt(
+            F.greatest(
+                (F.col("conf_sumsq") - F.col("conf_sum") * F.col("conf_sum") / n)
+                / (n - 1),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    pos_ratio = F.col("n_pos") * F.lit(1.0) / n
+    neg_ratio = F.col("n_neg") * F.lit(1.0) / n
+    neu_ratio = F.col("n_neu") * F.lit(1.0) / n
+    sc = sc.withColumns(
+        {
+            "avg_conf": avg_conf,
+            "conf_std": conf_std,
+            "pos_ratio": pos_ratio,
+            "neg_ratio": neg_ratio,
+            "neu_ratio": neu_ratio,
+        }
+    )
+
+    conf_mult = (1.5 - F.col("avg_conf") * 0.5) * F.when(
+        F.col("conf_std") > 0.2, F.lit(1.1)
+    ).otherwise(F.lit(1.0))
+    sent_mult = (1.0 + F.col("neg_ratio") * 2.5 + F.col("neu_ratio") * 0.5) * (
+        F.when(F.col("pos_ratio") > 0.85, F.lit(0.85))
+        .when(F.col("pos_ratio") > 0.75, F.lit(0.95))
+        .otherwise(F.lit(1.0))
+    )
+    sample_mult = (
+        F.when(n < 50, F.lit(1.3)).when(n < 100, F.lit(1.15)).otherwise(F.lit(1.0))
+    )
+    recent_ratio = F.col("recent_neg") / F.col("recent_total")
+    prev_ratio = F.col("prev_neg") / F.col("prev_total")
+    has_prev = (F.col("n_dates") >= 28) & (F.col("prev_total") > 0)
+    trend_mult = (
+        F.when((F.col("n_dates") < 7) | (F.col("recent_total") == 0), F.lit(1.0))
+        .when(has_prev & (recent_ratio > prev_ratio * 1.5), F.lit(1.4))
+        .when(has_prev & (recent_ratio > prev_ratio * 1.2), F.lit(1.2))
+        .when(has_prev & (recent_ratio < prev_ratio * 0.7), F.lit(0.9))
+        .when(
+            (F.col("last3_total") > 0)
+            & (F.col("last3_neg") / F.col("last3_total") > 0.3),
+            F.lit(1.3),
+        )
+        .otherwise(F.lit(1.0))
+    )
+    sc = sc.withColumns(
+        {
+            "conf_mult": conf_mult,
+            "sent_mult": sent_mult,
+            "sample_mult": sample_mult,
+            "trend_mult": trend_mult,
+        }
+    )
+
+    raw_score = (
+        F.col("neg_ratio") * 200
+        + F.when(F.col("pos_ratio") < 0.6, (0.6 - F.col("pos_ratio")) * 50).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("avg_conf") < 0.9, (0.9 - F.col("avg_conf")) * 100).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(n < 100, (100 - n) / F.lit(10.0)).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("trend_mult") > 1.0, (F.col("trend_mult") - 1.0) * 25
+        ).otherwise(F.lit(0.0))
+    )
+    risk_score = F.least(F.floor(raw_score), F.lit(100)).cast("int")
+    return sc.select(
+        n.alias("total_samples"),
+        F.round(F.col("pos_ratio"), 6).alias("positive_ratio"),
+        F.round(F.col("neg_ratio"), 6).alias("negative_ratio"),
+        F.round(F.col("neu_ratio"), 6).alias("neutral_ratio"),
+        F.round(F.col("avg_conf"), 6).alias("avg_confidence"),
+        F.round(F.col("conf_std"), 6).alias("confidence_std"),
+        F.round(F.col("sent_mult"), 6).alias("sentiment_multiplier"),
+        F.round(F.col("conf_mult"), 6).alias("confidence_multiplier"),
+        F.round(F.col("sample_mult"), 6).alias("sample_multiplier"),
+        F.round(F.col("trend_mult"), 6).alias("trend_multiplier"),
+        F.round(
+            F.lit(BASE_RATE)
+            * F.col("sent_mult")
+            * F.col("conf_mult")
+            * F.col("sample_mult")
+            * F.col("trend_mult"),
+            2,
+        ).alias("insurance_cost"),
+        risk_score.alias("risk_score"),
+        F.when(risk_score >= 70, F.lit("Critical"))
+        .when(risk_score >= 50, F.lit("High"))
+        .when(risk_score >= 30, F.lit("Medium"))
+        .otherwise(F.lit("Low"))
+        .alias("risk_level"),
+    )
