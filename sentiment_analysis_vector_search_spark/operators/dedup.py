@@ -1,1 +1,495 @@
-"""Filled in by later build steps (SURVEY.md §7)."""
+"""Deduplication suite — first-class LLM-data-pipeline operators.
+
+Five strategies over ``documents`` / ``embeddings``:
+
+- exact (md5 groupBy),
+- n-gram Jaccard (shingle-bucket join, never a cross join),
+- MinHash + LSH banding (16 hashes, 4 bands → bucket join → exact verify),
+- SimHash (16-bit, nibble-band candidates, hamming <= 3),
+- embedding near-dup (sign-LSH band candidates → exact cosine verify).
+
+Scale design: every pairwise operator generates candidates through an
+equi-join on a bucket key (shingle, band hash, nibble, sign-bits) so the
+shuffle is keyed and bounded; a document-frequency cap drops degenerate
+super-common shingles (bounds the worst bucket at the cost of ignoring
+boilerplate shingles — the standard trade at corpus scale). No O(n^2)
+comparisons anywhere; the oracle replicates the same algorithm, caps
+included, so approximation never breaks parity.
+
+Reference tie-in: the reference dedups extracted sentences by exact
+containment (extract_text_fun.py:57 has_duplicate_sentence); these operators
+generalize that to corpus-scale near-dup detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.hashing import (
+    MOD31,
+    md5_int31,
+    md5_long,
+    minhash_params,
+    sql_md5_int31,
+    sql_md5_long,
+)
+from ..functions.vectors import hyperplanes, spark_plane_dot, sql_plane_dot
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {sql_md5_long('text')} AS text_hash FROM documents
+), g AS (
+  SELECT text_hash, count(*) AS group_size, min(doc_id) AS canonical_doc_id
+  FROM h GROUP BY text_hash
+)
+SELECT doc_id, text_hash, group_size, canonical_doc_id,
+       doc_id <> canonical_doc_id AS is_duplicate
+FROM h JOIN g USING (text_hash)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", md5_long(F.col("text")).alias("text_hash"))
+    g = h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return h.join(g, "text_hash").select(
+        "doc_id",
+        "text_hash",
+        "group_size",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-3-gram shingle sets (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+
+_DF_CAP = 1000  # drop shingles present in more docs (bounds bucket blowup)
+_JACCARD_T = 0.5
+
+_SQL_SHINGLES_CTE = r"""
+toksets AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+), shingle_pos AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS p FROM toksets
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         t[cast(p as int)] || ' ' || t[cast(p as int) + 1] || ' ' || t[cast(p as int) + 2] AS sh
+  FROM shingle_pos
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+)
+"""
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, sh) word-trigram shingles."""
+    docs = table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " p -> concat(t[p - 1], ' ', t[p], ' ', t[p + 1]))"
+                ),
+            ).otherwise(F.expr("array()"))
+        ).alias("sh"),
+    )
+    return df.distinct()
+
+
+def _sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH {_SQL_SHINGLES_CTE},
+freq AS (
+  SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {_DF_CAP}
+), filtered AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= {_JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(spark, sf_dir)
+    sizes = _sizes(sh)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _DF_CAP
+    )
+    filtered = sh.join(freq.select("sh"), "sh")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    jc = F.round(
+        F.col("shared") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        6,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "shared", jc.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: 16 hashes, 4 bands of 4 rows; band-bucket join
+# produces candidates, exact Jaccard verifies. Signature agg is a single
+# groupBy over shingles (map-side combinable mins).
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_N_BANDS = 4
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_MH_PARAMS = minhash_params(_N_HASHES, seed=42)
+
+
+def _sql_minhash_aggs() -> str:
+    base = sql_md5_int31("sh")
+    return ",\n         ".join(
+        f"min((({base}) * {a} + {b}) % {MOD31}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    )
+
+
+def _sql_band_selects() -> str:
+    selects = []
+    for band in range(_N_BANDS):
+        cols = ", ".join(
+            f"cast(mh{band * _ROWS_PER_BAND + r} as varchar)"
+            for r in range(_ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS bh FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SQL_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs()}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  {_sql_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT v.doc_a, v.doc_b,
+       round(v.shared * 1.0 / (sa.sz + sb.sz - v.shared), 6) AS jaccard
+FROM ver v
+JOIN sizes sa ON sa.doc_id = v.doc_a
+JOIN sizes sb ON sb.doc_id = v.doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(spark, sf_dir)
+    sizes = _sizes(sh)
+    base = md5_int31(F.col("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    ver = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    jc = F.round(
+        F.col("shared") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        6,
+    )
+    return (
+        ver.join(sa, "doc_a").join(sb, "doc_b").select("doc_a", "doc_b", jc.alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature from tf-weighted token-hash bits; candidates
+# share a 4-bit nibble band; hamming <= 3 via bit_count(xor).
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 16
+_SIM_BANDS = 4
+_SIM_HAMMING = 3
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(_SIM_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIM_BITS))
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2
+), bits AS (
+  SELECT doc_id, {sql_md5_long('word')} AS h, tf FROM tf
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM bits GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS simhash FROM sums
+)"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_sql_simhash()},
+bands AS (
+  SELECT doc_id, simhash, unnest(range({_SIM_BANDS})) AS band,
+         (simhash >> (cast(unnest(range({_SIM_BANDS})) as int) * 4)) & 15 AS nibble
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count(xor(sim_a, sim_b)) as int) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_HAMMING}
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bits = tf.select("doc_id", md5_long(F.col("word")).alias("h"), "tf")
+    sums = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"s{i}")
+            for i in range(_SIM_BITS)
+        ]
+    )
+    sig_expr = None
+    for i in range(_SIM_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(_SIM_BANDS)])).alias("band"),
+    ).withColumn("nibble", F.expr("shiftright(simhash, band * 4) & 15"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= _SIM_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: sign-LSH candidates (8 seeded planes, 4 bands of 2
+# bits, OR-banding) verified by exact cosine >= threshold. The band join is
+# the scale path: candidates are bucket-joined, never crossed.
+# ---------------------------------------------------------------------------
+
+_EMB_T = 0.5
+_EMB_PLANES = hyperplanes(8, 64, seed=7)
+_EMB_BANDS = 4  # 2 planes per band
+
+
+def _sql_emb_sig_cols() -> str:
+    return ",\n         ".join(
+        f"CASE WHEN {sql_plane_dot('v', p)} > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i, p in enumerate(_EMB_PLANES)
+    )
+
+
+_EMB_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v,
+         sqrt(list_dot_product(v, v)) AS nrm,
+         {_sql_emb_sig_cols()}
+  FROM vecs
+), bands AS (
+  SELECT vec_id, v, nrm, 0 AS band, bit0 * 2 + bit1 AS bucket FROM sig
+  UNION ALL
+  SELECT vec_id, v, nrm, 1 AS band, bit2 * 2 + bit3 AS bucket FROM sig
+  UNION ALL
+  SELECT vec_id, v, nrm, 2 AS band, bit4 * 2 + bit5 AS bucket FROM sig
+  UNION ALL
+  SELECT vec_id, v, nrm, 3 AS band, bit6 * 2 + bit7 AS bucket FROM sig
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_EMB_T}
+"""
+
+
+@register("dedup_embedding", oracle=_EMB_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = emb.withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+    )
+    for i, p in enumerate(_EMB_PLANES):
+        sig = sig.withColumn(
+            f"bit{i}", F.when(spark_plane_dot("v", p) > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    bands = sig.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        (
+                            F.col(f"bit{band * 2}") * 2 + F.col(f"bit{band * 2 + 1}")
+                        ).alias("bucket"),
+                    )
+                    for band in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cosine = F.round(
+        F.expr(
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("cosine") >= _EMB_T)
