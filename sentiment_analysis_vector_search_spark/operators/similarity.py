@@ -1,1 +1,373 @@
-"""Filled in by later build steps (SURVEY.md §7)."""
+"""Similarity-search suite: exact and approximate top-k retrieval.
+
+- ``ann_bruteforce_topk`` — exact cosine top-k; the correctness baseline.
+- ``ann_lsh_topk`` — sign-LSH (8 seeded hyperplanes, 4 OR-bands of 2 bits)
+  candidate generation, exact rerank. The scale path: candidates come from a
+  bucket equi-join, so work is proportional to bucket sizes, not n^2.
+- ``ann_ivf_topk`` — IVF: 16 seeded coarse centroids, nearest-cell
+  assignment, nprobe=4 cells probed per query, exact rerank within cells.
+- ``rag_retrieve`` — the reference chatbot's RAG retrieval
+  (chatbot_analyzer.py:20) as TF-IDF keyword scoring → top-k documents.
+
+Queries are the first _N_QUERIES vectors of the embeddings table (self-match
+excluded), so the operator is fully reproducible from the test data.
+
+Scale notes: query sets and centroid tables are tiny → broadcast; the fact
+side is scanned once. Top-k uses a window over query_id partitions; at
+1000-executor scale with millions of queries you would swap the window for a
+two-phase (partial heap, merge) top-k, which preserves these semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.stable import DEC
+from ..functions.vectors import hyperplanes, spark_plane_dot, sql_plane_dot
+from ..registry import register
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+_DOT_VQ = (
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return v.withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+
+
+_SQL_VECS_CTE = """
+vecs AS (
+  SELECT vec_id, cast(embedding as double[]) AS v,
+         sqrt(list_dot_product(cast(embedding as double[]), cast(embedding as double[]))) AS nrm
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM vecs WHERE vec_id < {nq}
+)
+""".format(nq=_N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+_BRUTE_ORACLE = f"""
+WITH {_SQL_VECS_CTE},
+scored AS (
+  SELECT q.query_id, x.vec_id,
+         round(list_dot_product(q.qv, x.v) / (q.qnrm * x.nrm), 6) AS cosine
+  FROM queries q JOIN vecs x ON x.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_TOP_K}
+"""
+
+
+@register("ann_bruteforce_topk", oracle=_BRUTE_ORACLE)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH top-k: 8 planes -> 4 bands of 2 bits; OR-banding candidates,
+# exact rerank. Recall < 1 by design; the oracle runs the same algorithm.
+# ---------------------------------------------------------------------------
+
+_PLANES = hyperplanes(8, 64, seed=7)  # same family as dedup_embedding
+_LSH_BANDS = 4
+
+
+def _sql_sig_cols(vec: str) -> str:
+    return ", ".join(
+        f"CASE WHEN {sql_plane_dot(vec, p)} > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i, p in enumerate(_PLANES)
+    )
+
+
+def _sql_bands(src: str, id_col: str, keep: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {keep}, {b} AS band, bit{2 * b} * 2 + bit{2 * b + 1} AS bucket FROM {src}"
+        for b in range(_LSH_BANDS)
+    )
+
+
+_LSH_ORACLE = f"""
+WITH {_SQL_VECS_CTE},
+sig AS (
+  SELECT vec_id, v, nrm, {_sql_sig_cols('v')} FROM vecs
+),
+vbands AS (
+  {_sql_bands('sig', 'vec_id', 'v, nrm')}
+),
+qsig AS (
+  SELECT query_id, qv, qnrm, {_sql_sig_cols('qv')} FROM queries
+),
+qbands AS (
+  {_sql_bands('qsig', 'query_id', 'qv, qnrm')}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, x.vec_id, q.qv, q.qnrm, x.v, x.nrm
+  FROM qbands q JOIN vbands x
+    ON q.band = x.band AND q.bucket = x.bucket AND x.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_TOP_K}
+"""
+
+
+def _with_bands(df: DataFrame, vec: str, id_alias: str) -> DataFrame:
+    sig = df
+    for i, p in enumerate(_PLANES):
+        sig = sig.withColumn(
+            f"bit{i}", F.when(spark_plane_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    bands = sig.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.col(f"bit{2 * b}") * 2 + F.col(f"bit{2 * b + 1}")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return bands.withColumns(
+        {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
+    ).drop("bb", *[f"bit{i}" for i in range(len(_PLANES))])
+
+
+@register("ann_lsh_topk", oracle=_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    vbands = _with_bands(vecs, "v", "vec_id")
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qbands = _with_bands(queries, "qv", "query_id")
+    cand = (
+        qbands.alias("q")
+        .join(
+            vbands.alias("x"),
+            (F.col("q.band") == F.col("x.band"))
+            & (F.col("q.bucket") == F.col("x.bucket"))
+            & (F.col("x.vec_id") != F.col("q.query_id")),
+        )
+        .select("query_id", "vec_id", "qv", "qnrm", "v", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k: seeded coarse centroids (stand-in for a trained codebook; the
+# algorithmic plumbing — assignment, cell pruning, nprobe, rerank — is what
+# scales). Cell assignment = argmax centroid cosine; queries probe nprobe
+# cells; exact rerank inside probed cells.
+# ---------------------------------------------------------------------------
+
+_N_CELLS = 16
+_NPROBE = 4
+_CENTROIDS = hyperplanes(_N_CELLS, 64, seed=21)
+_C_NORMS = [
+    repr(math.sqrt(sum(float(c) * float(c) for c in p))) for p in _CENTROIDS
+]
+
+
+def _sql_cell_sims(vec: str, nrm: str) -> str:
+    return ", ".join(
+        f"{sql_plane_dot(vec, p)} / ({nrm} * {_C_NORMS[i]}) AS cs{i}"
+        for i, p in enumerate(_CENTROIDS)
+    )
+
+
+_sql_cs_list = "[" + ", ".join(f"cs{i}" for i in range(_N_CELLS)) + "]"
+
+_IVF_ORACLE = f"""
+WITH {_SQL_VECS_CTE},
+vsims AS (
+  SELECT vec_id, v, nrm, {_sql_cell_sims('v', 'nrm')} FROM vecs
+),
+assigned AS (
+  SELECT vec_id, v, nrm,
+         cast(list_position({_sql_cs_list}, list_max({_sql_cs_list})) as int) AS cell
+  FROM vsims
+),
+qsims AS (
+  SELECT query_id, qv, qnrm, {_sql_cell_sims('qv', 'qnrm')} FROM queries
+),
+qcells_long AS (
+  SELECT query_id, qv, qnrm,
+         unnest(range(1, {_N_CELLS} + 1)) AS cell,
+         unnest({_sql_cs_list}) AS sim
+  FROM qsims
+),
+probed AS (
+  SELECT query_id, qv, qnrm, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell) AS cell_rank
+    FROM qcells_long
+  ) WHERE cell_rank <= {_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, p.qnrm, a.v, a.nrm
+  FROM probed p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_TOP_K}
+"""
+
+
+def _with_cell_sims(df: DataFrame, vec: str, nrm: str) -> DataFrame:
+    for i, p in enumerate(_CENTROIDS):
+        df = df.withColumn(
+            f"cs{i}",
+            spark_plane_dot(vec, p) / (F.col(nrm) * F.expr(f"cast({_C_NORMS[i]} as double)")),
+        )
+    return df
+
+
+_CS_ARRAY = "array(" + ", ".join(f"cs{i}" for i in range(_N_CELLS)) + ")"
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    vsims = _with_cell_sims(vecs, "v", "nrm")
+    assigned = vsims.withColumn(
+        "cell",
+        F.expr(f"cast(array_position({_CS_ARRAY}, array_max({_CS_ARRAY})) as int)"),
+    ).select("vec_id", "v", "nrm", "cell")
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qsims = _with_cell_sims(queries, "qv", "qnrm")
+    qcells = qsims.select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.posexplode(F.expr(_CS_ARRAY)).alias("cell0", "sim"),
+    ).withColumn("cell", F.col("cell0") + 1)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= _NPROBE)
+        .select("query_id", "qv", "qnrm", "cell")
+    )
+    cand = F.broadcast(probed).join(assigned, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval over documents: TF-IDF keyword scoring -> top-k documents
+# (chatbot_analyzer.py:20 retrieval step, re-expressed as a corpus query).
+# ---------------------------------------------------------------------------
+
+_RAG_QUERY_WORDS = ("slow", "query", "join")
+_RAG_K = 10
+_rag_words_sql = ", ".join(f"'{w}'" for w in _RAG_QUERY_WORDS)
+
+
+def _rag_oracle() -> str:
+    from .text_ops import SQL_TFIDF_CTE
+
+    return f"""
+WITH {SQL_TFIDF_CTE}
+, scores AS (
+  SELECT doc_id, cast(sum(cast(tfidf as {DEC})) as double) AS score
+  FROM tfidf_rows WHERE word IN ({_rag_words_sql})
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM scores
+) WHERE rk <= {_RAG_K}
+"""
+
+
+@register("rag_retrieve", oracle=_rag_oracle())
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import dsum
+    from .text_ops import tfidf_vectors
+
+    tfidf = tfidf_vectors(spark, sf_dir)
+    scores = (
+        tfidf.where(F.col("word").isin(*_RAG_QUERY_WORDS))
+        .groupBy("doc_id")
+        .agg(dsum(F.col("tfidf")).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RAG_K)
+        .select("doc_id", F.round("score", 6).alias("score"), "rk")
+    )

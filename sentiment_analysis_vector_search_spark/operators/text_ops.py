@@ -209,8 +209,8 @@ _MIN_DF = 4
 _MAX_DF = 0.8
 _MAX_FEATURES = 1000
 
-_TFIDF_ORACLE = f"""
-WITH words AS (
+SQL_TFIDF_CTE = f"""
+words AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
 ), tf AS (
   SELECT doc_id, word, count(*) AS tf FROM words
@@ -233,9 +233,15 @@ WITH words AS (
 ), norms AS (
   SELECT doc_id, sqrt(cast(sum(cast(w * w as decimal(30,10))) as double)) AS norm
   FROM weighted GROUP BY doc_id
+), tfidf_rows AS (
+  SELECT w.doc_id, w.word, round(w.w / n.norm, 6) AS tfidf
+  FROM weighted w JOIN norms n USING (doc_id)
 )
-SELECT w.doc_id, w.word, round(w.w / n.norm, 6) AS tfidf
-FROM weighted w JOIN norms n USING (doc_id)
+"""
+
+_TFIDF_ORACLE = f"""
+WITH {SQL_TFIDF_CTE}
+SELECT doc_id, word, tfidf FROM tfidf_rows
 """
 
 
