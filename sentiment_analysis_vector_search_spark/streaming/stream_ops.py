@@ -1,1 +1,86 @@
-"""Filled in by later build steps (SURVEY.md §7)."""
+"""Structured Streaming operators.
+
+``stream_windowed_counts`` runs the events table through a real
+readStream → withWatermark → tumbling-window aggregate → memory sink
+pipeline (trigger=availableNow), then returns the materialized result.
+Because availableNow drains the full input, the final state must equal the
+batch plan — which is exactly what the DuckDB oracle checks (date_trunc
+hour ≡ 1-hour tumbling window). This is the streaming/batch-consistency
+guarantee Structured Streaming is built on.
+
+At cluster scale the same pipeline points at a file/Kafka source with a
+real trigger; the watermark bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.stable import sql_dsum
+from ..registry import register
+
+_EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_STREAM_ORACLE = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_windowed_counts", oracle=_STREAM_ORACLE)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        # FileStreamSource needs a directory basePath; select the single
+        # events file from the sf dir via glob filter.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

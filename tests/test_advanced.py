@@ -1,0 +1,53 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_parity
+
+
+@pytest.mark.parametrize("name", ["stream_windowed_counts", "mm_decode_stub"])
+def test_advanced_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_representatives_invariants(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.operators.sentiment_ops import classified
+
+    reps = entrymod.queries()["representatives_kmeans"](spark, sf_dir)
+    rows = reps.collect()
+    assert len(rows) > 0
+
+    class_sizes = {
+        r["sentiment"]: r["n"]
+        for r in classified(spark, sf_dir)
+        .groupBy("sentiment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_sent = {}
+    for r in rows:
+        by_sent.setdefault(r["sentiment"], []).append(r)
+    for sent, rs in by_sent.items():
+        # one representative per cluster; cluster sizes partition the class
+        assert len({r["cluster_id"] for r in rs}) == len(rs)
+        assert sum(r["cluster_size"] for r in rs) == class_sizes[sent]
+        assert len(rs) == min(10, class_sizes[sent])
+        for r in rs:
+            assert -1.0 <= r["centroid_cosine"] <= 1.000001
+
+
+def test_representatives_deterministic(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["representatives_kmeans"]
+    a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_decode_image_is_stubbed():
+    from sentiment_analysis_vector_search_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
