@@ -293,12 +293,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 16-bit signature from tf-weighted token-hash bits; candidates
-# share a 4-bit nibble band; hamming <= 3 via bit_count(xor).
+# SimHash: 60-bit signature from tf-weighted token-hash bits (md5_long gives
+# 60 usable bits); candidates must share one of 4 15-bit bands (pigeonhole:
+# hamming <= 3 flips at most 3 of the 4 bands, so one band always matches).
+# 2^15 buckets per band keeps bucket occupancy ~n/32768 — the self-join stays
+# near-linear at scale, unlike narrow nibble buckets that collide everything.
 # ---------------------------------------------------------------------------
 
-_SIM_BITS = 16
+_SIM_BITS = 60
 _SIM_BANDS = 4
+_SIM_BAND_BITS = 15
+_SIM_BAND_MASK = (1 << _SIM_BAND_BITS) - 1
 _SIM_HAMMING = 3
 
 
@@ -328,7 +333,7 @@ _SIMHASH_ORACLE = f"""
 WITH {_sql_simhash()},
 bands AS (
   SELECT doc_id, simhash, unnest(range({_SIM_BANDS})) AS band,
-         (simhash >> (cast(unnest(range({_SIM_BANDS})) as int) * 4)) & 15 AS nibble
+         (simhash >> (cast(unnest(range({_SIM_BANDS})) as int) * {_SIM_BAND_BITS})) & {_SIM_BAND_MASK} AS nibble
   FROM sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -371,7 +376,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.explode(F.array(*[F.lit(i) for i in range(_SIM_BANDS)])).alias("band"),
-    ).withColumn("nibble", F.expr("shiftright(simhash, band * 4) & 15"))
+    ).withColumn(
+        "nibble", F.expr(f"shiftright(simhash, band * {_SIM_BAND_BITS}) & {_SIM_BAND_MASK}")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

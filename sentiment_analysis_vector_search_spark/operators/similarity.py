@@ -365,9 +365,12 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(dsum(F.col("tfidf")).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: distributed
+    # per-partition heaps, driver merge of k rows) — a global row_number
+    # window would funnel every scored doc through one partition at scale.
+    topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RAG_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over <=k rows only
     return (
-        scores.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _RAG_K)
+        topk.withColumn("rk", F.row_number().over(w))
         .select("doc_id", F.round("score", 6).alias("score"), "rk")
     )

@@ -256,13 +256,13 @@ def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tf.groupBy("word").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # merged) — unlike a global row_number window, no single-partition shuffle
+    # of the full vocabulary at scale.
     kept = (
         vocab.where((F.col("df") >= _MIN_DF) & (F.col("df") <= _MAX_DF * n_docs))
-        .withColumn(
-            "feat_rank",
-            F.row_number().over(Window.orderBy(F.desc("total_tf"), F.asc("word"))),
-        )
-        .where(F.col("feat_rank") <= _MAX_FEATURES)
+        .orderBy(F.desc("total_tf"), F.asc("word"))
+        .limit(_MAX_FEATURES)
         .select("word", "df")
     )
     weighted = tf.join(F.broadcast(kept), "word").select(
