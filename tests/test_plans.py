@@ -1,0 +1,87 @@
+"""Plan-shape assertions: the scale gate.
+
+Value parity at sf0.01 can't tell a broadcast join from a shuffled one or a
+pruned scan from a full-width scan — these tests pin the physical-plan
+properties that decide whether an operator survives 100 TB.
+"""
+
+import __spark_entry__ as entrymod
+import pytest
+
+from sentiment_analysis_vector_search_spark.plans import (
+    assert_in_plan,
+    count_in_plan,
+    plan_str,
+    pushed_filters,
+    scan_read_schemas,
+)
+
+QUERIES = entrymod.queries()
+
+
+def test_q1_filter_and_projection_pushdown(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, filters
+    schemas = scan_read_schemas(df)
+    # 7 needed columns only — l_orderkey/l_partkey/l_suppkey/l_linenumber
+    # must be pruned from the scan.
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # Map-side partial agg before the shuffle: the 6-group aggregate must
+    # not move raw rows across the exchange.
+    plan = plan_str(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q5_local_supplier"](spark, sf_dir)
+    # region/nation/supplier/customer are dims: every dim join must be a
+    # broadcast, never a shuffled sort-merge join of a dim against the fact.
+    assert count_in_plan(df, "BroadcastHashJoin") >= 3, plan_str(df)
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin")
+    filters = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in filters or "o_orderdate" in filters, filters
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    # Global top-k must compile to TakeOrderedAndProject (distributed
+    # per-partition heaps), not an unpartitioned row_number window.
+    for name in ("rag_retrieve", "tfidf_vectors"):
+        df = QUERIES[name](spark, sf_dir)
+        assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_events_sessions_partitioned_window(spark, sf_dir):
+    # The sessionization lag window partitions by user_id — no global
+    # single-partition Window in the plan.
+    plan = plan_str(QUERIES["q_events_sessions"](spark, sf_dir))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments:") and "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_dedup_embedding_no_cartesian(spark, sf_dir):
+    # Bucketed candidate generation must join on bucket keys; a cartesian
+    # product in any dedup plan means the prefilter was optimized away.
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # Text scoring stays JVM-side: no Python row UDFs (BatchEvalPython) in
+    # the classify/quality plans.
+    for name in ("sent_classify", "text_quality", "text_token_count"):
+        df = QUERIES[name](spark, sf_dir)
+        # simple mode prefixes codegen stages with "*(n)"
+        assert "*(" in plan_str(df, mode="simple"), name
+        assert "BatchEvalPython" not in plan_str(df), f"{name} fell back to Python rows"
