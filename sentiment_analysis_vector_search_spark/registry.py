@@ -43,4 +43,5 @@ def load_all_modules() -> None:
         text_ops,
     )
     from . import multimodal  # noqa: F401
+    from . import sources  # noqa: F401
     from .streaming import stream_ops  # noqa: F401

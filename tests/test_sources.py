@@ -1,0 +1,73 @@
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_parity
+
+
+def test_source_html_extract_parity(spark, sf_dir):
+    assert_parity(spark, "source_html_extract", sf_dir)
+
+
+def test_read_documents_formats_roundtrip(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.sources import read_documents
+
+    ref = read_documents(spark, f"{sf_dir}/documents.parquet").orderBy("doc_id")
+    rows = [r.asDict() for r in ref.collect()]
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    ref.write.option("header", True).option("escape", '"').csv(csv_dir)
+    ref.write.json(json_dir)
+
+    got_csv = read_documents(spark, csv_dir, "csv").orderBy("doc_id").collect()
+    got_json = read_documents(spark, json_dir, "json").orderBy("doc_id").collect()
+    assert [r.asDict() for r in got_csv] == rows
+    assert [r.asDict() for r in got_json] == rows
+
+
+def test_read_documents_text_lines(spark, tmp_path):
+    from sentiment_analysis_vector_search_spark.sources import read_documents
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta gamma\nsecond line of text\n")
+    df = read_documents(spark, str(p), "text")
+    rows = df.orderBy("text").collect()
+    assert [r["text"] for r in rows] == ["alpha beta gamma", "second line of text"]
+    assert all(r["source"] == "corpus.txt" and r["n_chars"] == len(r["text"]) for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 2
+
+
+def test_read_html_dir(spark, tmp_path):
+    from sentiment_analysis_vector_search_spark.sources import read_html_dir
+
+    (tmp_path / "page1.html").write_text(
+        "<html><head><style>body {font: 12px}</style>"
+        "<script>ignore this entirely; it is long</script></head>"
+        "<body><p>The first paragraph block with enough characters.</p>"
+        "<p>tiny</p>"
+        "<div>A second &amp; final block &lt;with entities&gt; included.</div>"
+        "</body></html>"
+    )
+    (tmp_path / "page2.html").write_text(
+        "<body><h1>Headline that is long enough to keep</h1><p>short</p></body>"
+    )
+    blocks = read_html_dir(spark, str(tmp_path)).collect()
+    texts = sorted(r["block_text"] for r in blocks)
+    assert texts == [
+        "A second & final block <with entities> included.",
+        "Headline that is long enough to keep",
+        "The first paragraph block with enough characters.",
+    ]
+    # script/style content never leaks into blocks
+    assert not any("ignore" in t or "font" in t for t in texts)
+    # provenance: blocks carry their page filename
+    srcs = {r["source"] for r in blocks}
+    assert srcs == {"page1.html", "page2.html"}
+
+
+def test_fetch_page_is_stubbed():
+    from sentiment_analysis_vector_search_spark.sources import fetch_page
+
+    with pytest.raises(NotImplementedError):
+        fetch_page("https://example.com")
