@@ -5,8 +5,10 @@ Five strategies over ``documents`` / ``embeddings``:
 - exact (md5 groupBy),
 - n-gram Jaccard (shingle-bucket join, never a cross join),
 - MinHash + LSH banding (16 hashes, 4 bands → bucket join → exact verify),
-- SimHash (16-bit, nibble-band candidates, hamming <= 3),
-- embedding near-dup (sign-LSH band candidates → exact cosine verify).
+- SimHash (60-bit, 15-bit-band candidates, hamming <= 3),
+- embedding near-dup (sign-LSH band candidates → exact cosine verify),
+- sentence overlap (the reference's has_duplicate_sentence semantics:
+  shared non-quote non-citation sentence → duplicate pair).
 
 Scale design: every pairwise operator generates candidates through an
 equi-join on a bucket key (shingle, band hash, nibble, sign-bits) so the
@@ -23,7 +25,7 @@ generalize that to corpus-scale near-dup detection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -500,3 +502,99 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.where(F.col("cosine") >= _EMB_T)
+
+
+# ---------------------------------------------------------------------------
+# Sentence-overlap dedup — the reference's has_duplicate_sentence
+# (extract_text_fun.py:57): two texts are duplicates when they share a
+# sentence longer than 15 chars that is neither quoted nor a citation
+# (is_quoted_or_citation, extract_text_fun.py:26). Re-expressed at scale as
+# an equi-join on the exact sentence: explode → filter → join on sentence.
+# A document-frequency cap excludes boilerplate sentences (shared by many
+# docs) — they are navigation/template noise, and they are also precisely
+# the keys that would blow up the join at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SENT_MIN_CHARS = 15
+_SENT_MAX_DF = 100  # boilerplate cap: sentences in more docs are not dup signal
+
+# Reference citation/quote patterns (RE2-safe: no backreferences), applied
+# identically by Spark (rlike) and DuckDB (regexp_matches).
+_SENT_EXCLUDE_RES = (
+    r"""['"].*['"]""",
+    r"\[.*\]",
+    r"\(.*\)",
+    r"(?i)according to",
+    r"(?i)said",
+    r"(?i)quoted",
+    r"(?i)states",
+    r"(?i)mentioned",
+)
+
+
+def _sent_excluded_spark(col: Column) -> Column:
+    out = F.lit(False)
+    for p in _SENT_EXCLUDE_RES:
+        out = out | col.rlike(p)
+    return out
+
+
+def _sent_excluded_sql(col: str) -> str:
+    esc = [p.replace("'", "''") for p in _SENT_EXCLUDE_RES]
+    return " OR ".join(f"regexp_matches({col}, '{p}')" for p in esc)
+
+
+_SENT_OVERLAP_ORACLE = f"""
+WITH sents AS (
+  SELECT DISTINCT doc_id, trim(s) AS sentence
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+    FROM documents
+  )
+  WHERE length(trim(s)) > {_SENT_MIN_CHARS}
+    AND NOT ({_sent_excluded_sql('trim(s)')})
+), kept AS (
+  SELECT s.doc_id, s.sentence FROM sents s
+  JOIN (
+    SELECT sentence FROM sents GROUP BY sentence HAVING count(*) <= {_SENT_MAX_DF}
+  ) f USING (sentence)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_sentences,
+       min(a.sentence) AS example_sentence
+FROM kept a JOIN kept b ON a.sentence = b.sentence AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_sentence_overlap", oracle=_SENT_OVERLAP_ORACLE)
+def dedup_sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sents = (
+        docs.select("doc_id", F.explode(F.split("text", r"[.!?]+")).alias("s"))
+        .select("doc_id", F.trim("s").alias("sentence"))
+        .where(F.length("sentence") > _SENT_MIN_CHARS)
+        .where(~_sent_excluded_spark(F.col("sentence")))
+        .distinct()
+    )
+    freq = (
+        sents.groupBy("sentence")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SENT_MAX_DF)
+        .select("sentence")
+    )
+    kept = sents.join(freq, "sentence")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sentence") == F.col("b.sentence"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_sentences"),
+            F.min(F.col("a.sentence")).alias("example_sentence"),
+        )
+    )

@@ -36,6 +36,7 @@ def load_all_modules() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
         dedup,
+        pipeline_ops,
         relational,
         representatives,
         sentiment_ops,

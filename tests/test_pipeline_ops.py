@@ -1,0 +1,71 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_parity
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_pii_redact",
+        "text_quality_gate",
+        "sample_stratified",
+        "run_metrics",
+        "dedup_sentence_overlap",
+    ],
+)
+def test_pipeline_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_pii_redaction_removes_all_pii(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_pii_redact"](spark, sf_dir)
+    leaked = df.where(
+        F.col("redacted").rlike(r"@example\.com")
+        | F.col("redacted").rlike(r"https?://")
+        | F.col("redacted").rlike(r"\+1 \(555\)")
+    ).count()
+    assert leaked == 0
+    stats = df.agg(
+        F.min("n_emails").alias("e"), F.min("n_urls").alias("u"), F.min("n_phones").alias("p")
+    ).first()
+    # every stamped doc has at least one of each PII kind detected
+    assert stats["e"] >= 1 and stats["u"] >= 1 and stats["p"] >= 1
+
+
+def test_sample_rates_approximate_strata(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.operators.pipeline_ops import _RATES
+
+    docs = table(spark, sf_dir, "documents")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in entrymod.queries()["sample_stratified"](spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, rate in _RATES.items():
+        if totals.get(lang, 0) >= 50:
+            frac = kept.get(lang, 0) / totals[lang]
+            assert abs(frac - rate / 100) < 0.25, (lang, frac, rate)
+
+
+def test_run_metrics_consistency(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    vals = {
+        r["metric"]: r["value"]
+        for r in entrymod.queries()["run_metrics"](spark, sf_dir).collect()
+    }
+    assert vals["total_reviews"] == pytest.approx(
+        vals["positive_count"] + vals["negative_count"] + vals["neutral_count"]
+    )
+    assert (
+        vals["positive_ratio"] + vals["negative_ratio"] + vals["neutral_ratio"]
+    ) == pytest.approx(1.0, abs=1e-5)
