@@ -1,0 +1,60 @@
+"""Sinks: cluster-scale writers for curated corpora and training shards.
+
+Writing is where 100 TB pipelines usually fall over: a naive ``df.write``
+inherits whatever partitioning the last shuffle left, producing either
+thousands of tiny files per directory or a handful of skewed giants. These
+writers make layout explicit:
+
+- ``write_partitioned`` — hive-style ``partitionBy`` layout for predicate-
+  prunable reads (e.g. per-language corpora). Data is repartitioned on the
+  partition columns first so each output directory is written by as few
+  tasks as possible (no tiny-file explosion), and ``maxRecordsPerFile``
+  bounds the large ones.
+- ``write_training_shards`` — fixed shard count via ``repartitionByRange``
+  on a key: deterministic, evenly-sized, globally key-sorted shards, the
+  layout a downstream training-data loader wants.
+
+Both return the reloaded DataFrame so callers can assert round-trips.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("lang",),
+    sort_within: Sequence[str] = ("doc_id",),
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*partition_by, *sort_within)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+) -> None:
+    (
+        df.repartitionByRange(n_shards, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_back(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -84,3 +84,69 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# stream_sessionize — native session windows (30-min gap) over the event
+# stream. session_window merges events whose gap is strictly < 30 min, so
+# the batch oracle marks a new session at gap >= 30 min; with availableNow
+# draining the whole input the final state equals the batch computation.
+# At scale: state is per (user_id, open-session) and the watermark evicts
+# closed sessions — bounded memory under unbounded input.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= {_SESSION_GAP_MIN * 60} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_sessionize", oracle=_SESSIONIZE_ORACLE)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
