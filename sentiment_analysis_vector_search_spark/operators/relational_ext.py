@@ -1,0 +1,347 @@
+"""Extended relational suite: selective scans, semi/anti joins, having
+filters, multi-predicate pushdown, and rollup aggregates (TPC-H Q6/Q10/
+Q14/Q18/Q19/Q22 shapes adapted to the available schema).
+
+Scale notes: every query here either (a) filters *before* its joins so the
+shuffled volume is the selective subset, (b) broadcasts the dimension side,
+or (c) aggregates to a small relation before any window/sort. Rollup uses
+partial-agg-friendly sums so the map-side combine handles the fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import table
+from ..functions.stable import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q6: forecasting revenue change — pure selective scan, no join (TPC-H Q6).
+# All three predicates + 2-column projection push into the parquet scan;
+# at 100 TB this reads only the row groups whose min/max stats overlap.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       count(*) as n_items
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01'
+  AND l_shipdate < timestamp '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item reporting — selective fact join + broadcast dims +
+# top-k by revenue (TPC-H Q10). Orders are date-filtered and lineitems
+# returnflag-filtered *before* the orderkey shuffle.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= timestamp '1996-10-01'
+  AND o_orderdate < timestamp '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14: promotion effect — broadcast part join, conditional-sum ratio
+# (TPC-H Q14). Single month of lineitem; part is the broadcast side.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT round(
+         100.0 * cast(sum(cast((case when p_type = 'PROMO' then l_extendedprice * (1 - l_discount) else 0.0 end) as decimal(30,10))) as double)
+         / cast(sum(cast((l_extendedprice * (1 - l_discount)) as decimal(30,10))) as double), 6) as promo_revenue_pct,
+       count(*) as n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1996-09-01'
+  AND l_shipdate < timestamp '1996-10-01'
+"""
+
+
+@register("q14_promo_effect", oracle=_Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * dsum(promo_rev) / dsum(rev), 6).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume customers — groupBy-having as a self-semi-join
+# (TPC-H Q18). The having-filter aggregates lineitem down to qualifying
+# orderkeys first (tiny), which then drives a broadcast semi-join.
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity as decimal(30,10))) > {_Q18_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {sql_dsum('l_quantity', 'total_qty')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty"))
+        .where(F.col("qty") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
+                F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: discounted revenue — disjunctive multi-predicate join (TPC-H Q19).
+# The OR-of-ANDs predicate is applied on the *joined* row but every
+# single-table conjunct (brand list, quantity range, size range) still
+# pushes to the scans; part is broadcast.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(*) as n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("q19_disjunctive_filter", oracle=_Q19_ORACLE)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22: dormant high-balance customers — anti-join (TPC-H Q22 shape).
+# The NOT EXISTS side is the big orders table, expressed as a left_anti
+# join on custkey; the scalar avg is computed once and broadcast as a
+# cross-joined literal row (no driver collect).
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT {sql_davg('c_acctbal', 'ab')} FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) as n_customers,
+       {sql_dsum('c_acctbal', 'total_bal')}
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= timestamp '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_ORACLE)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("ab"))
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup: revenue by region → nation → ship-year with subtotal rows.
+# Partial-agg composable sums mean the rollup fan-out (3 grouping sets)
+# still combines map-side; dims all broadcast.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT coalesce(r_name, 'ALL') as region,
+       coalesce(n_name, 'ALL') as nation,
+       coalesce(cast(cast(year(o_orderdate) as int) as varchar), 'ALL') as order_year,
+       {sql_dsum('o_totalprice', 'revenue')},
+       count(*) as n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name, cast(year(o_orderdate) as int))
+"""
+
+
+@register("q_revenue_rollup", oracle=_ROLLUP_ORACLE)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct supplier breadth per part (Q16 shape without partsupp): how many
+# distinct suppliers ship each part brand/type, from the fact table itself.
+# countDistinct shuffles on (brand, type) after map-side partial distinct.
+# ---------------------------------------------------------------------------
+
+_SUPPCNT_ORACLE = """
+SELECT p_brand, p_type,
+       count(distinct l_suppkey) as supplier_cnt,
+       count(*) as n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 10
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 50
+"""
+
+
+@register("q16_supplier_breadth", oracle=_SUPPCNT_ORACLE)
+def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(F.col("p_size") >= 10)
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        .limit(50)
+    )

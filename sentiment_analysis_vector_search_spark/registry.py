@@ -38,6 +38,7 @@ def load_all_modules() -> None:
         dedup,
         pipeline_ops,
         relational,
+        relational_ext,
         representatives,
         sentiment_ops,
         similarity,
