@@ -278,37 +278,55 @@ SELECT query_id, vec_id, cosine, rk FROM (
 """
 
 
-def _with_cell_sims(df: DataFrame, vec: str, nrm: str) -> DataFrame:
-    for i, p in enumerate(_CENTROIDS):
-        df = df.withColumn(
-            f"cs{i}",
-            spark_plane_dot(vec, p) / (F.col(nrm) * F.expr(f"cast({_C_NORMS[i]} as double)")),
+def _codebook(spark: SparkSession) -> DataFrame:
+    """The IVF codebook as a one-row broadcast relation.
+
+    Embedding 16x64 centroid literals as Column expressions makes Catalyst
+    re-walk ~10^4-node trees per optimizer rule (observed: 46 s of pure
+    driver-side optimization at any SF). As data, the codebook is a tiny
+    broadcast table and the per-row expressions are plain column references
+    — which is also the cluster-shape you want when the codebook is trained
+    (kmeans output), not hard-coded.
+    """
+    row = [
+        (
+            [[float(c) for c in p] for p in _CENTROIDS],
+            [float(s) for s in _C_NORMS],
         )
-    return df
+    ]
+    return spark.createDataFrame(row, "cmat array<array<double>>, cnorms array<double>")
 
 
-_CS_ARRAY = "array(" + ", ".join(f"cs{i}" for i in range(_N_CELLS)) + ")"
+def _with_sims_array(df: DataFrame, spark: SparkSession, vec: str, nrm: str) -> DataFrame:
+    """Append `sims`: cosine of `vec` against every codebook centroid."""
+    dots = f"transform(cmat, c -> aggregate(zip_with({vec}, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"
+    sims = f"zip_with({dots}, cnorms, (d, cn) -> d / ({nrm} * cn))"
+    return df.crossJoin(F.broadcast(_codebook(spark))).withColumn(
+        "sims", F.expr(sims)
+    ).drop("cmat", "cnorms")
 
 
 @register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
-    vsims = _with_cell_sims(vecs, "v", "nrm")
-    assigned = vsims.withColumn(
-        "cell",
-        F.expr(f"cast(array_position({_CS_ARRAY}, array_max({_CS_ARRAY})) as int)"),
-    ).select("vec_id", "v", "nrm", "cell")
+    assigned = (
+        _with_sims_array(vecs, spark, "v", "nrm")
+        .withColumn(
+            "cell", F.expr("cast(array_position(sims, array_max(sims)) as int)")
+        )
+        .select("vec_id", "v", "nrm", "cell")
+    )
     queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    qsims = _with_cell_sims(queries, "qv", "qnrm")
+    qsims = _with_sims_array(queries, spark, "qv", "qnrm")
     qcells = qsims.select(
         "query_id",
         "qv",
         "qnrm",
-        F.posexplode(F.expr(_CS_ARRAY)).alias("cell0", "sim"),
+        F.posexplode(F.col("sims")).alias("cell0", "sim"),
     ).withColumn("cell", F.col("cell0") + 1)
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     probed = (
