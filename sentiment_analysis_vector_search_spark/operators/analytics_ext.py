@@ -1,0 +1,209 @@
+"""Event-analytics extensions: as-of join, exact percentiles, vector
+centroids, and funnel conversion.
+
+Scale notes:
+- The as-of join uses the union+sorted-window formulation (tag both streams,
+  one shuffle on user_id, carry the last left-side timestamp forward) —
+  the standard way to make an as-of join a *single* shuffle instead of a
+  range self-join; at 100 TB it scales with the event volume per user.
+- Percentiles are exact (sort-based) for oracle parity; the documented
+  scale path is `approx_percentile` (t-digest-style sketch, map-combinable)
+  which swaps in without changing the query shape.
+- Centroids come from posexplode → (label, pos) partial-agg; the shuffle
+  key space is |labels| × dim, independent of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.stable import davg, sql_davg
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# as-of join: attribute each purchase to the user's most recent prior click.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_id, kind,
+         last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, kind, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, click_ts,
+       cast(epoch_us(ts) - epoch_us(click_ts) as bigint) AS gap_us
+FROM carried WHERE kind = 1
+"""
+
+
+@register("q_events_asof_attribution", oracle=_ASOF_ORACLE)
+def q_events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (attribution) join via union + sorted window — one shuffle.
+
+    A naive formulation is a range self-join (clicks x purchases per user,
+    quadratic in events-per-user). Tagging both streams and carrying the
+    last click timestamp forward over a (ts, kind, event_id) sort gives
+    identical semantics — clicks at the same instant sort before purchases
+    — with a single user_id shuffle.
+    """
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "click_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).cast("bigint").alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles of event value per type (linear interpolation — the
+# same definition in Spark `percentile` and DuckDB `quantile_cont`).
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       round(cast(quantile_cont(value, 0.5) as double), 6) AS p50,
+       round(cast(quantile_cont(value, 0.9) as double), 6) AS p90,
+       round(cast(quantile_cont(value, 0.99) as double), 6) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_value_percentiles", oracle=_PCT_ORACLE)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles. At 100 TB swap `percentile` for
+    `approx_percentile(value, array(...), 10000)` — sketch-based, partial-agg
+    composable, no per-group sort — same query shape."""
+    ev = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (elementwise mean), long format.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+SELECT label, pos, {sql_davg('val', 'centroid')}, count(*) AS n
+FROM (
+  SELECT label,
+         unnest(cast(embedding as double[])) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+@register("emb_label_centroids", oracle=_CENTROID_ORACLE)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the embedding column (e.g. for IVF codebook
+    training or class prototypes). posexplode → (label, pos) aggregation:
+    map-side partial sums; shuffle cardinality = |labels| × dim regardless
+    of input rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(davg(F.col("val")).alias("centroid"), F.count(F.lit(1)).alias("n"))
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel: signup → first click after signup → first purchase after that.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH signups AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN signups s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM signups) AS n_signup,
+       (SELECT count(*) FROM clicks) AS n_click_after_signup,
+       (SELECT count(*) FROM purchases) AS n_purchase_after_click
+"""
+
+
+@register("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion. Each stage joins on user_id against the
+    previous stage's (small, per-user) relation; all three joins share the
+    user_id partitioning so AQE plans them without extra shuffles."""
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(signups, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        signups.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )

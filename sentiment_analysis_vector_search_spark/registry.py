@@ -35,6 +35,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 def load_all_modules() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         pipeline_ops,
         relational,

@@ -1,0 +1,29 @@
+import pytest
+
+from tests.parity import assert_parity
+
+ANALYTICS_EXT = [
+    "q_events_asof_attribution",
+    "q_value_percentiles",
+    "emb_label_centroids",
+    "q_events_funnel",
+]
+
+
+@pytest.mark.parametrize("name", ANALYTICS_EXT)
+def test_analytics_ext_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_asof_gap_nonnegative(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_events_asof_attribution"](spark, sf_dir)
+    assert df.where("gap_us < 0").count() == 0
+
+
+def test_funnel_monotone(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["q_events_funnel"](spark, sf_dir).first()
+    assert row.n_signup >= row.n_click_after_signup >= row.n_purchase_after_click
