@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -150,3 +150,78 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# stream_stateful_user_stats — applyInPandasWithState: an arbitrary
+# user-defined per-key stateful operator (the escape hatch when built-in
+# windows/session_window can't express the semantics). Here the custom
+# state is a running (count, exact-decimal sum) per user; the decimal
+# accumulation reproduces functions/stable.py's order-independent sum, so
+# the drained stream hash-matches a plain batch GROUP BY in the oracle.
+# At scale: state lives in the state store partitioned by user_id; an
+# eviction policy would use GroupStateTimeout instead of NoTimeout.
+# ---------------------------------------------------------------------------
+
+_USTATS_ORACLE = f"""
+SELECT user_id, count(*) AS n_events, {sql_dsum('value', 'total_value')}
+FROM events
+GROUP BY user_id
+"""
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Accumulate (n, exact decimal total) for one user across batches."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1e-10")  # decimal(30,10) addend cast, as in stable.dsum
+    if state.exists:
+        n, total_str = state.get
+        total = Decimal(total_str)
+    else:
+        n, total = 0, Decimal(0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        for v in pdf["value"]:
+            total += Decimal(float(v)).quantize(q, ROUND_HALF_UP)
+    state.update((n, str(total)))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
+    )
+
+
+@register("stream_stateful_user_stats", oracle=_USTATS_ORACLE)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    sink = f"stream_ustats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may hold one row per (user, micro-batch): keep the
+    # final state per user (max n_events is monotone in batches).
+    snap = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )

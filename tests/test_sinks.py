@@ -54,3 +54,60 @@ def test_write_training_shards_even_and_sorted(spark, sf_dir, tmp_path):
             assert lo > prev_max
         prev_max = hi
     assert seen == total
+
+
+def test_write_bucketed_colocated_join_no_shuffle(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.plans import count_in_plan, plan_str
+    from sentiment_analysis_vector_search_spark.sinks import write_bucketed
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, spark, "b_orders", str(tmp_path / "b_orders"), "o_orderkey", 4
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        spark,
+        "b_lineitem",
+        str(tmp_path / "b_lineitem"),
+        "o_orderkey",
+        4,
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+            # co-located: SortMergeJoin with zero shuffle exchanges
+            assert count_in_plan(joined, "Exchange") == 0, plan_str(joined)
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    plain = ev.join(dim, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("user_events")).alias("s")
+    ).first()
+    salted = salted_join(ev, dim, "user_id", n_salts=8, salt_src="event_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("user_events")).alias("s")
+    ).first()
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_stream_stateful_user_stats_parity(spark, sf_dir):
+    assert_parity(spark, "stream_stateful_user_stats", sf_dir)
