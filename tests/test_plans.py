@@ -85,3 +85,50 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
         # simple mode prefixes codegen stages with "*(n)"
         assert "*(" in plan_str(df, mode="simple"), name
         assert "BatchEvalPython" not in plan_str(df), f"{name} fell back to Python rows"
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    schemas = scan_read_schemas(df)
+    assert schemas and all("l_tax" not in s for s in schemas), schemas
+
+
+def test_q10_broadcasts_dims_and_takeordered(spark, sf_dir):
+    df = QUERIES["q10_returned_items"](spark, sf_dir)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2, plan_str(df)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    filters = " ".join(pushed_filters(df))
+    assert "l_returnflag" in filters, filters
+
+
+def test_q18_semi_join_is_broadcast(spark, sf_dir):
+    plan = plan_str(QUERIES["q18_large_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_anti_join_present(spark, sf_dir):
+    plan = plan_str(QUERIES["q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    df = QUERIES["q22_dormant_customers"](spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters, filters
+
+
+def test_asof_window_partitioned_by_user(spark, sf_dir):
+    plan = plan_str(QUERIES["q_events_asof_attribution"](spark, sf_dir))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if line.strip().startswith("Arguments:") and "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_ivf_codebook_is_broadcast_not_literal(spark, sf_dir):
+    # The codebook must enter the plan as a broadcast relation; 16x64
+    # literal arrays inline would blow up Catalyst optimization time.
+    df = QUERIES["ann_ivf_topk"](spark, sf_dir)
+    assert count_in_plan(df, "BroadcastNestedLoopJoin") + count_in_plan(
+        df, "BroadcastExchange"
+    ) >= 1, plan_str(df)
