@@ -33,8 +33,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_bruteforce_topk_arrow",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "rag_retrieve",
+    "q_events_asof_attribution",
+    "q10_returned_items",
+    "q_revenue_rollup",
 ]
 
 

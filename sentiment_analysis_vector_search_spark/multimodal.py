@@ -73,3 +73,52 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return binary.mapInPandas(_extract_features, schema=_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample — 1-to-many mapInPandas: fixed-size "frames" are cut from
+# each binary payload and every K-th frame is emitted (the video
+# frame-sampling plumbing shape: one input row → many output rows, Arrow
+# batches both ways, schema contract enforced). Frame decode itself would
+# plug in at decode_image(); the byte-slicing + fan-out is the real part.
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 4
+
+_FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, md5s = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            for i in range(0, len(b) // _FRAME_BYTES, _FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                md5s.append(
+                    hashlib.md5(b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+
+_FRAME_ORACLE = f"""
+SELECT doc_id, cast(fi as bigint) AS frame_idx,
+       md5(substring(text, cast(fi * {_FRAME_BYTES} + 1 as int), {_FRAME_BYTES})) AS frame_md5
+FROM documents, unnest(range(0, length(text) // {_FRAME_BYTES})) AS t(fi)
+WHERE fi % {_FRAME_STRIDE} = 0
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binary.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

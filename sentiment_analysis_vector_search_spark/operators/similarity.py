@@ -392,3 +392,38 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk.withColumn("rk", F.row_number().over(w))
         .select("doc_id", F.round("score", 6).alias("score"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_bruteforce_topk_arrow — the same exact top-k through the Arrow
+# pandas_udf fast path: scores arrive in numpy as one matrix product per
+# Arrow batch instead of a per-row JVM fold. Same oracle as the JVM path —
+# results are identical after 6dp rounding. At 100 TB, with wide embedding
+# columns, this path trades JVM codegen for BLAS throughput; both shapes
+# keep the scan distributed and the top-k per-query-partitioned.
+# ---------------------------------------------------------------------------
+
+
+@register("ann_bruteforce_topk_arrow", oracle=_BRUTE_ORACLE)
+def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrow_math import cosine_batch as cos
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)

@@ -51,3 +51,15 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_mm_frame_sample_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "mm_frame_sample", sf_dir)
+
+
+def test_arrow_cosine_matches_jvm_path(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "ann_bruteforce_topk_arrow", sf_dir)
