@@ -437,3 +437,124 @@ def sent_trend_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Low"))
         .alias("risk_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# summarize_prompts — the reference's LLM summarization stage up to the
+# external API boundary (summarize_sentiments_fun.py:39 create_summary_prompt,
+# :75 6000-char truncation). Per sentiment: top representatives (highest
+# confidence, deterministic ties) are numbered, tagged with confidence, and
+# assembled into the exact prompt text; the Groq/LLM call itself is the
+# external plug-point (swap in an Arrow pandas_udf calling the model server).
+# Ordered aggregation = collect_list(struct) → array_sort → array_join, the
+# partition-order-independent way to build ordered strings at scale.
+# ---------------------------------------------------------------------------
+
+_SUMMARY_TOP_N = 10
+_SUMMARY_MAX_CHARS = 6000
+
+
+def _summary_template(sent_upper: str, combined: str, sent_lower: str) -> str:
+    # mirrors create_summary_prompt's f-string layout
+    return (
+        f"Analyze the following {sent_upper} comments from customer reviews and "
+        f"provide a concise summary in EXACTLY 2-3 sentences.\n\n"
+        f"{sent_upper} COMMENTS:\n{combined}\n\n"
+        f"Write a brief summary (2-3 sentences ONLY) explaining what aspects the "
+        f"commenters found {sent_lower}. Focus on the main themes and common "
+        f"patterns.\n\nSummary:"
+    )
+
+
+_SUMMARIZE_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+top_c AS (
+  SELECT sentiment, doc_id, text, confidence,
+         row_number() OVER (PARTITION BY sentiment ORDER BY confidence DESC, doc_id) AS rk
+  FROM labeled
+), lines AS (
+  SELECT sentiment, rk,
+         rk || '. [Confidence: ' || cast(floor(confidence * 100) as int) || '%] ' || text AS line
+  FROM top_c WHERE rk <= {_SUMMARY_TOP_N}
+), agg AS (
+  SELECT sentiment, count(*) AS n_comments,
+         string_agg(line, chr(10) || chr(10) ORDER BY rk) AS combined
+  FROM lines GROUP BY sentiment
+), prompts AS (
+  SELECT sentiment, n_comments,
+         'Analyze the following ' || sentiment || ' comments from customer reviews and provide a concise summary in EXACTLY 2-3 sentences.'
+         || chr(10) || chr(10) || sentiment || ' COMMENTS:' || chr(10) || combined || chr(10) || chr(10)
+         || 'Write a brief summary (2-3 sentences ONLY) explaining what aspects the commenters found '
+         || lower(sentiment) || '. Focus on the main themes and common patterns.' || chr(10) || chr(10) || 'Summary:' AS full_prompt
+  FROM agg
+)
+SELECT sentiment, n_comments,
+       CASE WHEN length(full_prompt) > {_SUMMARY_MAX_CHARS}
+            THEN substring(full_prompt, 1, {_SUMMARY_MAX_CHARS}) || chr(10) || chr(10) || 'Summary:'
+            ELSE full_prompt END AS prompt,
+       length(full_prompt) > {_SUMMARY_MAX_CHARS} AS truncated
+FROM prompts
+"""
+
+
+@register("summarize_prompts", oracle=_SUMMARIZE_ORACLE)
+def summarize_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    w = Window.partitionBy("sentiment").orderBy(F.desc("confidence"), F.asc("doc_id"))
+    top = (
+        lab.select("sentiment", "doc_id", "text", "confidence")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SUMMARY_TOP_N)
+    )
+    line = F.concat(
+        F.col("rk").cast("string"),
+        F.lit(". [Confidence: "),
+        F.floor(F.col("confidence") * 100).cast("int").cast("string"),
+        F.lit("%] "),
+        F.col("text"),
+    )
+    agg = (
+        top.withColumn("line", line)
+        .groupBy("sentiment")
+        .agg(
+            F.count(F.lit(1)).alias("n_comments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n\n",
+            ).alias("combined"),
+        )
+    )
+    full_prompt = F.concat(
+        F.lit("Analyze the following "),
+        F.col("sentiment"),
+        F.lit(
+            " comments from customer reviews and provide a concise summary in "
+            "EXACTLY 2-3 sentences.\n\n"
+        ),
+        F.col("sentiment"),
+        F.lit(" COMMENTS:\n"),
+        F.col("combined"),
+        F.lit(
+            "\n\nWrite a brief summary (2-3 sentences ONLY) explaining what "
+            "aspects the commenters found "
+        ),
+        F.lower(F.col("sentiment")),
+        F.lit(". Focus on the main themes and common patterns.\n\nSummary:"),
+    )
+    return agg.withColumn("full_prompt", full_prompt).select(
+        "sentiment",
+        "n_comments",
+        F.when(
+            F.length("full_prompt") > _SUMMARY_MAX_CHARS,
+            F.concat(
+                F.substring("full_prompt", 1, _SUMMARY_MAX_CHARS),
+                F.lit("\n\nSummary:"),
+            ),
+        )
+        .otherwise(F.col("full_prompt"))
+        .alias("prompt"),
+        (F.length("full_prompt") > _SUMMARY_MAX_CHARS).alias("truncated"),
+    )

@@ -46,3 +46,20 @@ def test_risk_single_row(spark, sf_dir):
     assert 0 <= r["risk_score"] <= 100
     assert r["risk_level"] in {"Low", "Medium", "High", "Critical"}
     assert r["insurance_cost"] > 0
+
+
+def test_summarize_prompts_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "summarize_prompts", sf_dir)
+
+
+def test_summarize_prompts_shape(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["summarize_prompts"](spark, sf_dir).collect()
+    assert {r.sentiment for r in rows} <= {"POSITIVE", "NEGATIVE", "NEUTRAL"}
+    for r in rows:
+        assert r.prompt.startswith(f"Analyze the following {r.sentiment} ")
+        assert r.prompt.endswith("Summary:")
+        assert len(r.prompt) <= 6000 + len("\n\nSummary:")
