@@ -207,3 +207,114 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
         .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: week-of-first-event cohorts × week offset.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         cast(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 as int) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+), sizes AS (
+  SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       count(*) AS n_active,
+       max(s.n_cohort) AS n_cohort,
+       round(count(*) * 1.0 / max(s.n_cohort), 6) AS retention
+FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset
+"""
+
+
+@register("q_events_retention", oracle=_RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention. firsts/sizes are per-user aggregates (small);
+    the distinct-activity shuffle is keyed on (user, cohort, offset) —
+    partial-agg-friendly. sizes is broadcast into the final join."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+            F.round(F.count(F.lit(1)) * F.lit(1.0) / F.max("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed end-to-end curation: classify → quality-score → exact-dedup
+# (keep canonical) → per-(lang, sentiment) corpus stats. One declarative
+# plan — Catalyst fuses the stages; nothing materializes in between.
+# ---------------------------------------------------------------------------
+
+
+def _curate_oracle() -> str:
+    from ..functions import sentiment as S
+    from ..functions.hashing import sql_md5_long
+    from ..functions.stable import sql_davg
+
+    return f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+scored AS (
+  SELECT *, {S.SQL_QUALITY_EXPR} AS quality FROM labeled
+), hashed AS (
+  SELECT *, {sql_md5_long('text')} AS text_hash FROM scored
+), canon AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS _rk
+  FROM hashed
+)
+SELECT lang, sentiment,
+       count(*) AS n_docs,
+       {sql_davg('quality', 'avg_quality')},
+       {sql_davg('confidence', 'avg_confidence')}
+FROM canon WHERE _rk = 1
+GROUP BY lang, sentiment
+"""
+
+
+@register("pipeline_curate_stats", oracle=_curate_oracle())
+def pipeline_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import sentiment as S
+    from ..functions.hashing import md5_long
+    from .sentiment_ops import classified
+
+    lab = classified(spark, sf_dir)
+    scored = lab.withColumn(
+        "quality", S.quality_score(F.col("text"), F.col("sentiment"))
+    ).withColumn("text_hash", md5_long(F.col("text")))
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    canon = scored.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return canon.groupBy("lang", "sentiment").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("quality")).alias("avg_quality"),
+        davg(F.col("confidence")).alias("avg_confidence"),
+    )

@@ -27,3 +27,8 @@ def test_funnel_monotone(spark, sf_dir):
 
     row = entrymod.queries()["q_events_funnel"](spark, sf_dir).first()
     assert row.n_signup >= row.n_click_after_signup >= row.n_purchase_after_click
+
+
+@pytest.mark.parametrize("name", ["q_events_retention", "pipeline_curate_stats"])
+def test_analytics_ext2_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
