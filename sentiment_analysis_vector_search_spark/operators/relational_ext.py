@@ -10,7 +10,7 @@ partial-agg-friendly sums so the map-side combine handles the fan-out.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -344,4 +344,48 @@ def q16_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# running revenue: cumulative window over date-preaggregated rows.
+# The window runs over ~|segment|×|days| pre-aggregated rows, not raw
+# orders — date-bucket first, then window, the 100 TB-safe ordering.
+# ---------------------------------------------------------------------------
+
+_RUNTOTAL_ORACLE = f"""
+WITH daily AS (
+  SELECT c_mktsegment, date_trunc('day', o_orderdate) AS day,
+         {sql_dsum('o_totalprice', 'day_revenue')},
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, date_trunc('day', o_orderdate)
+)
+SELECT c_mktsegment, day, day_revenue, n_orders,
+       round(sum(day_revenue) OVER (
+         PARTITION BY c_mktsegment ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_revenue
+FROM daily
+"""
+
+
+@register("q_running_revenue", oracle=_RUNTOTAL_ORACLE)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            dsum(F.col("o_totalprice")).alias("day_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_revenue", F.round(F.sum("day_revenue").over(w), 6)
     )

@@ -225,3 +225,51 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_exact — streaming deduplication: dropDuplicates on the
+# content hash inside Structured Streaming (state = seen-hash set; with a
+# watermark the state is evictable). Draining with availableNow, the
+# per-lang distinct counts must equal batch COUNT(DISTINCT hash) — the
+# dedup key includes lang so the surviving row per group is deterministic.
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_SDEDUP_ORACLE = """
+SELECT lang, count(distinct md5(text)) AS n_unique
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("stream_dedup_exact", oracle=_SDEDUP_ORACLE)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = src.select("lang", F.md5("text").alias("text_hash")).dropDuplicates(
+        ["lang", "text_hash"]
+    )
+    agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -25,3 +25,7 @@ def test_rollup_has_grand_total(spark, sf_dir):
     df = entrymod.queries()["q_revenue_rollup"](spark, sf_dir)
     grand = df.where("region = 'ALL' AND nation = 'ALL' AND order_year = 'ALL'")
     assert grand.count() == 1
+
+
+def test_running_revenue_parity(spark, sf_dir):
+    assert_parity(spark, "q_running_revenue", sf_dir)

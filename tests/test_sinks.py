@@ -111,3 +111,7 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
 def test_stream_stateful_user_stats_parity(spark, sf_dir):
     assert_parity(spark, "stream_stateful_user_stats", sf_dir)
+
+
+def test_stream_dedup_exact_parity(spark, sf_dir):
+    assert_parity(spark, "stream_dedup_exact", sf_dir)
