@@ -25,7 +25,7 @@ generalize that to corpus-scale near-dup detection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -422,8 +422,8 @@ def _sql_emb_sig_cols() -> str:
     )
 
 
-_EMB_ORACLE = f"""
-WITH vecs AS (
+# CTE list shared with dedup_components' recursive-CTE oracle.
+_EMB_CTES = f"""vecs AS (
   SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
 ), sig AS (
   SELECT vec_id, v,
@@ -443,7 +443,10 @@ WITH vecs AS (
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+)"""
+
+_EMB_ORACLE = f"""
+WITH {_EMB_CTES}
 SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_EMB_T}
 """
 
@@ -598,3 +601,75 @@ def dedup_sentence_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("a.sentence")).alias("example_sentence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_components — connected components over the near-dup pair graph:
+# the cluster-assignment step that turns pairwise matches into dedup
+# groups (keep one doc per component). Spark side is Pregel-style min-label
+# propagation: each iteration is one distributed join + aggregate, the
+# driver only checks the converged-yet scalar. O(diameter) rounds — near-dup
+# components are shallow (dup chains), so 3-5 rounds in practice. The
+# DuckDB oracle computes the same fixpoint with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_EMB_CTES},
+pairs AS (
+  SELECT vec_a, vec_b FROM cand WHERE cosine >= {_EMB_T}
+), edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+), reach(id, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+), cc AS (
+  SELECT id, min(comp) AS component FROM reach GROUP BY id
+)
+SELECT id, component,
+       count(*) OVER (PARTITION BY component) AS component_size
+FROM cc
+"""
+
+_CC_MAX_ITERS = 50
+
+
+@register("dedup_components", oracle=_CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("a", "b")
+    # Small at test SF but unbounded in general: cache the edge list, it is
+    # re-joined every round (on a cluster: persist + checkpoint lineage).
+    edges = edges.cache()
+    comp = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neigh = (
+            edges.join(comp, edges.a == comp.id)
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("component").alias("neigh_comp"))
+        )
+        new_comp = (
+            comp.join(neigh, comp.id == neigh.nid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("neigh_comp"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("neigh_comp"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).cache()
+        changed = new_comp.where(F.col("_changed")).limit(1).count()
+        comp = new_comp.drop("_changed")
+        if changed == 0:
+            break
+    w = Window.partitionBy("component")
+    return comp.withColumn("component_size", F.count(F.lit(1)).over(w))
