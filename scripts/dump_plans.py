@@ -1,0 +1,43 @@
+"""Regenerate PLANS.md: formatted physical plans of headline queries with
+the scale-relevant properties annotated. Run: python scripts/dump_plans.py"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from sentiment_analysis_vector_search_spark.plans import plan_str
+from sentiment_analysis_vector_search_spark.session import get_spark
+
+SHOW = [
+    ("q1_pricing_summary", "partial agg before tiny 6-group shuffle; pushdown"),
+    ("q3_shipping_priority", "broadcast customer dim; filtered facts shuffle once"),
+    ("q10_returned_items", "TakeOrderedAndProject top-k; returnflag pushed to scan"),
+    ("q_events_asof_attribution", "single user_id shuffle; sorted window as-of"),
+    ("dedup_minhash_lsh", "band-bucket equi-join candidates; no cartesian"),
+    ("ann_ivf_topk", "broadcast codebook relation; per-query-partition top-k"),
+]
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"
+    out = ["# PLANS — headline physical plans (local[*], sf0.001 shapes)\n"]
+    out.append(
+        "Regenerate with `python scripts/dump_plans.py`. The shapes below are\n"
+        "what the plan tests in `tests/test_plans.py` pin; sizes change with SF,\n"
+        "the operator structure does not (AQE may coalesce partitions at runtime).\n"
+    )
+    for name, note in SHOW:
+        plan = plan_str(qs[name](spark, sf), mode="simple")
+        out.append(f"\n## {name}\n\n*{note}*\n\n```\n{plan.strip()}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -558,3 +558,62 @@ def summarize_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prompt"),
         (F.length("full_prompt") > _SUMMARY_MAX_CHARS).alias("truncated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sent_classify_arrow — the transformer-inference plug-point, exercised.
+# The contract: an Arrow-batched mapInPandas stage takes (doc_id, text)
+# and emits (pos_hits, neg_hits, raw_label, confidence, sentiment). Here
+# the "model" is the same deterministic lexicon scorer implemented in
+# Python/pandas — so the operator must hash-match the JVM classify oracle,
+# proving a real DistilBERT pandas_udf can swap in without touching any
+# downstream operator. Rounding uses decimal HALF_UP on the shortest float
+# repr, replicating Spark's BigDecimal round semantics exactly.
+# ---------------------------------------------------------------------------
+
+_ARROW_CLASSIFY_SCHEMA = (
+    "doc_id bigint, pos_hits int, neg_hits int, raw_label string, "
+    "confidence double, sentiment string"
+)
+
+
+def _classify_batches(batches):
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    # Java default \s (non-unicode): [ \t\n\x0B\f\r]
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+    pos_set, neg_set = set(S.POSITIVE_WORDS), set(S.NEGATIVE_WORDS)
+
+    def round6(v: float) -> float:
+        return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"],
+            "pos_hits": [],
+            "neg_hits": [],
+            "raw_label": [],
+            "confidence": [],
+            "sentiment": [],
+        }
+        for text in pdf["text"]:
+            toks = ws.split(text.lower())
+            p = sum(t in pos_set for t in toks)
+            n = sum(t in neg_set for t in toks)
+            conf = 0.5 if p + n == 0 else round6(0.5 + 0.5 * abs(p - n) / (p + n))
+            raw = "POSITIVE" if p >= n else "NEGATIVE"
+            out["pos_hits"].append(p)
+            out["neg_hits"].append(n)
+            out["raw_label"].append(raw)
+            out["confidence"].append(conf)
+            out["sentiment"].append(raw if conf > S.CONFIDENCE_THRESHOLD else "NEUTRAL")
+        yield pd.DataFrame(out)
+
+
+@register("sent_classify_arrow", oracle=_CLASSIFY_ORACLE)
+def sent_classify_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_classify_batches, schema=_ARROW_CLASSIFY_SCHEMA)

@@ -63,3 +63,9 @@ def test_summarize_prompts_shape(spark, sf_dir):
         assert r.prompt.startswith(f"Analyze the following {r.sentiment} ")
         assert r.prompt.endswith("Summary:")
         assert len(r.prompt) <= 6000 + len("\n\nSummary:")
+
+
+def test_sent_classify_arrow_matches_jvm_oracle(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "sent_classify_arrow", sf_dir)
