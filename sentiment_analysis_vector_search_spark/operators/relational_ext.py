@@ -389,3 +389,88 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn(
         "cum_revenue", F.round(F.sum("day_revenue").over(w), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# q4: order-priority checking (TPC-H Q4 shape adapted: the commit/receipt
+# columns don't exist, so the EXISTS condition is "some lineitem shipped
+# after the order date") — a *non-equi* correlated EXISTS, planned as a
+# left-semi join on the equi key with the range predicate in the join
+# condition.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= timestamp '1997-01-01'
+  AND o_orderdate < timestamp '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_exists", oracle=_Q4_ORACLE)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity-order revenue (TPC-H Q17): correlated scalar
+# subquery (per-part average quantity) decorrelated into a groupBy +
+# broadcast join — the manual decorrelation every optimizer performs,
+# written explicitly so the shuffle structure is visible.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, {sql_davg('l_quantity', 'avg_qty')}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(cast(sum(cast(l_extendedprice as decimal(30,10))) as double) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, F.col("pk") == li.l_partkey)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -29,3 +29,8 @@ def test_rollup_has_grand_total(spark, sf_dir):
 
 def test_running_revenue_parity(spark, sf_dir):
     assert_parity(spark, "q_running_revenue", sf_dir)
+
+
+@pytest.mark.parametrize("name", ["q4_priority_exists", "q17_small_quantity"])
+def test_relational_ext3_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
