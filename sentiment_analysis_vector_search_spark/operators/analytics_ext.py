@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.stable import davg, sql_davg
+from ..functions.stable import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -317,4 +317,116 @@ def pipeline_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         davg(F.col("quality")).alias("avg_quality"),
         davg(F.col("confidence")).alias("avg_confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_gapfill — dense date spine + zero-fill + carry-forward: the
+# time-series normalization every trend consumer needs. The spine comes
+# from one min/max aggregate row exploded into a sequence — never a
+# driver-side loop; the carry-forward window runs over ~|days| rows.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         count(*) AS n_events,
+         {sql_dsum('value', 'total_value')}
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(day) AS mn, max(day) AS mx FROM daily
+), spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT s.day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value,
+       last_value(d.total_value IGNORE NULLS) OVER (
+         ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS carried_value,
+       d.day IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register("q_events_gapfill", oracle=_GAPFILL_ORACLE)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    spine = (
+        daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 day"))
+            ).alias("day")
+        )
+    )
+    joined = spine.alias("s").join(
+        daily.alias("d"), F.col("s.day") == F.col("d.day"), "left"
+    )
+    # window over the ~|days| spine — tiny relation, single partition is fine
+    # and documented (a year of days is 365 rows regardless of input TB).
+    w = Window.orderBy(F.col("s.day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.col("s.day").alias("day"),
+        F.coalesce(F.col("d.n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("d.total_value"), F.lit(0.0)).alias("total_value"),
+        F.last(F.col("d.total_value"), ignorenulls=True).over(w).alias("carried_value"),
+        F.col("d.day").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_anomaly — two-pass z-score standardization: per-type moments
+# from decimal-exact sums, broadcast back, flag |z| > 3. The stats side is
+# |event_type| rows; the fact side is touched once.
+# ---------------------------------------------------------------------------
+
+_ANOM_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         cast(sum(cast(value as decimal(30,10))) as double) AS s1,
+         cast(sum(cast(value * value as decimal(30,10))) as double) AS s2
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type, e.value,
+         (e.value - s.s1 / s.n)
+           / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       count(*) AS n,
+       sum(CASE WHEN abs(zscore) > 3 THEN 1 ELSE 0 END) AS n_anomalies,
+       round(max(abs(zscore)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+"""
+
+
+@register("q_events_anomaly", oracle=_ANOM_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import dsum
+
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("st")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("st"))
+        .withColumn("zscore", (F.col("value") - mean) / std)
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.abs("zscore") > 3, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(F.max(F.abs("zscore")), 6).alias("max_abs_z"),
     )

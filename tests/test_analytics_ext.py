@@ -32,3 +32,17 @@ def test_funnel_monotone(spark, sf_dir):
 @pytest.mark.parametrize("name", ["q_events_retention", "pipeline_curate_stats"])
 def test_analytics_ext2_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize("name", ["q_events_gapfill", "q_events_anomaly"])
+def test_analytics_ext3_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_gapfill_dense_and_monotone(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_events_gapfill"](spark, sf_dir).orderBy("day").collect()
+    days = [r.day for r in rows]
+    for a, b in zip(days, days[1:]):
+        assert (b - a).days == 1  # dense daily spine, no holes
