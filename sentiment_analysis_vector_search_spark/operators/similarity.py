@@ -427,3 +427,124 @@ def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_trained_topk — IVF with a *data-derived* codebook: the coarse
+# centroids are per-label mean vectors computed inside the engine (the
+# shape of a real kmeans-trained codebook, deterministic here so the
+# oracle can train the identical codebook). Assignment and probing are
+# per-vector-keyed windows over a broadcast codebook — no literals in the
+# plan, no unkeyed shuffles.
+# ---------------------------------------------------------------------------
+
+_TRAINED_NPROBE = 2
+
+
+def _trained_ivf_oracle() -> str:
+    from ..functions.stable import sql_davg
+
+    return f"""
+WITH {_SQL_VECS_CTE},
+cent_long AS (
+  SELECT label, pos, {sql_davg('val', 'cv')}
+  FROM (
+    SELECT label,
+           unnest(cast(embedding as double[])) AS val,
+           unnest(range(len(embedding))) AS pos
+    FROM embeddings
+  )
+  GROUP BY label, pos
+), cents AS (
+  SELECT label, list(cv ORDER BY pos) AS c FROM cent_long GROUP BY label
+), cents_n AS (
+  SELECT label, c, sqrt(list_dot_product(c, c)) AS cn FROM cents
+), assigned AS (
+  SELECT vec_id, v, nrm, label AS cell FROM (
+    SELECT x.vec_id, x.v, x.nrm, cn.label,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY list_dot_product(x.v, cn.c) / (x.nrm * cn.cn) DESC, cn.label
+           ) AS rk
+    FROM vecs x CROSS JOIN cents_n cn
+  ) WHERE rk = 1
+), qprobe AS (
+  SELECT query_id, qv, qnrm, label AS cell FROM (
+    SELECT q.query_id, q.qv, q.qnrm, cn.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cn.c) / (q.qnrm * cn.cn) DESC, cn.label
+           ) AS rk
+    FROM queries q CROSS JOIN cents_n cn
+  ) WHERE rk <= {_TRAINED_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v) / (p.qnrm * a.nrm), 6) AS cosine
+  FROM qprobe p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM cand
+) WHERE rk <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_trained_topk", oracle=_trained_ivf_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import davg
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_long = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", "pos")
+        .agg(davg(F.col("val")).alias("cv"))
+    )
+    cents = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+        ).alias("c")
+    )
+    cents_n = cents.withColumn(
+        "cn", F.sqrt(F.expr("aggregate(zip_with(c, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+    )
+    vecs = _vectors(spark, sf_dir)
+    sim = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    ) / (F.col("nrm") * F.col("cn"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents_n))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
+    )
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qsim = F.expr(
+        "aggregate(zip_with(qv, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    ) / (F.col("qnrm") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("label"))
+    qprobe = (
+        queries.crossJoin(F.broadcast(cents_n))
+        .withColumn("sim", qsim)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= _TRAINED_NPROBE)
+        .select("query_id", "qv", "qnrm", F.col("label").alias("cell"))
+    )
+    cand = F.broadcast(qprobe).join(assigned, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)

@@ -44,3 +44,9 @@ def test_topk_ranks_dense(spark, sf_dir):
     )
     for r in per_q.collect():
         assert r["n"] == 10 and r["mn"] == 1 and r["mx"] == 10
+
+
+def test_ann_ivf_trained_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "ann_ivf_trained_topk", sf_dir)
