@@ -430,3 +430,129 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs("zscore") > 3, 1).otherwise(0)).alias("n_anomalies"),
         F.round(F.max(F.abs("zscore")), 6).alias("max_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_user_overlap — audience overlap: Jaccard between per-event-type user
+# sets. Distinct (type, user) first (map-side combinable), then a
+# |types|²-keyed self-join of small per-type sets.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+@register("q_user_overlap", oracle=_OVERLAP_ORACLE)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_order_deciles — ntile decile stats over order value.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = f"""
+WITH d AS (
+  SELECT o_totalprice, ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi,
+       {sql_dsum('o_totalprice', 'total')}
+FROM d GROUP BY decile
+"""
+
+
+@register("q_order_deciles", oracle=_DECILE_ORACLE)
+def q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile requires a global sort — the one window here that is inherently
+    single-ordered; at 100 TB use approx percentile boundaries + bucket
+    join instead (documented trade; this op is the exact small-N variant)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_seasonality — hour-of-day × day-of-week activity profile.
+# ---------------------------------------------------------------------------
+
+_SEASON_ORACLE = f"""
+SELECT cast(isodow(ts) as int) AS dow,
+       cast(hour(ts) as int) AS hod,
+       count(*) AS n_events,
+       {sql_davg('value', 'avg_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_events_seasonality", oracle=_SEASON_ORACLE)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        # weekday() is 0=Monday; +1 matches DuckDB's isodow (1=Monday)
+        F.expr("cast(weekday(ts) + 1 as int)").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg(F.col("value")).alias("avg_value"),
+    )

@@ -46,3 +46,10 @@ def test_gapfill_dense_and_monotone(spark, sf_dir):
     days = [r.day for r in rows]
     for a, b in zip(days, days[1:]):
         assert (b - a).days == 1  # dense daily spine, no holes
+
+
+@pytest.mark.parametrize(
+    "name", ["q_user_overlap", "q_order_deciles", "q_events_seasonality"]
+)
+def test_analytics_ext4_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
