@@ -248,3 +248,161 @@ def run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.selectExpr(
         f"stack({len(names)}, {stack}) AS (metric, value)"
     ).select("metric", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# text_char_trigram_score — corpus-statistics fluency proxy: per-doc mean
+# corpus frequency of its character trigrams (gibberish scores low; no
+# logs, so the arithmetic is exactly reproducible cross-engine). Two
+# passes: trigram corpus counts (df-capped shuffle on trigram), then a
+# trigram→doc join back and a decimal-exact per-doc mean.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, substring(lower(text), cast(p as int), 3) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 1, 1))) AS t(p)
+  WHERE length(text) >= 3
+), corpus AS (
+  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+), total AS (
+  SELECT cast(sum(cnt) as double) AS tot FROM corpus
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       round(cast(sum(cast(cnt / tot as decimal(30,10))) as double) / count(*), 6)
+         AS avg_gram_freq
+FROM grams JOIN corpus USING (g), total
+GROUP BY doc_id
+"""
+
+
+@register("text_char_trigram_score", oracle=_TRI_ORACLE)
+def text_char_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 1)),"
+                " p -> substring(lower(text), p, 3))"
+            )
+        ).alias("g"),
+    )
+    corpus = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = corpus.agg(F.sum("cnt").cast("double").alias("tot"))
+    freq = F.col("cnt") / F.col("tot")
+    return (
+        grams.join(corpus, "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(freq.cast("decimal(30,10)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_gram_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_source_profile — per-source quality audit (the C4-style "which
+# sources are worth keeping" report): volume, exact-dup rate, mean quality
+# and confidence per source, composed from the classify + dedup operators
+# in one fused plan.
+# ---------------------------------------------------------------------------
+
+
+def _source_profile_oracle() -> str:
+    from ..functions import sentiment as S
+    from ..functions.hashing import sql_md5_long
+    from ..functions.stable import sql_davg
+
+    return f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+scored AS (
+  SELECT *, {S.SQL_QUALITY_EXPR} AS quality FROM labeled
+), hashed AS (
+  SELECT *, {sql_md5_long('text')} AS text_hash FROM scored
+), dup AS (
+  SELECT *, count(*) OVER (PARTITION BY text_hash) > 1 AS is_dup FROM hashed
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate,
+       {sql_davg('quality', 'avg_quality')},
+       {sql_davg('confidence', 'avg_confidence')}
+FROM dup
+GROUP BY source
+"""
+
+
+@register("docs_source_profile", oracle=_source_profile_oracle())
+def docs_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.stable import davg
+    from .sentiment_ops import classified
+
+    lab = classified(spark, sf_dir)
+    scored = lab.withColumn(
+        "quality", S.quality_score(F.col("text"), F.col("sentiment"))
+    ).withColumn("text_hash", md5_long(F.col("text")))
+    w = Window.partitionBy("text_hash")
+    dup = scored.withColumn("is_dup", F.count(F.lit(1)).over(w) > 1)
+    return dup.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        davg(F.col("quality")).alias("avg_quality"),
+        davg(F.col("confidence")).alias("avg_confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_importance — deterministic importance sampling: keep probability
+# proportional to quality (capped at 1), decided by the doc's md5 hash
+# percentile. Map-only, seedless, reproducible across engines and runs —
+# the data-mixing primitive for weighting high-quality sources up.
+# ---------------------------------------------------------------------------
+
+
+def _importance_oracle() -> str:
+    from ..functions import sentiment as S
+    from ..functions.hashing import sql_md5_int31, MOD31
+
+    return f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+scored AS (
+  SELECT *, {S.SQL_QUALITY_EXPR} AS quality FROM labeled
+), w AS (
+  SELECT *, least(quality / 2.0, 1.0) AS keep_p,
+         ({sql_md5_int31("cast(doc_id as varchar)")}) * 1.0 / {MOD31} AS u
+  FROM scored
+)
+SELECT doc_id, lang, round(keep_p, 6) AS keep_p
+FROM w WHERE u < keep_p
+"""
+
+
+@register("sample_importance", oracle=_importance_oracle())
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import MOD31, md5_int31
+    from .sentiment_ops import classified
+
+    lab = classified(spark, sf_dir)
+    scored = lab.withColumn(
+        "quality", S.quality_score(F.col("text"), F.col("sentiment"))
+    )
+    keep_p = F.least(F.col("quality") / 2.0, F.lit(1.0))
+    u = md5_int31(F.col("doc_id").cast("string")) * F.lit(1.0) / F.lit(MOD31)
+    return (
+        scored.withColumn("keep_p", keep_p)
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )

@@ -69,3 +69,15 @@ def test_run_metrics_consistency(spark, sf_dir):
     assert (
         vals["positive_ratio"] + vals["negative_ratio"] + vals["neutral_ratio"]
     ) == pytest.approx(1.0, abs=1e-5)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name", ["text_char_trigram_score", "docs_source_profile", "sample_importance"]
+)
+def test_pipeline_ops2_parity(spark, sf_dir, name):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, name, sf_dir)
