@@ -22,7 +22,13 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        prev = QUERIES.get(name)
+        if prev is not None and (
+            prev.__module__ != fn.__module__ or prev.__qualname__ != fn.__qualname__
+        ):
+            # same name from a *different* function is a real collision;
+            # re-registration of the same function (module re-imported after
+            # a partial failure) is allowed and overwrites.
             raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
