@@ -556,3 +556,90 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         davg(F.col("value")).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_segment_pivot — wide pivot: revenue by nation × market segment
+# using the DataFrame pivot API (values enumerated, so the plan is a
+# single partial-agg pass, no second job to discover categories).
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+_PIVOT_ORACLE = f"""
+SELECT n_name,
+       {", ".join(sql_dsum(f"CASE WHEN c_mktsegment = '{s}' THEN o_totalprice ELSE 0.0 END", s.lower()) for s in _SEGMENTS)}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("q_nation_segment_pivot", oracle=_PIVOT_ORACLE)
+def q_nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    pivoted = (
+        joined.groupBy("n_name")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    return pivoted.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0.0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_churned_buyers — set operation: customers who ordered in 1996 but not
+# in 1997 (EXCEPT), counted per market segment.
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= timestamp '1996-01-01' AND o_orderdate < timestamp '1997-01-01'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= timestamp '1997-01-01' AND o_orderdate < timestamp '1998-01-01'
+), churned AS (
+  SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97
+)
+SELECT c_mktsegment, count(*) AS n_churned
+FROM churned JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("q_churned_buyers", oracle=_SETOPS_ORACLE)
+def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+
+    def buyers(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    churned = buyers("1996-01-01", "1997-01-01").exceptAll(
+        buyers("1997-01-01", "1998-01-01")
+    )
+    return (
+        churned.join(broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )

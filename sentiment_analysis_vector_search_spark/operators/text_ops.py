@@ -446,3 +446,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(f"substring(text, pos, {_SHINGLE})").alias("sh")
     )
     return sh.groupBy("doc_id").agg(F.min(md5_long(F.col("sh"))).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# doc_top_keywords — per-document top-3 TF-IDF terms (the keyword
+# extraction the reference's summaries surface per comment cluster).
+# Window partitioned by doc_id over the tfidf rows — keyed, scalable.
+# ---------------------------------------------------------------------------
+
+
+def _top_keywords_oracle() -> str:
+    return f"""
+WITH {SQL_TFIDF_CTE}
+SELECT doc_id, word, tfidf, rk FROM (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+  FROM tfidf_rows
+) WHERE rk <= 3
+"""
+
+
+@register("doc_top_keywords", oracle=_top_keywords_oracle())
+def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tfidf = tfidf_vectors(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return tfidf.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)

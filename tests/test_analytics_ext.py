@@ -53,3 +53,8 @@ def test_gapfill_dense_and_monotone(spark, sf_dir):
 )
 def test_analytics_ext4_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+@pytest.mark.parametrize("name", ["q_nation_segment_pivot", "q_churned_buyers"])
+def test_analytics_ext5_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)

@@ -38,3 +38,9 @@ def test_tfidf_rows_l2_normalized(spark, sf_dir):
     norms = df.groupBy("doc_id").agg(F.sum(F.col("tfidf") * F.col("tfidf")).alias("sq"))
     bad = norms.where((F.col("sq") < 0.99) | (F.col("sq") > 1.01)).count()
     assert bad == 0
+
+
+def test_doc_top_keywords_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "doc_top_keywords", sf_dir)
