@@ -273,3 +273,66 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# stream_interval_join — stream-stream join: each purchase joined to the
+# same user's clicks from the preceding hour. Both sides are watermarked
+# so the state store can evict rows outside the interval; the equi-key
+# (user_id) plus the time-range condition is exactly the shape Structured
+# Streaming's symmetric hash join handles. Drained with availableNow, the
+# result must equal the batch interval join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_SJOIN_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       cast(epoch_us(p.ts) - epoch_us(c.ts) as bigint) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
+@register("stream_interval_join", oracle=_SJOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def src(kind: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .where(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    purchases = src("purchase", "p")
+    clicks = src("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("bigint").alias("gap_us"),
+    )
+    sink = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -115,3 +115,7 @@ def test_stream_stateful_user_stats_parity(spark, sf_dir):
 
 def test_stream_dedup_exact_parity(spark, sf_dir):
     assert_parity(spark, "stream_dedup_exact", sf_dir)
+
+
+def test_stream_interval_join_parity(spark, sf_dir):
+    assert_parity(spark, "stream_interval_join", sf_dir)
