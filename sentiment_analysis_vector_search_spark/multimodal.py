@@ -122,3 +122,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return binary.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# text_embed_stub — corpus embedding generation through the mapInPandas
+# batch path: the plumbing (Arrow batches in, array<double> column out,
+# partition-inherited parallelism) is exactly what a real encoder needs;
+# the vector values are a deterministic hash fill so the DuckDB oracle can
+# reproduce them bit-for-bit. Swap `_fake_embed` for a model forward pass.
+# ---------------------------------------------------------------------------
+
+_EMBED_DIM = 8
+_MOD31 = (1 << 31) - 1
+
+
+def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fake_embed(doc_id: int) -> list[float]:
+        out = []
+        for i in range(_EMBED_DIM):
+            h = int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:15], 16)
+            out.append(round((h % _MOD31) / _MOD31, 6))
+        return out
+
+    for pdf in batches:
+        ids, poss, vals = [], [], []
+        for doc_id in pdf["doc_id"]:
+            for i, v in enumerate(_fake_embed(doc_id)):
+                ids.append(doc_id)
+                poss.append(i)
+                vals.append(v)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "val": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+
+# long format (scalar columns only) so the driver's order-insensitive
+# value compare needs no array normalization.
+_EMBED_ORACLE = f"""
+SELECT doc_id, cast(i as bigint) AS pos,
+       round(
+         (cast(concat('0x', substr(md5(doc_id || ':' || i), 1, 15)) as bigint) % {_MOD31})
+         * 1.0 / {_MOD31}, 6) AS val
+FROM documents, unnest(range(0, {_EMBED_DIM})) AS t(i)
+"""
+
+
+@register("text_embed_stub", oracle=_EMBED_ORACLE)
+def text_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _embed_batches, schema="doc_id bigint, pos bigint, val double"
+    )

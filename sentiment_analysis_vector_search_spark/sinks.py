@@ -85,3 +85,28 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_within: Sequence[str] = (),
+) -> None:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files. The streaming/incremental sinks above produce
+    per-batch files; at 100 TB the read side dies by open-file overhead
+    long before by bytes, so periodic compaction is part of the sink
+    contract. Writes to a temp dir then swaps, so readers never see a
+    half-written directory.
+    """
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    df = spark.read.parquet(path).coalesce(target_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

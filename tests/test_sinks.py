@@ -119,3 +119,24 @@ def test_stream_dedup_exact_parity(spark, sf_dir):
 
 def test_stream_interval_join_parity(spark, sf_dir):
     assert_parity(spark, "stream_interval_join", sf_dir)
+
+
+def test_compact_dir_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
+    import glob as _glob
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.sinks import compact_dir
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "many_files")
+    docs.repartition(16).write.parquet(out)
+    assert len(_glob.glob(f"{out}/*.parquet")) >= 16
+    n_before = docs.count()
+    compact_dir(spark, out, target_files=2, sort_within=("doc_id",))
+    assert len(_glob.glob(f"{out}/*.parquet")) <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == n_before
+
+
+def test_text_embed_stub_parity(spark, sf_dir):
+    assert_parity(spark, "text_embed_stub", sf_dir)
