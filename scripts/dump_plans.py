@@ -18,6 +18,9 @@ SHOW = [
     ("q_events_asof_attribution", "single user_id shuffle; sorted window as-of"),
     ("dedup_minhash_lsh", "band-bucket equi-join candidates; no cartesian"),
     ("ann_ivf_topk", "broadcast codebook relation; per-query-partition top-k"),
+    ("ann_ivf_trained_topk", "in-engine trained codebook; keyed assignment windows"),
+    ("q_nation_segment_pivot", "single-pass pivot with enumerated categories"),
+    ("pipeline_curate_stats", "classify→quality→dedup→stats fused in one plan"),
 ]
 
 
