@@ -43,6 +43,7 @@ def load_all_modules() -> None:
     from .operators import (  # noqa: F401
         analytics_ext,
         dedup,
+        grouped_ml,
         pipeline_ops,
         relational,
         relational_ext,

@@ -63,3 +63,9 @@ def test_arrow_cosine_matches_jvm_path(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "ann_bruteforce_topk_arrow", sf_dir)
+
+
+def test_ml_grouped_linreg_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "ml_grouped_linreg", sf_dir)
