@@ -177,3 +177,53 @@ def text_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _embed_batches, schema="doc_id bigint, pos bigint, val double"
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_resize_stub — "resize" plumbing: each payload is downsampled by a
+# fixed byte stride (stand-in for image resize / audio downsample; swap the
+# slice for a real codec call in decode_image). Emits the resized payload's
+# size + digest so the oracle verifies the byte-exact transform.
+# ---------------------------------------------------------------------------
+
+_RESIZE_STRIDE = 4
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        orig_n, new_n, digests = [], [], []
+        for payload in pdf["payload"]:
+            b = bytes(payload)
+            small = b[:: _RESIZE_STRIDE]
+            orig_n.append(len(b))
+            new_n.append(len(small))
+            digests.append(hashlib.md5(small).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pd.Series(orig_n, dtype="int64"),
+                "resized_bytes": pd.Series(new_n, dtype="int64"),
+                "resized_md5": pd.Series(digests, dtype="object"),
+            }
+        )
+
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       length(text) AS orig_bytes,
+       cast((length(text) + {_RESIZE_STRIDE} - 1) // {_RESIZE_STRIDE} as bigint) AS resized_bytes,
+       md5(string_agg(substring(text, cast(p as int), 1), '' ORDER BY p)) AS resized_md5
+FROM documents,
+     unnest(range(1, length(text) + 1, {_RESIZE_STRIDE})) AS t(p)
+GROUP BY doc_id, length(text)
+"""
+
+
+@register("mm_resize_stub", oracle=_RESIZE_ORACLE)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binary.mapInPandas(
+        _resize_batches,
+        schema="doc_id bigint, orig_bytes bigint, resized_bytes bigint, resized_md5 string",
+    )

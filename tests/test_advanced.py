@@ -69,3 +69,9 @@ def test_ml_grouped_linreg_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "ml_grouped_linreg", sf_dir)
+
+
+def test_mm_resize_stub_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "mm_resize_stub", sf_dir)
