@@ -46,6 +46,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    # averages derive from the decimal-exact sums (identical values to a
+    # separate davg, at half the decimal-aggregation work per row).
     return (
         li.where(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -54,10 +57,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(dsum(F.col("l_quantity")) / n, 6).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")) / n, 6).alias("avg_price"),
+            F.round(dsum(F.col("l_discount")) / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
     )
 
