@@ -474,3 +474,31 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_text_api — the SQL-text entry path: views registered in the
+# session catalog, the query given as ANSI SQL to spark.sql(). Same
+# Catalyst plan as the DataFrame API — this pins that a SQL-speaking user
+# of the engine gets identical results and plan shapes.
+# ---------------------------------------------------------------------------
+
+_SQLAPI_QUERY = f"""
+SELECT n_name,
+       count(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'revenue')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+
+@register("q_sql_text_api", oracle=_SQLAPI_QUERY)
+def q_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQLAPI_QUERY)

@@ -34,3 +34,7 @@ def test_running_revenue_parity(spark, sf_dir):
 @pytest.mark.parametrize("name", ["q4_priority_exists", "q17_small_quantity"])
 def test_relational_ext3_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_sql_text_api_parity(spark, sf_dir):
+    assert_parity(spark, "q_sql_text_api", sf_dir)
