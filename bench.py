@@ -40,6 +40,9 @@ HEADLINE = [
     "q_events_asof_attribution",
     "q10_returned_items",
     "q_revenue_rollup",
+    "q17_small_quantity",
+    "pipeline_curate_stats",
+    "dedup_components",
 ]
 
 

@@ -405,21 +405,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding near-dup: sign-LSH candidates (8 seeded planes, 4 bands of 2
-# bits, OR-banding) verified by exact cosine >= threshold. The band join is
-# the scale path: candidates are bucket-joined, never crossed.
+# embedding near-dup: sign-LSH candidates (40 seeded planes, 8 OR-bands of
+# 5 bits) verified by exact cosine >= threshold. The band join is the scale
+# path: candidates are bucket-joined, never crossed.
 # ---------------------------------------------------------------------------
 
 _EMB_T = 0.5
-_EMB_PLANES = hyperplanes(8, 64, seed=7)
-_EMB_BANDS = 4  # 2 planes per band
+# 40 planes -> 8 bands x 5 bits: P(bucket collision | random pair) = 1/32
+# per band (candidate volume stays near-linear in n; 2-bit bands collide at
+# 1/4 and degenerate to O(n^2) candidates - measured 36 s for 2k vectors),
+# while a true near-dup pair (cosine >= 0.5) collides in >= 1 band with
+# p ~ 1-(1-(2/3)^5)^8 ~ 0.68.
+_EMB_PLANES = hyperplanes(40, 64, seed=7)
+_EMB_BANDS = 8
+_EMB_BAND_BITS = 5
 
 
-def _sql_emb_sig_cols() -> str:
+def _sql_emb_bit_cols() -> str:
     return ",\n         ".join(
         f"CASE WHEN {sql_plane_dot('v', p)} > 0 THEN 1 ELSE 0 END AS bit{i}"
         for i, p in enumerate(_EMB_PLANES)
     )
+
+
+def _sql_emb_band_selects() -> str:
+    selects = []
+    for b in range(_EMB_BANDS):
+        bucket = " + ".join(
+            f"bit{b * _EMB_BAND_BITS + r} * {1 << (_EMB_BAND_BITS - 1 - r)}"
+            for r in range(_EMB_BAND_BITS)
+        )
+        selects.append(
+            f"SELECT vec_id, v, nrm, {b} AS band, {bucket} AS bucket FROM sig"
+        )
+    return "\n  UNION ALL\n  ".join(selects)
 
 
 # CTE list shared with dedup_components' recursive-CTE oracle.
@@ -428,16 +447,10 @@ _EMB_CTES = f"""vecs AS (
 ), sig AS (
   SELECT vec_id, v,
          sqrt(list_dot_product(v, v)) AS nrm,
-         {_sql_emb_sig_cols()}
+         {_sql_emb_bit_cols()}
   FROM vecs
 ), bands AS (
-  SELECT vec_id, v, nrm, 0 AS band, bit0 * 2 + bit1 AS bucket FROM sig
-  UNION ALL
-  SELECT vec_id, v, nrm, 1 AS band, bit2 * 2 + bit3 AS bucket FROM sig
-  UNION ALL
-  SELECT vec_id, v, nrm, 2 AS band, bit4 * 2 + bit5 AS bucket FROM sig
-  UNION ALL
-  SELECT vec_id, v, nrm, 3 AS band, bit6 * 2 + bit7 AS bucket FROM sig
+  {_sql_emb_band_selects()}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
@@ -451,18 +464,36 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_EMB_T}
 """
 
 
+def _emb_planes_rel(spark: SparkSession) -> DataFrame:
+    """Plane matrix as a one-row broadcast relation (literal Column trees
+    of this size choke Catalyst - see ann_ivf_topk's codebook note)."""
+    row = [([[float(c) for c in p] for p in _EMB_PLANES],)]
+    return spark.createDataFrame(row, "pmat array<array<double>>")
+
+
 @register("dedup_embedding", oracle=_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = emb.withColumn(
-        "nrm", F.sqrt(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
-    )
-    for i, p in enumerate(_EMB_PLANES):
-        sig = sig.withColumn(
-            f"bit{i}", F.when(spark_plane_dot("v", p) > 0, F.lit(1)).otherwise(F.lit(0))
+    sig = (
+        emb.crossJoin(F.broadcast(_emb_planes_rel(spark)))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+            ),
         )
+        .withColumn(
+            "bits",
+            F.expr(
+                "transform(pmat, p -> CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
+            ),
+        )
+        .drop("pmat")
+    )
     bands = sig.select(
         "vec_id",
         "v",
@@ -472,15 +503,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        (
-                            F.col(f"bit{band * 2}") * 2 + F.col(f"bit{band * 2 + 1}")
+                        F.expr(
+                            f"aggregate(slice(bits, {band * _EMB_BAND_BITS + 1}, {_EMB_BAND_BITS}), 0, (acc, x) -> acc * 2 + x)"
                         ).alias("bucket"),
                     )
                     for band in range(_EMB_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cosine = F.round(
@@ -507,15 +540,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(F.col("cosine") >= _EMB_T)
 
 
-# ---------------------------------------------------------------------------
-# Sentence-overlap dedup — the reference's has_duplicate_sentence
-# (extract_text_fun.py:57): two texts are duplicates when they share a
-# sentence longer than 15 chars that is neither quoted nor a citation
-# (is_quoted_or_citation, extract_text_fun.py:26). Re-expressed at scale as
-# an equi-join on the exact sentence: explode → filter → join on sentence.
-# A document-frequency cap excludes boilerplate sentences (shared by many
-# docs) — they are navigation/template noise, and they are also precisely
-# the keys that would blow up the join at 100 TB.
 # ---------------------------------------------------------------------------
 
 _SENT_MIN_CHARS = 15
@@ -648,27 +672,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    comp = comp.localCheckpoint(eager=True)
     for _ in range(_CC_MAX_ITERS):
         neigh = (
             edges.join(comp, edges.a == comp.id)
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("component").alias("neigh_comp"))
         )
-        new_comp = (
-            comp.join(neigh, comp.id == neigh.nid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("neigh_comp"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("neigh_comp"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
-            )
-        ).cache()
-        changed = new_comp.where(F.col("_changed")).limit(1).count()
-        comp = new_comp.drop("_changed")
+        stepped = comp.join(neigh, comp.id == neigh.nid, "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("neigh_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping (path halving): also adopt the label of the current
+        # label's row — rounds become O(log diameter) instead of O(diameter).
+        m = stepped.select(
+            F.col("id").alias("mid"), F.col("component").alias("mcomp")
+        )
+        jumped = stepped.join(m, stepped.component == m.mid).select(
+            "id",
+            F.least(F.col("component"), F.col("mcomp")).alias("component"),
+        )
+        # localCheckpoint truncates the per-iteration lineage (on a real
+        # cluster: checkpoint to reliable storage every few rounds).
+        new_comp = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
         if changed == 0:
             break
     w = Window.partitionBy("component")
