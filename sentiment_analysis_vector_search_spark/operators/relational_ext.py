@@ -502,3 +502,57 @@ def q_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQLAPI_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_moving_avg — 7-day moving window via a RANGE frame (value-based
+# window, covers calendar gaps correctly unlike a ROWS frame). Runs over
+# date-preaggregated rows; partitioned by segment.
+# ---------------------------------------------------------------------------
+
+_MOVAVG_ORACLE = f"""
+WITH daily AS (
+  SELECT c_mktsegment, date_trunc('day', o_orderdate) AS day,
+         {sql_dsum('o_totalprice', 'day_revenue')}
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, day, day_revenue,
+       round(cast(sum(cast(day_revenue as decimal(30,10))) OVER w as double)
+             / count(*) OVER w, 6) AS ma7,
+       count(*) OVER w AS n_days_in_window
+FROM daily
+WINDOW w AS (
+  PARTITION BY c_mktsegment ORDER BY day
+  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("q_revenue_moving_avg", oracle=_MOVAVG_ORACLE)
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice")).alias("day_revenue"))
+    )
+    # RANGE frame over epoch-seconds: value-based, so calendar gaps shrink
+    # the window exactly as the SQL INTERVAL frame does.
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "c_mktsegment",
+        "day",
+        "day_revenue",
+        F.round(
+            F.sum(F.col("day_revenue").cast("decimal(30,10)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma7"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"),
+    )

@@ -38,3 +38,7 @@ def test_relational_ext3_parity(spark, sf_dir, name):
 
 def test_sql_text_api_parity(spark, sf_dir):
     assert_parity(spark, "q_sql_text_api", sf_dir)
+
+
+def test_moving_avg_parity(spark, sf_dir):
+    assert_parity(spark, "q_revenue_moving_avg", sf_dir)
