@@ -352,34 +352,53 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_HAMMING}
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # The signature is per-document, so compute it row-local with array
+    # higher-order functions: zero shuffles (the oracle's tok/tf/sums CTEs
+    # shuffle twice; summing +-1 per token == summing +-tf per distinct word).
+    # The only shuffle left in the whole query is the band-bucket self-join.
+    toks_sql = r"filter(split(lower(text), '\\s+'), w -> w <> '')"
+    sig = (
+        docs.select("doc_id", F.expr(toks_sql).alias("toks"))
+        # empty docs carry no tokens: drop them like the explode path does,
+        # otherwise they'd all collide on simhash 0.
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(toks, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"aggregate(hs, array_repeat(0L, {_SIM_BITS}), "
+                f"(acc, h) -> zip_with(acc, sequence(0, {_SIM_BITS - 1}), "
+                "(a, i) -> a + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END)))"
+            ).alias("sums"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"aggregate(zip_with(sums, sequence(0, {_SIM_BITS - 1}), "
+                "(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("simhash"),
+        )
     )
-    bits = tf.select("doc_id", md5_long(F.col("word")).alias("h"), "tf")
-    sums = bits.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                    -F.col("tf")
-                )
-            ).alias(f"s{i}")
-            for i in range(_SIM_BITS)
-        ]
-    )
-    sig_expr = None
-    for i in range(_SIM_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sig = sums.select("doc_id", sig_expr.cast("bigint").alias("simhash"))
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(_SIM_BANDS)])).alias("band"),
-    ).withColumn(
-        "nibble", F.expr(f"shiftright(simhash, band * {_SIM_BAND_BITS}) & {_SIM_BAND_MASK}")
+    bands = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.array(*[F.lit(i) for i in range(_SIM_BANDS)])).alias("band"),
+        )
+        .withColumn(
+            "nibble",
+            F.expr(f"shiftright(simhash, band * {_SIM_BAND_BITS}) & {_SIM_BAND_MASK}"),
+        )
+        # Explicit exchange on the join key: both sides of the self-join below
+        # are this exact subplan, so Spark reuses one shuffle (ReusedExchange)
+        # and the signature expression tree is evaluated once, not twice.
+        .repartition("band", "nibble")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -673,6 +692,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component", F.col("id")
     )
     comp = comp.localCheckpoint(eager=True)
+    # Convergence probe: labels only ever decrease under min-propagation, so
+    # sum(component) is strictly decreasing until the fixpoint. Comparing two
+    # scalars replaces a shuffle join per round with one narrow aggregate.
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _sum(comp)
     for _ in range(_CC_MAX_ITERS):
         neigh = (
             edges.join(comp, edges.a == comp.id)
@@ -697,15 +723,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint truncates the per-iteration lineage (on a real
         # cluster: checkpoint to reliable storage every few rounds).
         new_comp = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _sum(new_comp)
         comp = new_comp
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     w = Window.partitionBy("component")
     return comp.withColumn("component_size", F.count(F.lit(1)).over(w))

@@ -396,37 +396,58 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ann_bruteforce_topk_arrow — the same exact top-k through the Arrow
-# pandas_udf fast path: scores arrive in numpy as one matrix product per
-# Arrow batch instead of a per-row JVM fold. Same oracle as the JVM path —
-# results are identical after 6dp rounding. At 100 TB, with wide embedding
-# columns, this path trades JVM codegen for BLAS throughput; both shapes
-# keep the scan distributed and the top-k per-query-partitioned.
+# mapInPandas fast path: the tiny query set is collected once and broadcast
+# to executors as a numpy matrix, so each fact vector crosses the Arrow
+# boundary exactly once (the crossJoin shape ships a duplicate query array
+# per candidate pair — 2x64 doubles/pair vs 64 doubles/vector here). Each
+# batch scores with one (n x d)·(d x q) einsum; only scalar score rows come
+# back. einsum without `optimize` sums j left-to-right, matching the JVM
+# fold and the DuckDB list_dot_product order, so 6dp rounding stays
+# hash-identical. Same oracle as the JVM path. At 100 TB this is the wide-
+# embedding pattern: query matrix resident per executor, scan distributed,
+# top-k per-query-partitioned.
 # ---------------------------------------------------------------------------
 
 
 @register("ann_bruteforce_topk_arrow", oracle=_BRUTE_ORACLE)
 def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.arrow_math import cosine_batch as cos
+    import numpy as np
 
     vecs = _vectors(spark, sf_dir)
-    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    scored = (
-        vecs.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cos(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
+    qrows = (
+        vecs.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "v", "nrm").collect()
+    )  # _N_QUERIES rows — a bounded query set, not a data-sized collect
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)
+    qnrm = np.array([r.nrm for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnrm))
+
+    def score(batches):
+        import pandas as pd
+
+        b_qids, b_qmat, b_qnrm = bq.value
+        nq = len(b_qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf["v"].values)
+            sims = np.einsum("ij,kj->ik", vmat, b_qmat) / np.outer(
+                pdf["nrm"].values, b_qnrm
+            )
+            vid = np.repeat(pdf["vec_id"].values, nq)
+            qid = np.tile(b_qids, len(pdf))
+            keep = vid != qid
+            yield pd.DataFrame(
+                {"query_id": qid[keep], "vec_id": vid[keep], "cosine": sims.ravel()[keep]}
+            )
+
+    scored = vecs.mapInPandas(score, "query_id bigint, vec_id bigint, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+    return (
+        scored.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+    )
 
 
 # ---------------------------------------------------------------------------
