@@ -29,10 +29,15 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
+        # with PARQUET_TYPE_ILLEGAL. nanosAsLong is runtime-settable, so set
+        # it here rather than relying on session-build configs — the loader
+        # must work on ANY caller-provided SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS), surfaced as a nanos-since-epoch
-    # long under spark.sql.legacy.parquet.nanosAsLong; convert to a proper
-    # microsecond timestamp (integer DIV keeps full precision).
+    # With nanosAsLong, ts surfaces as a nanos-since-epoch long; convert to a
+    # proper microsecond timestamp (integer DIV keeps full precision).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

@@ -362,9 +362,10 @@ WITH daily AS (
   GROUP BY c_mktsegment, date_trunc('day', o_orderdate)
 )
 SELECT c_mktsegment, day, day_revenue, n_orders,
-       round(sum(day_revenue) OVER (
+       round(cast(sum(cast(day_revenue as decimal(30,10))) OVER (
          PARTITION BY c_mktsegment ORDER BY day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_revenue
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 6)
+         AS cum_revenue
 FROM daily
 """
 
@@ -386,8 +387,15 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Cumulative sum stays DECIMAL(30,10) inside the window — summing the
+    # re-rounded doubles diverges from the oracle on HALF_UP boundary digits
+    # (segment-tree accumulation order differs between engines).
     return daily.withColumn(
-        "cum_revenue", F.round(F.sum("day_revenue").over(w), 6)
+        "cum_revenue",
+        F.round(
+            F.sum(F.col("day_revenue").cast("decimal(30,10)")).over(w).cast("double"),
+            6,
+        ),
     )
 
 

@@ -187,7 +187,9 @@ trends AS (
 _TRENDS_ORACLE = f"""
 WITH {S.SQL_CLASSIFIED_CTE},
 {_SQL_TRENDS_CTE}
-SELECT * FROM trends
+SELECT cast(visit_date as timestamp) AS visit_date,
+       positive, negative, neutral, total
+FROM trends
 """
 
 
@@ -211,7 +213,11 @@ def trends_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sent_trends", oracle=_TRENDS_ORACLE)
 def sent_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return trends_df(spark, sf_dir)
+    # visit_date as timestamp, not date: Spark DateType surfaces as
+    # datetime.date in pandas while DuckDB DATE surfaces as a midnight
+    # datetime64 — the driver's value hash sees different strings.
+    df = trends_df(spark, sf_dir)
+    return df.withColumn("visit_date", F.col("visit_date").cast("timestamp"))
 
 
 # ---------------------------------------------------------------------------

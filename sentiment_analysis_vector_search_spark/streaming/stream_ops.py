@@ -14,7 +14,9 @@ real trigger; the watermark bounds state for late data.
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,6 +30,31 @@ from pyspark.sql.types import (
 
 from ..functions.stable import sql_dsum
 from ..registry import register
+
+# State-store partition count for these drain-style streaming checks.
+# A streaming query's state partitioning is fixed at first start from
+# spark.sql.shuffle.partitions; a vanilla session's 200 means 200 state
+# commits per micro-batch — pure overhead at test scale. On a real cluster
+# size this to key cardinality / executor count via the env knob.
+_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Pin shuffle partitions while a streaming query starts; restore after."""
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:  # noqa: BLE001
+        old = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 _EVENT_SCHEMA = StructType(
     [
@@ -75,14 +102,15 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -141,14 +169,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events")
     )
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -208,14 +237,15 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     sink = f"stream_ustats_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode sink may hold one row per (user, micro-batch): keep the
     # final state per user (max n_events is monotone in batches).
     snap = spark.table(sink)
@@ -264,14 +294,15 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -327,12 +358,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("bigint").alias("gap_us"),
     )
     sink = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
