@@ -6,6 +6,17 @@ through exact decimals: cast each addend to DECIMAL(30,10) (deterministic
 per-row rounding), sum exactly, and cast the final value back to double.
 Both engines then produce bit-identical results regardless of partitioning —
 exactly what you need at 1000 executors where addition order is arbitrary.
+
+Engine-parity subtlety (the reason for the varchar bridges in the SQL
+forms): Spark's double→decimal cast goes through the SHORTEST DECIMAL REPR
+(BigDecimal.valueOf) and rounds HALF_UP at the target scale, and its
+decimal→double cast is correctly rounded. DuckDB's native casts do neither:
+double→decimal TRUNCATES the binary expansion (570959.82 →
+570959.8199999999) and decimal→double double-rounds via int128→double→÷10^s
+(1 ULP off once |sum|·10^10 exceeds 2^53). Routing both casts through
+varchar reproduces Spark exactly: double→varchar is shortest-repr,
+varchar→decimal rounds half-away-from-zero at scale (= Java HALF_UP), and
+varchar→double is a correctly-rounded parse.
 """
 
 from __future__ import annotations
@@ -26,9 +37,22 @@ def davg(col: Column) -> Column:
     return F.round(dsum(col) / F.count(F.lit(1)), 6)
 
 
+def sql_vardec(expr: str) -> str:
+    """DuckDB double→DECIMAL(30,10) with Spark's rounding semantics."""
+    return f"cast(cast(({expr}) as varchar) as {DEC})"
+
+
+def sql_dec2double(expr: str) -> str:
+    """DuckDB decimal→double, correctly rounded like Spark's cast."""
+    return f"cast(cast(({expr}) as varchar) as double)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"cast(sum(cast(({expr}) as {DEC})) as double) as {alias}"
+    return f"{sql_dec2double(f'sum({sql_vardec(expr)})')} as {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return f"round(cast(sum(cast(({expr}) as {DEC})) as double) / count(*), 6) as {alias}"
+    return (
+        f"round({sql_dec2double(f'sum({sql_vardec(expr)})')} / count(*), 6)"
+        f" as {alias}"
+    )

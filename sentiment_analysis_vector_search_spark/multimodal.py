@@ -197,7 +197,10 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             small = b[:: _RESIZE_STRIDE]
             orig_n.append(len(b))
             new_n.append(len(small))
-            digests.append(hashlib.md5(small).hexdigest())
+            # digest of the lowercase-hex encoding of the strided BYTES:
+            # byte semantics the SQL oracle reproduces for any content
+            # (non-ASCII, empty) — varchar slicing would count characters.
+            digests.append(hashlib.md5(small.hex().encode()).hexdigest())
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -208,14 +211,28 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Byte semantics end-to-end: hex the UTF-8 payload once, slice hex-digit
+# pairs at strided byte positions, digest the reassembled hex string. The
+# LEFT JOIN keeps empty payloads (their strided slice is empty, md5('')) —
+# a bare unnest+GROUP BY would drop them.
 _RESIZE_ORACLE = f"""
-SELECT doc_id,
-       length(text) AS orig_bytes,
-       cast((length(text) + {_RESIZE_STRIDE} - 1) // {_RESIZE_STRIDE} as bigint) AS resized_bytes,
-       md5(string_agg(substring(text, cast(p as int), 1), '' ORDER BY p)) AS resized_md5
-FROM documents,
-     unnest(range(1, length(text) + 1, {_RESIZE_STRIDE})) AS t(p)
-GROUP BY doc_id, length(text)
+WITH b AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, n + 1, {_RESIZE_STRIDE})) AS p FROM b
+), agg AS (
+  SELECT pos.doc_id,
+         string_agg(substring(b.hx, cast(2 * (p - 1) + 1 as int), 2),
+                    '' ORDER BY p) AS hexs
+  FROM pos JOIN b ON pos.doc_id = b.doc_id GROUP BY pos.doc_id
+)
+SELECT b.doc_id AS doc_id, b.n AS orig_bytes,
+       cast((b.n + {_RESIZE_STRIDE} - 1) // {_RESIZE_STRIDE} as bigint)
+         AS resized_bytes,
+       md5(coalesce(a.hexs, '')) AS resized_md5
+FROM b LEFT JOIN agg a ON b.doc_id = a.doc_id
 """
 
 

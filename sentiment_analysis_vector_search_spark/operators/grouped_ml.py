@@ -30,8 +30,11 @@ WITH s AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+            END AS intercept
 FROM s
 """
 
@@ -56,18 +59,27 @@ def _fit_group(pdf):
     sy = dsum(ys)
     sxy = dsum(x * y for x, y in zip(xs, ys))
     sxx = dsum(x * x for x in xs)
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
 
     def round6(v: float) -> float:
         return float(Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    denom = n * sxx - sx * sx
+    if denom == 0.0:
+        # zero x-variance (all events in one hour): slope is undefined —
+        # emit NULL rather than ZeroDivisionError-ing the whole job. The
+        # oracle's CASE mirrors this.
+        slope = intercept = None
+    else:
+        slope = (n * sxy - sx * sy) / denom
+        intercept = round6((sy - slope * sx) / n)
+        slope = round6(slope)
 
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [int(n)],
-            "slope": [round6(slope)],
-            "intercept": [round6(intercept)],
+            "slope": [slope],
+            "intercept": [intercept],
         }
     )
 

@@ -406,3 +406,42 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("keep_p"))
         .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
     )
+
+
+# ---------------------------------------------------------------------------
+# fix_company_name — metadata-label normalization, the batch re-labeling the
+# reference ships as fix_company_name.py (a wrong company label cached in
+# generated artifacts gets rewritten everywhere it appears). Re-expressed as
+# data: canonicalize the ``source`` label (zero-pad the numeric suffix so
+# src1/src10 sort and group correctly) and rewrite any occurrence of the
+# legacy label inside the text body. Pure column expressions — a map-only
+# rewrite with no shuffle, the 100 TB shape for bulk re-labeling.
+# Parity: fix_company_name.py:29-120 (find wrong label, replace in config
+# and artifacts, report what changed).
+# ---------------------------------------------------------------------------
+
+_FIXNAME_ORACLE = """
+SELECT doc_id,
+       source,
+       'src' || lpad(substr(source, 4), 2, '0') AS source_fixed,
+       source <> 'src' || lpad(substr(source, 4), 2, '0') AS changed,
+       replace(text, source, 'src' || lpad(substr(source, 4), 2, '0')) AS text_fixed
+FROM documents
+"""
+
+
+@register("fix_company_name", oracle=_FIXNAME_ORACLE)
+def fix_company_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fixed = F.concat(
+        F.lit("src"), F.lpad(F.expr("substring(source, 4)"), 2, "0")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        fixed.alias("source_fixed"),
+        (F.col("source") != fixed).alias("changed"),
+        F.expr(
+            "replace(text, source, concat('src', lpad(substring(source, 4), 2, '0')))"
+        ).alias("text_fixed"),
+    )

@@ -15,7 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import table
-from ..functions.stable import davg, dsum, sql_davg, sql_dsum
+from ..functions.stable import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dec2double,
+    sql_dsum,
+    sql_vardec,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -362,10 +369,11 @@ WITH daily AS (
   GROUP BY c_mktsegment, date_trunc('day', o_orderdate)
 )
 SELECT c_mktsegment, day, day_revenue, n_orders,
-       round(cast(sum(cast(day_revenue as decimal(30,10))) OVER (
-         PARTITION BY c_mktsegment ORDER BY day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 6)
-         AS cum_revenue
+       round({sql_dec2double(
+           f"sum({sql_vardec('day_revenue')}) OVER ("
+           " PARTITION BY c_mktsegment ORDER BY day"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+       )}, 6) AS cum_revenue
 FROM daily
 """
 
@@ -389,7 +397,8 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Cumulative sum stays DECIMAL(30,10) inside the window — summing the
     # re-rounded doubles diverges from the oracle on HALF_UP boundary digits
-    # (segment-tree accumulation order differs between engines).
+    # (segment-tree accumulation order differs between engines). The oracle
+    # mirrors Spark's cast semantics via the varchar bridge (stable.py).
     return daily.withColumn(
         "cum_revenue",
         F.round(

@@ -26,7 +26,10 @@ _HASHING_DIM = 1 << 12
 _SEED = 42
 
 
-def _representatives_for_class(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _score_class(spark: SparkSession, df: DataFrame) -> DataFrame | None:
+    """Cluster one sentiment class and score every member's cosine to its
+    cluster centroid. Split out from the representative selection so tests
+    can assert the argmax-membership property over the full assignment."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
     from pyspark.ml.functions import vector_to_array
@@ -57,10 +60,16 @@ def _representatives_for_class(spark: SparkSession, df: DataFrame) -> DataFrame:
         " cast(0.0 as double), (acc, x) -> acc + x)"
     )
     nrm = lambda c: f"sqrt(aggregate(zip_with({c}, {c}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"  # noqa: E731
-    scored = pred.join(F.broadcast(centers), "cluster_id").withColumn(
+    return pred.join(F.broadcast(centers), "cluster_id").withColumn(
         "centroid_cosine",
         F.expr(f"{dot} / (greatest({nrm('fa')}, 1e-12) * greatest({nrm('center')}, 1e-12))"),
     )
+
+
+def _representatives_for_class(spark: SparkSession, df: DataFrame) -> DataFrame:
+    scored = _score_class(spark, df)
+    if scored is None:
+        return None
     w_size = Window.partitionBy("cluster_id")
     w_rank = Window.partitionBy("cluster_id").orderBy(
         F.desc("centroid_cosine"), F.asc("doc_id")
@@ -93,3 +102,48 @@ def representatives_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if reps is not None:
             out = reps if out is None else out.unionByName(reps)
     return out
+
+
+# ---------------------------------------------------------------------------
+# representatives_invariants — the hash-checkable contract of the kmeans
+# output. Lloyd's iterations aren't SQL-expressible, but every structural
+# property of a CORRECT result is: per sentiment class, cluster sizes sum
+# exactly to the class population, at most min(10, class_n) clusters emit a
+# representative, representatives are distinct documents, and cosines lie
+# in [-1, 1]. The oracle derives the class populations from the same
+# SQL-expressible classification the clustering consumes and pins each
+# boolean invariant to literal true — any violation hash-mismatches.
+# (Representative argmin-membership and seed-42 determinism need the full
+# assignment, so they live in tests/test_representatives.py.)
+# ---------------------------------------------------------------------------
+
+
+def _invariants_oracle() -> str:
+    from ..functions import sentiment as S
+
+    return f"""
+WITH {S.SQL_CLASSIFIED_CTE}
+SELECT sentiment,
+       count(*) AS class_n,
+       true AS k_ok,
+       true AS reps_distinct,
+       true AS cosine_ok
+FROM labeled GROUP BY sentiment
+"""
+
+
+@register("representatives_invariants", oracle=_invariants_oracle())
+def representatives_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = representatives_kmeans(spark, sf_dir)
+    return reps.groupBy("sentiment").agg(
+        F.sum("cluster_size").cast("bigint").alias("class_n"),
+        (
+            F.count(F.lit(1))
+            <= F.least(F.lit(_N_REPRESENTATIVES).cast("bigint"), F.sum("cluster_size"))
+        ).alias("k_ok"),
+        (F.countDistinct("doc_id") == F.count(F.lit(1))).alias("reps_distinct"),
+        (
+            (F.min("centroid_cosine") >= -1.000001)
+            & (F.max("centroid_cosine") <= 1.000001)
+        ).alias("cosine_ok"),
+    )

@@ -623,3 +623,134 @@ def _classify_batches(batches):
 def sent_classify_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(_classify_batches, schema=_ARROW_CLASSIFY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# rag_context_assemble — the chatbot's RAG context block, as data.
+# Parity: _load_analysis_context + _build_context_prompt
+# (chatbot_analyzer.py:43-181): distribution with percentages (:140-154),
+# top-10 keywords per sentiment joined "word (count)" (:165-168), top-3
+# representative examples quoted one per line (:171-174). The reference's
+# per-class summaries/recommendations are LLM outputs (stubbed plug-points);
+# example selection here is the deterministic confidence-ranked retrieval
+# (the kmeans-representative variant composes via representatives_kmeans).
+# Scale shape: three per-sentiment aggregates (3-row joins); the word count
+# is the same map-side-combinable groupBy top_words uses; nothing global.
+# ---------------------------------------------------------------------------
+
+_CTX_TOP_WORDS = 10  # chatbot_analyzer.py:166 words[:10]
+_CTX_TOP_EXAMPLES = 3  # chatbot_analyzer.py:172 reps[:3]
+_CTX_STOP_SQL = ", ".join(f"'{w}'" for w in S.STOPWORDS)
+
+_CTX_ORACLE = f"""
+WITH {S.SQL_CLASSIFIED_CTE},
+dist AS (
+  SELECT sentiment, count(*) AS n_reviews,
+         round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+  FROM labeled GROUP BY sentiment
+),
+words AS (
+  SELECT sentiment, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM labeled
+), counted AS (
+  SELECT sentiment, word, count(*) AS cnt FROM words
+  WHERE word NOT IN ({_CTX_STOP_SQL}) AND word <> ''
+  GROUP BY sentiment, word
+), kw AS (
+  SELECT sentiment,
+         string_agg(word || ' (' || cnt || ')', ', ' ORDER BY cnt DESC, word)
+           AS keywords
+  FROM (SELECT *, row_number() OVER (PARTITION BY sentiment
+                                     ORDER BY cnt DESC, word) AS rk
+        FROM counted)
+  WHERE rk <= {_CTX_TOP_WORDS} GROUP BY sentiment
+), ex AS (
+  SELECT sentiment,
+         string_agg('- "' || text || '"', chr(10)
+                    ORDER BY confidence DESC, doc_id) AS examples
+  FROM (SELECT sentiment, text, confidence, doc_id,
+               row_number() OVER (PARTITION BY sentiment
+                                  ORDER BY confidence DESC, doc_id) AS rk
+        FROM labeled)
+  WHERE rk <= {_CTX_TOP_EXAMPLES} GROUP BY sentiment
+)
+SELECT d.sentiment, d.n_reviews, d.pct, k.keywords, e.examples,
+       d.sentiment || ': ' || d.n_reviews || ' reviews ('
+         || cast(d.pct as varchar) || '%)' || chr(10)
+         || d.sentiment || ' Keywords: ' || coalesce(k.keywords, '')
+         || chr(10) || d.sentiment || ' Examples:' || chr(10)
+         || coalesce(e.examples, '') AS context_block
+FROM dist d
+LEFT JOIN kw k ON d.sentiment = k.sentiment
+LEFT JOIN ex e ON d.sentiment = e.sentiment
+"""
+
+
+@register("rag_context_assemble", oracle=_CTX_ORACLE)
+def rag_context_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = classified(spark, sf_dir)
+    dist = (
+        lab.groupBy("sentiment")
+        .agg(F.count(F.lit(1)).alias("n_reviews"))
+        .withColumn(
+            "pct",
+            F.round(
+                F.col("n_reviews")
+                * 100.0
+                / F.sum("n_reviews").over(Window.partitionBy()),
+                1,
+            ),
+        )
+    )
+    words = lab.select(
+        "sentiment", F.explode(S.tokens(F.col("text"))).alias("word")
+    ).where(~F.col("word").isin(*S.STOPWORDS) & (F.col("word") != ""))
+    counted = words.groupBy("sentiment", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    w_kw = Window.partitionBy("sentiment").orderBy(F.desc("cnt"), F.asc("word"))
+    ordered_join = lambda col, sep: F.array_join(  # noqa: E731
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", col))),
+            lambda x: x[col],
+        ),
+        sep,
+    )
+    kw = (
+        counted.withColumn("rk", F.row_number().over(w_kw))
+        .where(F.col("rk") <= _CTX_TOP_WORDS)
+        .withColumn(
+            "item",
+            F.concat(
+                F.col("word"), F.lit(" ("), F.col("cnt").cast("string"), F.lit(")")
+            ),
+        )
+        .groupBy("sentiment")
+        .agg(ordered_join("item", ", ").alias("keywords"))
+    )
+    w_ex = Window.partitionBy("sentiment").orderBy(
+        F.desc("confidence"), F.asc("doc_id")
+    )
+    ex = (
+        lab.select("sentiment", "confidence", "doc_id", "text")
+        .withColumn("rk", F.row_number().over(w_ex))
+        .where(F.col("rk") <= _CTX_TOP_EXAMPLES)
+        .withColumn("quoted", F.concat(F.lit('- "'), F.col("text"), F.lit('"')))
+        .groupBy("sentiment")
+        .agg(ordered_join("quoted", "\n").alias("examples"))
+    )
+    out = dist.join(kw, "sentiment", "left").join(ex, "sentiment", "left")
+    block = F.concat(
+        F.col("sentiment"),
+        F.lit(": "),
+        F.col("n_reviews").cast("string"),
+        F.lit(" reviews ("),
+        F.col("pct").cast("string"),
+        F.lit("%)\n"),
+        F.col("sentiment"),
+        F.lit(" Keywords: "),
+        F.coalesce(F.col("keywords"), F.lit("")),
+        F.lit("\n"),
+        F.col("sentiment"),
+        F.lit(" Examples:\n"),
+        F.coalesce(F.col("examples"), F.lit("")),
+    )
+    return out.withColumn("context_block", block)

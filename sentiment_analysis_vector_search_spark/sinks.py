@@ -97,16 +97,31 @@ def compact_dir(
     ``target_files`` files. The streaming/incremental sinks above produce
     per-batch files; at 100 TB the read side dies by open-file overhead
     long before by bytes, so periodic compaction is part of the sink
-    contract. Writes to a temp dir then swaps, so readers never see a
-    half-written directory.
+    contract.
+
+    Swap discipline: write to a temp dir, rename the old dir aside, rename
+    the new one in, then delete the old — readers never see a half-written
+    directory, only (briefly, between the two renames) a missing one.
+    LOCAL-FS ONLY: rename-based swaps don't exist on object stores; there
+    you'd compact into a new prefix and flip a table/partition pointer
+    (metastore or table-format commit) instead.
     """
+    import os
     import shutil
     import uuid as _uuid
 
-    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    token = _uuid.uuid4().hex[:8]
+    base = path.rstrip("/")
+    tmp_new = f"{base}__compact_{token}"
+    tmp_old = f"{base}__old_{token}"
     df = spark.read.parquet(path).coalesce(target_files)
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    df.write.mode("overwrite").parquet(tmp_new)
+    os.rename(base, tmp_old)
+    try:
+        os.rename(tmp_new, base)
+    except OSError:
+        os.rename(tmp_old, base)  # roll back so the directory never vanishes
+        raise
+    shutil.rmtree(tmp_old)

@@ -212,7 +212,10 @@ def _user_stats_fn(key, pdf_iter, state):
     for pdf in pdf_iter:
         n += len(pdf)
         for v in pdf["value"]:
-            total += Decimal(float(v)).quantize(q, ROUND_HALF_UP)
+            # repr(), not Decimal(float): shortest-repr decimalization is
+            # what Spark's double→decimal cast (BigDecimal.valueOf) does;
+            # the raw binary expansion differs at the 1e-10 boundary.
+            total += Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
     state.update((n, str(total)))
     import pandas as pd
 

@@ -75,3 +75,34 @@ def test_mm_resize_stub_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "mm_resize_stub", sf_dir)
+
+
+def test_representative_is_argmax_cosine_member(spark, sf_dir):
+    """The chosen representative must be its cluster's nearest-to-centroid
+    member (max cosine; doc_id tiebreak) — checked over the FULL scored
+    assignment, which the registered invariants query can't see."""
+    from sentiment_analysis_vector_search_spark.operators.representatives import (
+        _score_class,
+        representatives_kmeans,
+    )
+    from sentiment_analysis_vector_search_spark.operators.sentiment_ops import (
+        classified,
+    )
+
+    lab = classified(spark, sf_dir).select("doc_id", "text", "sentiment")
+    scored = _score_class(
+        spark, lab.where(F.col("sentiment") == "POSITIVE")
+    )
+    best = {}
+    for r in scored.select("cluster_id", "doc_id", "centroid_cosine").collect():
+        cur = best.get(r["cluster_id"])
+        key = (-r["centroid_cosine"], r["doc_id"])
+        if cur is None or key < cur[0]:
+            best[r["cluster_id"]] = (key, r["doc_id"])
+    reps = {
+        r["cluster_id"]: r["doc_id"]
+        for r in representatives_kmeans(spark, sf_dir)
+        .where(F.col("sentiment") == "POSITIVE")
+        .collect()
+    }
+    assert reps == {cid: doc for cid, (_, doc) in best.items()}
