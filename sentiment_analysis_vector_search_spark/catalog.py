@@ -26,23 +26,50 @@ TABLES = (
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as the scan surfaces it, ts un-normalized.
+
+    The driver's generated events table has shipped with two different
+    parquet timestamp encodings across rounds — TIMESTAMP(NANOS), which
+    vanilla Spark only reads via the nanosAsLong legacy conf (as a bigint),
+    and TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads natively as
+    TIMESTAMP_NTZ. Set the legacy conf defensively (harmless for micros
+    files; runtime-settable, so it works on ANY caller-provided session)
+    and let normalize_event_ts canonicalize whatever comes back.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be removed in future Spark
+        pass
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize events.ts to a session-tz TIMESTAMP column.
+
+    bigint        → nanos since epoch (nanosAsLong read): integer-DIV to
+                    micros, then timestamp_micros (full precision kept).
+    timestamp_ntz → native micros read: cast to TIMESTAMP. The driver and
+                    tests run with session tz UTC, where the cast is
+                    value-preserving; downstream operators need LTZ for
+                    unix_micros()/epoch arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-        # with PARQUET_TYPE_ILLEGAL. nanosAsLong is runtime-settable, so set
-        # it here rather than relying on session-build configs — the loader
-        # must work on ANY caller-provided SparkSession.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # With nanosAsLong, ts surfaces as a nanos-since-epoch long; convert to a
-    # proper microsecond timestamp (integer DIV keeps full precision).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+        return normalize_event_ts(read_events_raw(spark, sf_dir))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -17,6 +17,13 @@ double→decimal TRUNCATES the binary expansion (570959.82 →
 varchar reproduces Spark exactly: double→varchar is shortest-repr,
 varchar→decimal rounds half-away-from-zero at scale (= Java HALF_UP), and
 varchar→double is a correctly-rounded parse.
+
+The bridges say ``varchar(64)`` (not bare ``varchar``) so the same string
+parses on BOTH engines: Spark rejects unsized VARCHAR
+([DATATYPE_MISSING_SIZE]) but accepts varchar(n) and treats it as plain
+string in casts; DuckDB ignores the length. 64 chars covers any
+decimal(30,10) repr. This matters for q_sql_text_api, where one shared SQL
+string is executed by spark.sql() AND the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -39,12 +46,12 @@ def davg(col: Column) -> Column:
 
 def sql_vardec(expr: str) -> str:
     """DuckDB double→DECIMAL(30,10) with Spark's rounding semantics."""
-    return f"cast(cast(({expr}) as varchar) as {DEC})"
+    return f"cast(cast(({expr}) as varchar(64)) as {DEC})"
 
 
 def sql_dec2double(expr: str) -> str:
     """DuckDB decimal→double, correctly rounded like Spark's cast."""
-    return f"cast(cast(({expr}) as varchar) as double)"
+    return f"cast(cast(({expr}) as varchar(64)) as double)"
 
 
 def sql_dsum(expr: str, alias: str) -> str:

@@ -50,15 +50,27 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+# Byte semantics for any content (non-ASCII included): sizes via
+# octet_length, lead byte / byte sums parsed from the hex encoding of the
+# UTF-8 payload. DuckDB's md5(varchar) hashes the string's UTF-8 bytes, so
+# payload_md5 needs no bridge.
 _MM_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id,
        'text-as-bytes' AS modality,
-       length(text) AS n_bytes,
+       n AS n_bytes,
        md5(text) AS payload_md5,
-       cast(ascii(substring(text, 1, 1)) as int) AS lead_byte,
-       cast((SELECT sum(ascii(substring(text, cast(i as int), 1)))
-             FROM unnest(range(1, cast(least(length(text), 64) as bigint) + 1)) AS t(i)) as bigint) AS byte_sum_64
-FROM documents
+       CASE WHEN n = 0 THEN -1
+            ELSE cast(concat('0x', substr(hx, 1, 2)) as int) END AS lead_byte,
+       cast(coalesce(
+         (SELECT sum(cast(concat('0x', substr(hx, cast(2 * (i - 1) + 1 as int), 2)) as int))
+          FROM unnest(range(1, cast(least(n, 64) as bigint) + 1)) AS t(i)),
+         0) as bigint) AS byte_sum_64
+FROM b
 """
 
 
@@ -97,9 +109,11 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for i in range(0, len(b) // _FRAME_BYTES, _FRAME_STRIDE):
                 ids.append(doc_id)
                 idxs.append(i)
-                md5s.append(
-                    hashlib.md5(b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]).hexdigest()
-                )
+                # digest of the lowercase-hex encoding of the frame BYTES —
+                # same convention as mm_resize_stub, so the SQL oracle can
+                # reproduce it for arbitrary (non-UTF-8-aligned) byte slices.
+                frame = b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                md5s.append(hashlib.md5(frame.hex().encode()).hexdigest())
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
@@ -110,9 +124,14 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 _FRAME_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
 SELECT doc_id, cast(fi as bigint) AS frame_idx,
-       md5(substring(text, cast(fi * {_FRAME_BYTES} + 1 as int), {_FRAME_BYTES})) AS frame_md5
-FROM documents, unnest(range(0, length(text) // {_FRAME_BYTES})) AS t(fi)
+       md5(substr(hx, cast(fi * {2 * _FRAME_BYTES} + 1 as int), {2 * _FRAME_BYTES})) AS frame_md5
+FROM b, unnest(range(0, n // {_FRAME_BYTES})) AS t(fi)
 WHERE fi % {_FRAME_STRIDE} = 0
 """
 

@@ -25,6 +25,8 @@ generalize that to corpus-scale near-dup detection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -677,10 +679,27 @@ FROM cc
 """
 
 _CC_MAX_ITERS = 50
+# Iterate-state parallelism: every round shuffles the (tiny relative to the
+# corpus) edge/label relations; under a default-conf session each round
+# would run 200-task stages over kilobytes. Pinned here, restored after the
+# fixpoint — the returned frame is already materialized by then. Size to
+# cluster/key-cardinality via the env knob at real scale.
+_CC_PARTS = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "16")
 
 
 @register("dedup_components", oracle=_CC_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _CC_PARTS)
+    try:
+        comp = _cc_fixpoint(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    w = Window.partitionBy("component")
+    return comp.withColumn("component_size", F.count(F.lit(1)).over(w))
+
+
+def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
     edges = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
@@ -728,5 +747,5 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    w = Window.partitionBy("component")
-    return comp.withColumn("component_size", F.count(F.lit(1)).over(w))
+    edges.unpersist()
+    return comp

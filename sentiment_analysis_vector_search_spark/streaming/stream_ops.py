@@ -21,7 +21,6 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -56,16 +55,26 @@ def _stream_shuffle(spark: SparkSession):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-_EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events source with ts normalized to TIMESTAMP.
+
+    FileStreamSource needs an explicit schema; take it from a batch probe
+    of the same file (footer-only, nothing is scanned) so the stream reads
+    whatever timestamp encoding this round's parquet actually has — the
+    driver has shipped both TIMESTAMP(NANOS) (bigint via nanosAsLong) and
+    TIMESTAMP(MICROS) (timestamp_ntz) — then canonicalize ts exactly like
+    the batch catalog does. A hard-coded schema silently corrupts ts when
+    the encoding changes (micros read as nanos → 1970 timestamps).
+    """
+    from ..catalog import normalize_event_ts, read_events_raw
+
+    raw = read_events_raw(spark, sf_dir)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(src)
 
 _STREAM_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS window_start,
@@ -79,14 +88,7 @@ GROUP BY 1, 2
 
 @register("stream_windowed_counts", oracle=_STREAM_ORACLE)
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = (
-        spark.readStream.schema(_EVENT_SCHEMA)
-        # FileStreamSource needs a directory basePath; select the single
-        # events file from the sf dir via glob filter.
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = _event_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -149,12 +151,7 @@ GROUP BY user_id, session_id
 
 @register("stream_sessionize", oracle=_SESSIONIZE_ORACLE)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = (
-        spark.readStream.schema(_EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = _event_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "30 minutes")
         .groupBy(
@@ -226,12 +223,7 @@ def _user_stats_fn(key, pdf_iter, state):
 
 @register("stream_stateful_user_stats", oracle=_USTATS_ORACLE)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = (
-        spark.readStream.schema(_EVENT_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    src = _event_stream(spark, sf_dir)
     out = src.groupBy("user_id").applyInPandasWithState(
         _user_stats_fn,
         outputStructType="user_id bigint, n_events bigint, total_value double",
@@ -334,10 +326,7 @@ FROM events p JOIN events c
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def src(kind: str, alias: str) -> DataFrame:
         return (
-            spark.readStream.schema(_EVENT_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            _event_stream(spark, sf_dir)
             .where(F.col("event_type") == kind)
             .select(
                 F.col("event_id").alias(f"{alias}_id"),

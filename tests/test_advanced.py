@@ -40,10 +40,54 @@ def test_representatives_invariants(spark, sf_dir):
 def test_representatives_deterministic(spark, sf_dir):
     import __spark_entry__ as entrymod
 
+    from sentiment_analysis_vector_search_spark.operators.representatives import (
+        _REPS_CACHE,
+    )
+
     q = entrymod.queries()["representatives_kmeans"]
     a = sorted(map(tuple, q(spark, sf_dir).collect()))
+    _REPS_CACHE.clear()  # force a full re-fit — the memo must not hide it
     b = sorted(map(tuple, q(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_multimodal_byte_semantics_non_ascii(spark, tmp_path):
+    """The multimodal oracles must agree with the pandas path on BYTE
+    semantics — multi-byte UTF-8, byte-misaligned frame cuts, and empty
+    payloads — not just on the ASCII corpus the driver generates."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from tests.parity import _normalize
+
+    texts = [
+        "héllo wörld ü ß à",
+        "",
+        "emoji 🎉🚀 mixed with ascii tail",
+        "日本語のテキストです、バイト境界テスト。" * 6,  # 3-byte chars across 32B frames
+        "plain ascii filler text " * 12,
+        "mixed ascii é" + "é" * 40,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    for name in ("mm_decode_stub", "mm_frame_sample", "mm_resize_stub"):
+        got = _normalize(entrymod.queries()[name](spark, str(tmp_path)).toPandas())
+        want = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
+        assert list(got.columns) == list(want.columns), name
+        assert got.astype(str).values.tolist() == want.astype(str).values.tolist(), name
+    con.close()
 
 
 def test_decode_image_is_stubbed():
