@@ -16,33 +16,84 @@ import re
 import sys
 import time
 
+# Every suite is represented so regressions anywhere are visible
+# round-over-round; only representatives_kmeans (iterative MLlib) and the
+# three stream ops not listed (same machinery as the two that are) sit out.
 HEADLINE = [
+    # relational
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q_top_customers_window",
+    "q_market_share",
     "q_events_window",
     "q_events_sessions",
+    "q_events_json",
+    # relational_ext
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_dormant_customers",
+    "q_revenue_rollup",
+    "q16_supplier_breadth",
+    "q_running_revenue",
+    "q4_priority_exists",
+    "q17_small_quantity",
+    "q_sql_text_api",
+    "q_revenue_moving_avg",
+    # analytics_ext
+    "q_events_asof_attribution",
+    "q_value_percentiles",
+    "emb_label_centroids",
+    "q_events_funnel",
+    "q_events_retention",
+    "pipeline_curate_stats",
+    "q_events_gapfill",
+    "q_events_anomaly",
+    "q_user_overlap",
+    "q_order_deciles",
+    "q_events_seasonality",
+    "q_nation_segment_pivot",
+    "q_churned_buyers",
+    # sentiment pipeline
     "sent_classify",
+    "sent_distribution",
     "sent_trends",
     "sent_trend_risk",
+    # text analysis
     "tfidf_vectors",
     "top_words",
     "text_quality",
+    "text_lang_id",
+    "doc_top_keywords",
+    # pipeline gates
+    "text_pii_redact",
+    "text_quality_gate",
+    "sample_stratified",
+    "docs_source_profile",
+    # dedup
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # dedup_embedding is not listed standalone: dedup_components
+    # materializes the identical LSH candidate subplan as its input, so its
+    # cost is already measured there once.
+    "dedup_components",
+    # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "rag_retrieve",
-    "q_events_asof_attribution",
-    "q10_returned_items",
-    "q_revenue_rollup",
-    "q17_small_quantity",
-    "pipeline_curate_stats",
-    "dedup_components",
+    # multimodal plumbing
+    "mm_decode_stub",
+    "mm_frame_sample",
+    # streaming (availableNow drain)
+    "stream_windowed_counts",
+    "stream_sessionize",
 ]
 
 

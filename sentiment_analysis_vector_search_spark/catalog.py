@@ -72,6 +72,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread expression-heavy per-row compute across cores.
+
+    Projections run inside the scan stage, so a scan with few input splits
+    (the test parquet is one row group per file → ONE task) serializes all
+    per-row compute onto one core until the first exchange. When per-row
+    work dominates scan cost — signature hashing, per-token loops — a
+    round-robin repartition first is a net win: it moves kilobytes-to-
+    megabytes once to unlock full parallelism.
+
+    Conditional on the scan's actual split count, so it is a NO-OP on real
+    cluster layouts where the file source already yields >= cores splits —
+    there an extra shuffle of the full input would be the bug, not the fix.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(cores // 2, 2):
+        return df
+    return df.repartition(cores)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -30,7 +30,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.hashing import (
     MOD31,
     md5_int31,
@@ -353,11 +353,13 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_HAMMING}
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
     # The signature is per-document, so compute it row-local with array
-    # higher-order functions: zero shuffles (the oracle's tok/tf/sums CTEs
-    # shuffle twice; summing +-1 per token == summing +-tf per distinct word).
-    # The only shuffle left in the whole query is the band-bucket self-join.
+    # higher-order functions: zero data-sized shuffles (the oracle's
+    # tok/tf/sums CTEs shuffle twice; summing +-1 per token == summing
+    # +-tf per distinct word). The signature loop is ~64×tokens closure
+    # evals per doc — fan it out so it doesn't serialize on a single scan
+    # split. The only remaining shuffle is the band-bucket self-join.
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
     toks_sql = r"filter(split(lower(text), '\\s+'), w -> w <> '')"
     sig = (
         docs.select("doc_id", F.expr(toks_sql).alias("toks"))
@@ -494,7 +496,9 @@ def _emb_planes_rel(spark: SparkSession) -> DataFrame:
 
 @register("dedup_embedding", oracle=_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    # 40 plane dots × 64 dims of higher-order-function math per vector:
+    # fan the scan out so signatures compute on every core.
+    emb = fan_out(spark, table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sig = (
@@ -700,7 +704,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    # Materialize the near-dup pairs ONCE before symmetrizing: both union
+    # branches read the same expensive LSH subtree, and Spark does not share
+    # it across branches — without the checkpoint the candidate generation
+    # runs twice.
+    pairs = (
+        dedup_embedding(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).toDF("a", "b")

@@ -127,12 +127,21 @@ def representatives_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = classified(spark, sf_dir).select("doc_id", "text", "sentiment").persist()
     persisted.append(lab)
     try:
-        out = None
         # Per-class clustering mirrors the reference; the loop is over the 3
-        # sentiment classes, never over data.
-        for sent in ("POSITIVE", "NEGATIVE", "NEUTRAL"):
+        # sentiment classes, never over data. Each fit is a chain of small
+        # jobs (IDF pass, k-means|| init, Lloyd's iterations), so the three
+        # classes run from concurrent driver threads — the Spark scheduler
+        # interleaves their jobs and wall-clock is max, not sum, of classes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(sent: str):
             cls = lab.where(F.col("sentiment") == sent)
-            reps = _representatives_for_class(spark, cls, persisted)
+            return _representatives_for_class(spark, cls, persisted)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            results = list(pool.map(one, ("POSITIVE", "NEGATIVE", "NEUTRAL")))
+        out = None
+        for reps in results:
             if reps is not None:
                 out = reps if out is None else out.unionByName(reps)
         # The result is ~3·k rows; materialize it so (a) the conf restore

@@ -125,6 +125,38 @@ def test_asof_window_partitioned_by_user(spark, sf_dir):
             assert "user_id" in line, line
 
 
+def _windowspec_lines(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "windowspecdefinition" in l]
+
+
+def test_order_deciles_distributed_rank(spark, sf_dir):
+    # The ntile replacement must keep the TeraSort shape: a range exchange
+    # on the sort key, broadcast per-partition offsets, and NO
+    # unpartitioned window over data-sized input — the only global windows
+    # allowed are over the per-partition count relation (≤ n_part rows:
+    # they order by _pid or fold sum(c)).
+    df = QUERIES["q_order_deciles"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "rangepartitioning(o_totalprice" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for line in _windowspec_lines(plan):
+        assert "_pid" in line or "sum(c#" in line, line
+
+
+def test_rag_context_windows_bounded_and_joins_broadcast(spark, sf_dir):
+    # Keyword/example top-k windows must partition by sentiment; the only
+    # unpartitioned window allowed is the pct denominator over the 3-row
+    # sentiment distribution (folds sum(n_reviews)). The dist⋈kw⋈ex joins
+    # are tiny-aggregate joins and must be broadcast, not shuffled.
+    from sentiment_analysis_vector_search_spark.plans import count_in_plan
+
+    df = QUERIES["rag_context_assemble"](spark, sf_dir)
+    plan = plan_str(df)
+    for line in _windowspec_lines(plan):
+        assert "sentiment#" in line or "sum(n_reviews#" in line, line
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2, plan
+
+
 def test_ivf_codebook_is_broadcast_not_literal(spark, sf_dir):
     # The codebook must enter the plan as a broadcast relation; 16x64
     # literal arrays inline would blow up Catalyst optimization time.
