@@ -100,7 +100,9 @@ toksets AS (
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, sh) word-trigram shingles."""
-    docs = table(spark, sf_dir, "documents")
+    # tokenize + trigram transform + explode is the expensive scan-stage
+    # projection in both jaccard and minhash: fan it out across cores.
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
     df = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
     ).select(
@@ -688,7 +690,7 @@ _CC_MAX_ITERS = 50
 # would run 200-task stages over kilobytes. Pinned here, restored after the
 # fixpoint — the returned frame is already materialized by then. Size to
 # cluster/key-cardinality via the env knob at real scale.
-_CC_PARTS = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "16")
+_CC_PARTS = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "8")
 
 
 @register("dedup_components", oracle=_CC_ORACLE)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.stable import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
@@ -43,7 +43,12 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # 5 decimal(30,10) sums per row dominate the scan: fan out so the
+    # partial aggregation runs on every core, not inside a lone scan split.
+    # (Catalyst pushes the shipdate filter and column pruning through the
+    # repartition down to the scan — test_q1_filter_and_projection_pushdown
+    # pins that.)
+    li = fan_out(spark, table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))

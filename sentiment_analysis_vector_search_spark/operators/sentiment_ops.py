@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions import sentiment as S
 from ..functions.stable import dsum, sql_dsum
 from ..registry import register
@@ -29,7 +29,9 @@ def classified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: analyze_sentiment_enhanced (Context_analyzer_RoBERTa_fun.py:170).
     """
-    docs = table(spark, sf_dir, "documents")
+    # The lexicon hit-counting regexps are the heavy scan-stage projection
+    # for every downstream sentiment query — fan the scan out first.
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
     pos = S.pos_hits(F.col("text"))
     neg = S.neg_hits(F.col("text"))
     df = docs.withColumns({"pos_hits": pos, "neg_hits": neg})
