@@ -60,6 +60,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif dt == "timestamp_ntz":
+        # The cast reinterprets wall-clock in the session timezone; pin UTC
+        # defensively (caller-provided sessions may not come from
+        # session.get_spark) so the value is preserved on any host.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

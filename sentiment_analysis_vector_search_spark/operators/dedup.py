@@ -718,31 +718,36 @@ def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     ).toDF("a", "b")
-    # Small at test SF but unbounded in general: cache the edge list, it is
-    # re-joined every round (on a cluster: persist + checkpoint lineage).
-    edges = edges.cache()
-    comp = edges.select(F.col("a").alias("id")).distinct().withColumn(
-        "component", F.col("id")
+    # Self-loops fold the "keep own label" branch into the neighbor-min
+    # aggregate: each round is then ONE keyed join + ONE groupBy instead of
+    # the 3-join chain (neighbor join, left-join back, coalesce). Small at
+    # test SF but unbounded in general: cache the edge list, it is re-joined
+    # every round (on a cluster: persist + checkpoint lineage).
+    nodes = edges.select(F.col("a").alias("id")).distinct()
+    edges_sl = edges.union(
+        nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
+    ).cache()
+    # Round 1 folded into initialization: component(id) = min(id, neighbors)
+    # is exactly what the first propagation round would compute from the
+    # identity labeling — one groupBy instead of init + a full round.
+    comp = (
+        edges_sl.groupBy(F.col("b").alias("id"))
+        .agg(F.min("a").alias("component"))
+        .localCheckpoint(eager=True)
     )
-    comp = comp.localCheckpoint(eager=True)
     # Convergence probe: labels only ever decrease under min-propagation, so
-    # sum(component) is strictly decreasing until the fixpoint. Comparing two
-    # scalars replaces a shuffle join per round with one narrow aggregate.
+    # sum(component) is strictly decreasing until the fixpoint. The probe
+    # aggregates the just-checkpointed (materialized, _CC_PARTS-partition)
+    # frame, so it costs one narrow ~ms job per round, never a re-derivation.
     _sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     prev_sum = _sum(comp)
     for _ in range(_CC_MAX_ITERS):
-        neigh = (
-            edges.join(comp, edges.a == comp.id)
-            .groupBy(F.col("b").alias("nid"))
-            .agg(F.min("component").alias("neigh_comp"))
-        )
-        stepped = comp.join(neigh, comp.id == neigh.nid, "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("neigh_comp"), F.col("component"))
-            ).alias("component"),
+        stepped = (
+            edges_sl.join(comp, edges_sl.a == comp.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("component"))
         )
         # pointer jumping (path halving): also adopt the label of the current
         # label's row — rounds become O(log diameter) instead of O(diameter).
@@ -761,5 +766,5 @@ def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges.unpersist()
+    edges_sl.unpersist()
     return comp

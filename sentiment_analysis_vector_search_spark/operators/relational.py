@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..catalog import fan_out, table
+from ..catalog import table
 from ..functions.stable import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
@@ -43,12 +43,11 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 5 decimal(30,10) sums per row dominate the scan: fan out so the
-    # partial aggregation runs on every core, not inside a lone scan split.
-    # (Catalyst pushes the shipdate filter and column pruning through the
-    # repartition down to the scan — test_q1_filter_and_projection_pushdown
-    # pins that.)
-    li = fan_out(spark, table(spark, sf_dir, "lineitem"))
+    # No fan_out here: the groupBy's partial aggregation collapses each scan
+    # split to 6 rows before any exchange, so repartitioning the full fact
+    # table first costs a data-sized shuffle to parallelize work the partial
+    # agg already keeps cheap (measured 1.5x regression at sf0.1 in r3).
+    li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))

@@ -24,14 +24,21 @@ from ..registry import register
 BASE_RATE = 5000.0  # insurance_calculator.py:16
 
 
-def classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def classified(spark: SparkSession, sf_dir: str, fan: bool = False) -> DataFrame:
     """documents + (pos_hits, neg_hits, raw_label, confidence, sentiment).
 
     Parity: analyze_sentiment_enhanced (Context_analyzer_RoBERTa_fun.py:170).
+
+    ``fan=True`` round-robins the scan across cores first — a measured win
+    ONLY when the classified rows are the terminal output (sent_classify:
+    the lexicon regexps dominate and nothing downstream re-shuffles).
+    Aggregating consumers (sent_trends, pipeline_curate_stats, the kmeans
+    fit) must keep the default: their own exchange already redistributes
+    the work, and a second full-corpus shuffle is pure cost.
     """
-    # The lexicon hit-counting regexps are the heavy scan-stage projection
-    # for every downstream sentiment query — fan the scan out first.
-    docs = fan_out(spark, table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    if fan:
+        docs = fan_out(spark, docs)
     pos = S.pos_hits(F.col("text"))
     neg = S.neg_hits(F.col("text"))
     df = docs.withColumns({"pos_hits": pos, "neg_hits": neg})
@@ -55,7 +62,7 @@ FROM labeled
 
 @register("sent_classify", oracle=_CLASSIFY_ORACLE)
 def sent_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return classified(spark, sf_dir).select(
+    return classified(spark, sf_dir, fan=True).select(
         "doc_id", "pos_hits", "neg_hits", "raw_label", "confidence", "sentiment"
     )
 

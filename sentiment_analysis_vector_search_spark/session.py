@@ -28,6 +28,11 @@ def get_spark(app_name: str = "sentiment_analysis_vector_search_spark", shuffle_
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session timezone: epoch arithmetic (unix_micros, window
+        # bounds) and timestamp_ntz→timestamp casts must not depend on the
+        # host OS zone — the DuckDB parity oracle treats parquet timestamps
+        # as UTC wall-clock, and DST-ambiguous local times corrupt silently.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

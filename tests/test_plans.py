@@ -79,12 +79,17 @@ def test_dedup_embedding_no_cartesian(spark, sf_dir):
 
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     # Text scoring stays JVM-side: no Python row UDFs (BatchEvalPython) in
-    # the classify/quality plans.
+    # the classify/quality plans. AQE-wrapped plans (any plan with an
+    # exchange) carry no codegen annotations until executed, so run the
+    # frame first and assert on the FINAL plan.
     for name in ("sent_classify", "text_quality", "text_token_count"):
         df = QUERIES[name](spark, sf_dir)
-        # simple mode prefixes codegen stages with "*(n)"
-        assert "*(" in plan_str(df, mode="simple"), name
         assert "BatchEvalPython" not in plan_str(df), f"{name} fell back to Python rows"
+        # collect() executes THIS frame's queryExecution (count() would plan
+        # a new one), finalizing the adaptive plan so codegen ids appear.
+        df.collect()
+        final = plan_str(df, mode="simple")
+        assert "*(" in final, f"{name} final plan has no whole-stage codegen:\n{final}"
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
