@@ -576,6 +576,85 @@ def summarize_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# recommendation_prompts — the reference's recommendation-prompt assembly
+# (recommendation_fun.py:39 create_recommendation_prompt): combine the
+# positive and negative summaries under an instruction prompt, with the
+# same 6000-char truncation query_groq_api applies (recommendation_fun.py:66).
+# The per-class summaries are LLM outputs in the reference (a stubbed
+# plug-point here), so the deterministic stand-ins are the summarize_prompts
+# rows the LLM would consume — swap in real responses without touching the
+# assembly. The instruction itself is caller config in the reference
+# (main_api.py:87 DEFAULT_PROMPT, config dir not in the snapshot); pinned
+# to a repo constant so the output is reproducible.
+# Scale shape: a single-row projection over a 3-row aggregate — free.
+# ---------------------------------------------------------------------------
+
+_REC_INSTRUCTION = (
+    "Based on the following customer feedback summaries, provide specific, "
+    "actionable recommendations to improve the product."
+)
+_REC_MAX_CHARS = 6000  # recommendation_fun.py:66 max_prompt_length
+_REC_TAIL = "Please provide 3 actionable recommendations:"
+
+_REC_ORACLE = f"""
+WITH pivoted AS (
+  SELECT max(CASE WHEN sentiment = 'POSITIVE' THEN prompt END) AS positive_summary,
+         max(CASE WHEN sentiment = 'NEGATIVE' THEN prompt END) AS negative_summary
+  FROM ({_SUMMARIZE_ORACLE})
+), built AS (
+  SELECT '{_REC_INSTRUCTION}'
+         || chr(10) || chr(10) || 'POSITIVE FEEDBACK SUMMARY:' || chr(10)
+         || coalesce(positive_summary, '')
+         || chr(10) || chr(10) || 'NEGATIVE FEEDBACK SUMMARY:' || chr(10)
+         || coalesce(negative_summary, '')
+         || chr(10) || chr(10) || '{_REC_TAIL}' AS full_prompt
+  FROM pivoted
+)
+SELECT CASE WHEN length(full_prompt) > {_REC_MAX_CHARS}
+            THEN substring(full_prompt, 1, {_REC_MAX_CHARS})
+                 || chr(10) || chr(10) || '{_REC_TAIL}'
+            ELSE full_prompt END AS prompt,
+       length(full_prompt) AS full_len,
+       length(full_prompt) > {_REC_MAX_CHARS} AS truncated
+FROM built
+"""
+
+
+@register("recommendation_prompts", oracle=_REC_ORACLE)
+def recommendation_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = summarize_prompts(spark, sf_dir)
+    pivoted = s.agg(
+        F.max(F.when(F.col("sentiment") == "POSITIVE", F.col("prompt"))).alias(
+            "positive_summary"
+        ),
+        F.max(F.when(F.col("sentiment") == "NEGATIVE", F.col("prompt"))).alias(
+            "negative_summary"
+        ),
+    )
+    full_prompt = F.concat(
+        F.lit(_REC_INSTRUCTION),
+        F.lit("\n\nPOSITIVE FEEDBACK SUMMARY:\n"),
+        F.coalesce(F.col("positive_summary"), F.lit("")),
+        F.lit("\n\nNEGATIVE FEEDBACK SUMMARY:\n"),
+        F.coalesce(F.col("negative_summary"), F.lit("")),
+        F.lit(f"\n\n{_REC_TAIL}"),
+    )
+    return pivoted.withColumn("full_prompt", full_prompt).select(
+        F.when(
+            F.length("full_prompt") > _REC_MAX_CHARS,
+            F.concat(
+                F.substring("full_prompt", 1, _REC_MAX_CHARS),
+                F.lit(f"\n\n{_REC_TAIL}"),
+            ),
+        )
+        .otherwise(F.col("full_prompt"))
+        .alias("prompt"),
+        F.length("full_prompt").alias("full_len"),
+        (F.length("full_prompt") > _REC_MAX_CHARS).alias("truncated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sent_classify_arrow — the transformer-inference plug-point, exercised.
 # The contract: an Arrow-batched mapInPandas stage takes (doc_id, text)
 # and emits (pos_hits, neg_hits, raw_label, confidence, sentiment). Here

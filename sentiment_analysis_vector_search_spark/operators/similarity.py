@@ -357,7 +357,10 @@ _rag_words_sql = ", ".join(f"'{w}'" for w in _RAG_QUERY_WORDS)
 
 
 def _rag_oracle() -> str:
-    from .text_ops import SQL_TFIDF_CTE
+    # functions.tfidf, NOT operators.text_ops: importing the operator module
+    # here would register its nine queries mid-similarity and scramble the
+    # driver's grading-window rotation (registry.load_all_modules).
+    from ..functions.tfidf import SQL_TFIDF_CTE
 
     return f"""
 WITH {SQL_TFIDF_CTE}
@@ -395,17 +398,21 @@ def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ann_bruteforce_topk_arrow — the same exact top-k through the Arrow
-# mapInPandas fast path: the tiny query set is collected once and broadcast
-# to executors as a numpy matrix, so each fact vector crosses the Arrow
-# boundary exactly once (the crossJoin shape ships a duplicate query array
-# per candidate pair — 2x64 doubles/pair vs 64 doubles/vector here). Each
-# batch scores with one (n x d)·(d x q) einsum; only scalar score rows come
-# back. einsum without `optimize` sums j left-to-right, matching the JVM
-# fold and the DuckDB list_dot_product order, so 6dp rounding stays
+# ann_bruteforce_topk_arrow — the same exact top-k through the Arrow fast
+# path: the tiny query set is collected once and broadcast to executors as
+# a numpy matrix, so each fact vector crosses the Arrow boundary exactly
+# once (the crossJoin shape ships a duplicate query array per candidate
+# pair — 2x64 doubles/pair vs 64 doubles/vector here). mapInArrow, not
+# mapInPandas: pandas materializes the list<double> column as one ndarray
+# OBJECT per row (measured 8x slower than the JVM path in r3), while the
+# Arrow ListArray's values buffer reshapes to the (n x d) matrix zero-copy.
+# Each batch scores with one (n x d)·(d x q) einsum; only scalar score rows
+# come back. einsum without `optimize` sums j left-to-right, matching the
+# JVM fold and the DuckDB list_dot_product order, so 6dp rounding stays
 # hash-identical. Same oracle as the JVM path. At 100 TB this is the wide-
 # embedding pattern: query matrix resident per executor, scan distributed,
-# top-k per-query-partitioned.
+# top-k per-query-partitioned — and the shape a real model forward pass
+# plugs into (swap the einsum for the model call).
 # ---------------------------------------------------------------------------
 
 
@@ -423,25 +430,35 @@ def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq = spark.sparkContext.broadcast((qids, qmat, qnrm))
 
     def score(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         b_qids, b_qmat, b_qnrm = bq.value
         nq = len(b_qids)
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vmat = np.stack(pdf["v"].values)
-            sims = np.einsum("ij,kj->ik", vmat, b_qmat) / np.outer(
-                pdf["nrm"].values, b_qnrm
-            )
-            vid = np.repeat(pdf["vec_id"].values, nq)
-            qid = np.tile(b_qids, len(pdf))
-            keep = vid != qid
-            yield pd.DataFrame(
-                {"query_id": qid[keep], "vec_id": vid[keep], "cosine": sims.ravel()[keep]}
+            cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            # ListArray.flatten() honors offsets/slices; the generated
+            # embeddings are non-null fixed-width lists, so the flat values
+            # reshape to the batch matrix without copying.
+            vmat = cols["v"].flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            nrm = cols["nrm"].to_numpy(zero_copy_only=False)
+            vid = cols["vec_id"].to_numpy(zero_copy_only=False)
+            sims = np.einsum("ij,kj->ik", vmat, b_qmat) / np.outer(nrm, b_qnrm)
+            vid_r = np.repeat(vid, nq)
+            qid_t = np.tile(b_qids, n)
+            keep = vid_r != qid_t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid_t[keep], pa.int64()),
+                    pa.array(vid_r[keep], pa.int64()),
+                    pa.array(sims.ravel()[keep], pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cosine"],
             )
 
-    scored = vecs.mapInPandas(score, "query_id bigint, vec_id bigint, cosine double")
+    scored = vecs.mapInArrow(score, "query_id bigint, vec_id bigint, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))

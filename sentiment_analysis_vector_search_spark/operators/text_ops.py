@@ -205,39 +205,13 @@ def top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (broadcastable at scale); tf is a (doc, word) count — no cross join.
 # ---------------------------------------------------------------------------
 
-_MIN_DF = 4
-_MAX_DF = 0.8
-_MAX_FEATURES = 1000
-
-SQL_TFIDF_CTE = f"""
-words AS (
-  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents
-), tf AS (
-  SELECT doc_id, word, count(*) AS tf FROM words
-  WHERE word NOT IN ({_STOP_SQL}) AND word <> ''
-  GROUP BY doc_id, word
-), n_docs AS (
-  SELECT count(*) AS n FROM documents
-), vocab AS (
-  SELECT word, count(*) AS df, sum(tf) AS total_tf
-  FROM tf GROUP BY word
-), kept AS (
-  SELECT word, df FROM (
-    SELECT *, row_number() OVER (ORDER BY total_tf DESC, word) AS feat_rank
-    FROM vocab, n_docs
-    WHERE df >= {_MIN_DF} AND df <= {_MAX_DF} * n
-  ) WHERE feat_rank <= {_MAX_FEATURES}
-), weighted AS (
-  SELECT tf.doc_id, tf.word, tf.tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
-  FROM tf JOIN kept USING (word), n_docs
-), norms AS (
-  SELECT doc_id, sqrt(cast(sum(cast(w * w as decimal(30,10))) as double)) AS norm
-  FROM weighted GROUP BY doc_id
-), tfidf_rows AS (
-  SELECT w.doc_id, w.word, round(w.w / n.norm, 6) AS tfidf
-  FROM weighted w JOIN norms n USING (doc_id)
-)
-"""
+# Constants + oracle CTE live in functions/tfidf.py (registration-free) so
+# other modules can share them without importing this module's registrations;
+# re-exported here for the Spark-side implementation and existing callers.
+from ..functions.tfidf import MAX_DF as _MAX_DF
+from ..functions.tfidf import MAX_FEATURES as _MAX_FEATURES
+from ..functions.tfidf import MIN_DF as _MIN_DF
+from ..functions.tfidf import SQL_TFIDF_CTE
 
 _TFIDF_ORACLE = f"""
 WITH {SQL_TFIDF_CTE}

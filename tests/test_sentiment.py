@@ -69,3 +69,25 @@ def test_sent_classify_arrow_matches_jvm_oracle(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "sent_classify_arrow", sf_dir)
+
+
+def test_recommendation_prompts_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "recommendation_prompts", sf_dir)
+
+
+def test_recommendation_prompts_shape(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["recommendation_prompts"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # create_recommendation_prompt layout (recommendation_fun.py:39) with
+    # query_groq_api's 6000-char cap (recommendation_fun.py:66)
+    assert "POSITIVE FEEDBACK SUMMARY:" in r.prompt
+    assert "NEGATIVE FEEDBACK SUMMARY:" in r.prompt
+    assert r.prompt.endswith("Please provide 3 actionable recommendations:")
+    assert r.truncated == (r.full_len > 6000)
+    if r.truncated:
+        assert len(r.prompt) <= 6000 + len("\n\nPlease provide 3 actionable recommendations:")
