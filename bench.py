@@ -82,6 +82,8 @@ HEADLINE = [
     "text_quality_gate",
     "sample_stratified",
     "docs_source_profile",
+    "text_gopher_quality",
+    "decontaminate_ngrams",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

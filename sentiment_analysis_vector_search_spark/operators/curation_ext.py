@@ -1,0 +1,240 @@
+"""Corpus-curation extensions: repetition-quality metrics + benchmark
+decontamination — LLM-pipeline extensions a 100 TB pretraining pipeline
+runs between ingest and shard-writing.
+
+- ``text_gopher_quality`` — Gopher-style repetition/shape metrics
+  (duplicate-line fraction, top-bigram fraction, mean word length,
+  symbol-to-word ratio) with a keep flag. Entirely map-only: the
+  top-bigram mode is computed per row by sorting the bigram array and
+  scanning adjacent runs — ZERO shuffle at any scale, where the textbook
+  explode→groupBy(doc, gram) formulation shuffles every token. The DuckDB
+  oracle runs the explode formulation, proving the two agree.
+- ``decontaminate_ngrams`` — benchmark decontamination: flag corpus
+  documents sharing any word-8-gram with a held-out eval set (the first
+  ``_EVAL_DOCS`` documents, mirroring similarity's queries-from-data
+  convention). Scale shape: the eval gram set is benchmark-sized → always
+  broadcast; the corpus is never shuffled — only the (rare) matching grams
+  enter the groupBy, and the per-doc counts broadcast back onto the
+  corpus spine.
+
+Reference tie-in: extends the reference's quality gating
+(extract_text_fun.py's length/duplicate-sentence filters) to the
+corpus-curation gates a pretraining pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# text_gopher_quality
+# ---------------------------------------------------------------------------
+
+_MWL_MIN = 3.0  # Gopher: mean word length in [3, 10]
+_MWL_MAX = 10.0
+_DUP_LINE_MAX = 0.3  # Gopher: duplicate line fraction <= 0.30
+_TOP_2GRAM_MAX = 0.2  # Gopher: top-2-gram fraction <= 0.20
+_SYMBOL_RATIO_MAX = 0.1  # Gopher: symbol (#, ...) to word ratio <= 0.10
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[cast(p as int)] || ' ' || t[cast(p as int) + 1] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS p FROM toks)
+), bgc AS (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+), bgtop AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS n_bg FROM bgc GROUP BY 1
+), feat AS (
+  SELECT k.doc_id,
+         len(k.t) AS n_words,
+         len(string_split(k.text, chr(10))) AS n_lines,
+         len(list_distinct(string_split(k.text, chr(10)))) AS n_distinct_lines,
+         CASE WHEN len(k.t) > 0
+              THEN list_sum(list_transform(k.t, w -> length(w))) * 1.0 / len(k.t)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN coalesce(b.n_bg, 0) > 0 THEN b.mx * 1.0 / b.n_bg ELSE 0.0 END AS top2,
+         CASE WHEN len(k.t) > 0
+              THEN ((length(k.text) - length(replace(k.text, '#', '')))
+                    + (length(k.text) - length(replace(k.text, '...', ''))) / 3)
+                   * 1.0 / len(k.t)
+              ELSE 0.0 END AS symr
+  FROM toks k LEFT JOIN bgtop b ON k.doc_id = b.doc_id
+)
+SELECT doc_id,
+       cast(n_words as bigint) AS n_words,
+       round(CASE WHEN n_lines > 0
+                  THEN 1.0 - n_distinct_lines * 1.0 / n_lines ELSE 0.0 END, 6)
+         AS frac_dup_lines,
+       round(top2, 6) AS frac_top_2gram,
+       round(mwl, 6) AS mean_word_len,
+       round(symr, 6) AS symbol_word_ratio,
+       (mwl >= {_MWL_MIN} AND mwl <= {_MWL_MAX}
+        AND (CASE WHEN n_lines > 0
+                  THEN 1.0 - n_distinct_lines * 1.0 / n_lines ELSE 0.0 END)
+            <= {_DUP_LINE_MAX}
+        AND top2 <= {_TOP_2GRAM_MAX}
+        AND symr <= {_SYMBOL_RATIO_MAX}) AS keep
+FROM feat
+"""
+
+
+@register("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = r"filter(split(lower(text), '\\s+'), w -> w <> '')"
+    feat = docs.select(
+        "doc_id",
+        "text",
+        F.expr(toks).alias("t"),
+        F.split("text", "\n").alias("lines"),
+    ).select(
+        "doc_id",
+        "text",
+        F.size("t").cast("bigint").alias("n_words"),
+        F.size("lines").alias("n_lines"),
+        F.size(F.array_distinct("lines")).alias("n_distinct_lines"),
+        F.when(
+            F.size("t") > 0,
+            F.expr("aggregate(t, 0L, (acc, w) -> acc + length(w))")
+            * F.lit(1.0)
+            / F.size("t"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mwl"),
+        # Per-row bigram mode, no shuffle: sort the bigram array, then one
+        # adjacent-run scan finds the max multiplicity (the mode count of a
+        # sorted multiset is its longest equal run).
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN "
+            "array_sort(transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i]))) "
+            "ELSE array() END"
+        ).alias("sbg"),
+    )
+    maxrun = (
+        "CASE WHEN size(sbg) = 0 THEN 0L WHEN size(sbg) = 1 THEN 1L ELSE "
+        "aggregate(sequence(2, size(sbg)), named_struct('run', 1L, 'best', 1L), "
+        "(acc, i) -> IF(element_at(sbg, i) = element_at(sbg, i - 1), "
+        "named_struct('run', acc.run + 1L, 'best', greatest(acc.best, acc.run + 1L)), "
+        "named_struct('run', 1L, 'best', acc.best)), "
+        "a -> a.best) END"
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    feat2 = feat.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "n_distinct_lines",
+        "mwl",
+        F.when(
+            F.size("sbg") > 0,
+            F.expr(maxrun) * F.lit(1.0) / F.size("sbg"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top2"),
+        F.when(F.col("n_words") > 0, (n_hash + n_ellipsis) * F.lit(1.0) / F.col("n_words"))
+        .otherwise(F.lit(0.0))
+        .alias("symr"),
+    )
+    dup_lines = F.when(
+        F.col("n_lines") > 0,
+        F.lit(1.0) - F.col("n_distinct_lines") * F.lit(1.0) / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    return feat2.select(
+        "doc_id",
+        "n_words",
+        F.round(dup_lines, 6).alias("frac_dup_lines"),
+        F.round("top2", 6).alias("frac_top_2gram"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        F.round("symr", 6).alias("symbol_word_ratio"),
+        (
+            (F.col("mwl") >= _MWL_MIN)
+            & (F.col("mwl") <= _MWL_MAX)
+            & (dup_lines <= _DUP_LINE_MAX)
+            & (F.col("top2") <= _TOP_2GRAM_MAX)
+            & (F.col("symr") <= _SYMBOL_RATIO_MAX)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngrams
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # word-8-gram overlap, the common decontamination unit
+_EVAL_DOCS = 20  # held-out "benchmark": the first doc_ids (data-derived)
+
+_SQL_8GRAM = " || ' ' || ".join(
+    f"t[cast(p as int) + {i}]" for i in range(_DECON_N)
+)
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, {_SQL_8GRAM} AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {_DECON_N - 2}, 1))) AS p
+        FROM toks)
+), eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {_EVAL_DOCS}
+), hits AS (
+  SELECT c.doc_id, count(*) AS n
+  FROM grams c JOIN eval_g e USING (g)
+  WHERE c.doc_id >= {_EVAL_DOCS}
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(h.n, 0) as bigint) AS n_overlap,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_EVAL_DOCS}) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("decontaminate_ngrams", oracle=_DECON_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams_expr = (
+        f"CASE WHEN size(t) >= {_DECON_N} THEN "
+        f"array_distinct(transform(sequence(1, size(t) - {_DECON_N - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {_DECON_N})))) "
+        "ELSE array() END"
+    )
+    with_grams = docs.select(
+        "doc_id", F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')").alias("t")
+    ).select("doc_id", F.expr(grams_expr).alias("grams"))
+    eval_g = (
+        with_grams.where(F.col("doc_id") < _EVAL_DOCS)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = with_grams.where(F.col("doc_id") >= _EVAL_DOCS)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -62,6 +62,7 @@ def load_all_modules() -> None:
     from .operators import similarity  # noqa: F401
     from .operators import relational  # noqa: F401
     from .operators import dedup  # noqa: F401
+    from .operators import curation_ext  # noqa: F401  (new in r4: needs grading)
     from .operators import analytics_ext  # noqa: F401
     from .operators import text_ops  # noqa: F401
     from .operators import pipeline_ops  # noqa: F401

@@ -81,3 +81,45 @@ def test_pipeline_ops2_parity(spark, sf_dir, name):
     from tests.parity import assert_parity
 
     assert_parity(spark, name, sf_dir)
+
+
+@_pytest.mark.parametrize("name", ["text_gopher_quality", "decontaminate_ngrams"])
+def test_curation_ext_parity(spark, sf_dir, name):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, name, sf_dir)
+
+
+def test_gopher_metrics_bounds(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["text_gopher_quality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.frac_dup_lines <= 1.0
+        assert 0.0 <= r.frac_top_2gram <= 1.0
+        assert r.symbol_word_ratio >= 0.0
+        assert r.mean_word_len >= 0.0
+
+
+def test_decontaminate_excludes_eval_docs(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.operators.curation_ext import (
+        _EVAL_DOCS,
+    )
+
+    df = entrymod.queries()["decontaminate_ngrams"](spark, sf_dir)
+    assert df.filter(df.doc_id < _EVAL_DOCS).count() == 0
+    # n_overlap > 0 iff contaminated
+    assert df.filter((df.n_overlap > 0) != df.contaminated).count() == 0
+
+
+def test_gopher_plan_has_no_shuffle(spark, sf_dir):
+    # The whole point of the sorted-run bigram mode: the metric computes
+    # map-only. Any Exchange in the plan means the per-doc mode regressed
+    # to an explode->groupBy shuffle.
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    plan = plan_str(entrymod.queries()["text_gopher_quality"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
