@@ -21,6 +21,8 @@ SHOW = [
     ("ann_ivf_trained_topk", "in-engine trained codebook; keyed assignment windows"),
     ("q_nation_segment_pivot", "single-pass pivot with enumerated categories"),
     ("pipeline_curate_stats", "classify→quality→dedup→stats fused in one plan"),
+    ("text_gopher_quality", "map-only repetition metrics; zero Exchange at any scale"),
+    ("decontaminate_ngrams", "broadcast eval-gram join; corpus spine never shuffled"),
 ]
 
 

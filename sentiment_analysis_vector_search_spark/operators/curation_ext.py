@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -207,7 +207,10 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 
 @register("decontaminate_ngrams", oracle=_DECON_ORACLE)
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # ~n_words array slices + concats per doc is the expensive scan-stage
+    # projection: fan the scan out so gram generation isn't serialized on a
+    # single test-layout split (no-op on real multi-split layouts).
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
     grams_expr = (
         f"CASE WHEN size(t) >= {_DECON_N} THEN "
         f"array_distinct(transform(sequence(1, size(t) - {_DECON_N - 1}), "
@@ -217,14 +220,25 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_grams = docs.select(
         "doc_id", F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')").alias("t")
     ).select("doc_id", F.expr(grams_expr).alias("grams"))
+
+    # explode_OUTER + null-filter, not plain explode: for a non-outer
+    # Generate, InferFiltersFromGenerate pushes a `size(grams) > 0` filter
+    # below the projection, re-evaluating the whole gram expression a second
+    # time per row (measured 15x slowdown). Outer generate skips the inferred
+    # filter; the post-generate null check is on the output attribute only.
+    def gram_rows(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.explode_outer("grams").alias("g")).where(
+            F.col("g").isNotNull()
+        )
+
     eval_g = (
-        with_grams.where(F.col("doc_id") < _EVAL_DOCS)
-        .select(F.explode("grams").alias("g"))
+        gram_rows(with_grams.where(F.col("doc_id") < _EVAL_DOCS))
+        .select("g")
         .distinct()
     )
     corpus = with_grams.where(F.col("doc_id") >= _EVAL_DOCS)
     hits = (
-        corpus.select("doc_id", F.explode("grams").alias("g"))
+        gram_rows(corpus)
         .join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
