@@ -84,6 +84,7 @@ HEADLINE = [
     "docs_source_profile",
     "text_gopher_quality",
     "decontaminate_ngrams",
+    "domain_mix_plan",
     # dedup
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -24,10 +24,11 @@ corpus-curation gates a pretraining pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
+from ..functions.hashing import md5_int31, sql_md5_int31
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -251,4 +252,83 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
             (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_plan — per-source sampling rates toward a target domain mix.
+# The pretraining-mix step: given target weights per source (here a
+# deterministic md5-derived weight standing in for a tuned mix config;
+# swap in real weights without touching the math), compute each source's
+# current share and the largest uniform scale-up of the target mix that
+# requires NO upsampling (every sampling rate <= 1) — the standard
+# "down-sample overrepresented domains, never repeat data" policy.
+# Scale shape: ONE map-side-combinable groupBy to per-source counts
+# (|sources| rows), then windows over that tiny aggregate — the corpus
+# itself is touched exactly once regardless of size.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = f"""
+WITH agg AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT *, 1 + ({sql_md5_int31('source')}) % 10 AS w FROM agg
+), shares AS (
+  SELECT source, n_docs, n_chars,
+         n_docs * 1.0 / sum(n_docs) OVER () AS current_share,
+         w * 1.0 / sum(w) OVER () AS target_share
+  FROM weighted
+), scaled AS (
+  SELECT *, min(current_share / target_share) OVER () AS c FROM shares
+)
+SELECT source,
+       cast(n_docs as bigint) AS n_docs,
+       cast(n_chars as bigint) AS n_chars,
+       round(current_share, 6) AS current_share,
+       round(target_share, 6) AS target_share,
+       round(least(1.0, c * target_share / current_share), 6) AS sampling_rate,
+       cast(floor(n_docs * round(least(1.0, c * target_share / current_share), 6))
+            as bigint) AS expected_docs
+FROM scaled
+"""
+
+
+@register("domain_mix_plan", oracle=_MIX_ORACLE)
+def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    w_all = Window.partitionBy()  # over the |sources|-row aggregate only
+    weighted = agg.withColumn(
+        "w", F.lit(1) + md5_int31(F.col("source")) % 10
+    )
+    shares = weighted.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w_all)).alias(
+            "current_share"
+        ),
+        (F.col("w") * F.lit(1.0) / F.sum("w").over(w_all)).alias("target_share"),
+    )
+    scaled = shares.withColumn(
+        "c", F.min(F.col("current_share") / F.col("target_share")).over(w_all)
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0), F.col("c") * F.col("target_share") / F.col("current_share")
+        ),
+        6,
+    )
+    return scaled.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("current_share", 6).alias("current_share"),
+        F.round("target_share", 6).alias("target_share"),
+        rate.alias("sampling_rate"),
+        F.floor(F.col("n_docs") * rate).cast("bigint").alias("expected_docs"),
     )

@@ -50,10 +50,10 @@ def load_all_modules() -> None:
     latest grading predates the change), sentiment_ops (fan-out scope +
     new recommendation_prompts), representatives (layout-invariant fit),
     similarity (Arrow scorer rewrite), relational (q1 fan-out removal),
-    dedup (components fixpoint), analytics_ext head (pipeline_curate_stats
-    consumes classified()). Out: text_ops, pipeline_ops (classified
-    consumers but value-identical, r2/r3 green), relational_ext (r3),
-    grouped_ml (r3), sources (r2).
+    dedup (components fixpoint), curation_ext (all new in r4), and the
+    analytics_ext head. Out: analytics_ext tail + text_ops + pipeline_ops
+    (classified consumers but value-identical, r2/r3 green),
+    relational_ext (r3), grouped_ml (r3), sources (r2).
     """
     from .streaming import stream_ops  # noqa: F401
     from . import multimodal  # noqa: F401

@@ -123,3 +123,24 @@ def test_gopher_plan_has_no_shuffle(spark, sf_dir):
 
     plan = plan_str(entrymod.queries()["text_gopher_quality"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_domain_mix_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "domain_mix_plan", sf_dir)
+
+
+def test_domain_mix_no_upsampling(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["domain_mix_plan"](spark, sf_dir).collect()
+    assert rows
+    # the no-upsampling policy: every rate in (0, 1], at least one source
+    # keeps all its docs (the binding constraint), shares each sum to ~1
+    assert all(0.0 < r.sampling_rate <= 1.0 for r in rows)
+    assert any(r.sampling_rate == 1.0 for r in rows)
+    assert abs(sum(r.current_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.expected_docs <= r.n_docs
