@@ -369,11 +369,11 @@ WITH daily AS (
   GROUP BY c_mktsegment, date_trunc('day', o_orderdate)
 )
 SELECT c_mktsegment, day, day_revenue, n_orders,
-       round({sql_dec2double(
+       {sql_dec2double(
            f"sum({sql_vardec('day_revenue')}) OVER ("
            " PARTITION BY c_mktsegment ORDER BY day"
            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-       )}, 6) AS cum_revenue
+       )} AS cum_revenue
 FROM daily
 """
 
@@ -399,12 +399,15 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-rounded doubles diverges from the oracle on HALF_UP boundary digits
     # (segment-tree accumulation order differs between engines). The oracle
     # mirrors Spark's cast semantics via the varchar bridge (stable.py).
+    # NO round() after the double cast: the exact decimal→double cast is
+    # already identical on both engines, while round(d, 6) at cumulative
+    # magnitudes (~4e9 at sf0.1 → 4e15 six-dp steps, at the 2^53 edge)
+    # lands Spark's BigDecimal rounding and DuckDB's scaled-multiply
+    # rounding on ADJACENT doubles — a hash mismatch that only appears
+    # at scale.
     return daily.withColumn(
         "cum_revenue",
-        F.round(
-            F.sum(F.col("day_revenue").cast("decimal(30,10)")).over(w).cast("double"),
-            6,
-        ),
+        F.sum(F.col("day_revenue").cast("decimal(30,10)")).over(w).cast("double"),
     )
 
 
@@ -535,7 +538,7 @@ WITH daily AS (
   GROUP BY 1, 2
 )
 SELECT c_mktsegment, day, day_revenue,
-       round(cast(sum(cast(day_revenue as decimal(30,10))) OVER w as double)
+       round({sql_dec2double(f"sum({sql_vardec('day_revenue')}) OVER w")}
              / count(*) OVER w, 6) AS ma7,
        count(*) OVER w AS n_days_in_window
 FROM daily
