@@ -169,3 +169,17 @@ def test_ivf_codebook_is_broadcast_not_literal(spark, sf_dir):
     assert count_in_plan(df, "BroadcastNestedLoopJoin") + count_in_plan(
         df, "BroadcastExchange"
     ) >= 1, plan_str(df)
+
+
+def test_decontaminate_broadcast_and_no_corpus_shuffle(spark, sf_dir):
+    # The eval gram set must enter as a broadcast; the only Exchanges
+    # allowed are the conditional scan fan-out (round-robin) and the
+    # groupBy over the (rare) matching grams — never a corpus-wide hash
+    # shuffle of the full gram explosion... which would show as an
+    # Exchange hashpartitioning on g.
+    df = QUERIES["decontaminate_ngrams"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastExchange" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "g#" not in line.split("hashpartitioning", 1)[1], line
