@@ -489,57 +489,67 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_EMB_T}
 """
 
 
-def _emb_planes_rel(spark: SparkSession) -> DataFrame:
-    """Plane matrix as a one-row broadcast relation (literal Column trees
-    of this size choke Catalyst - see ann_ivf_topk's codebook note)."""
-    row = [([[float(c) for c in p] for p in _EMB_PLANES],)]
-    return spark.createDataFrame(row, "pmat array<array<double>>")
-
-
 @register("dedup_embedding", oracle=_EMB_ORACLE)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 40 plane dots × 64 dims of higher-order-function math per vector:
-    # fan the scan out so signatures compute on every core.
+    # Signatures via an Arrow batch stage, not per-row higher-order
+    # functions: 40 plane dots x 64 dims of interpreted lambda math took
+    # 3.1s for 2,000 vectors (~600x the arithmetic cost); one einsum per
+    # Arrow batch does the identical algebra vectorized. Exact-parity
+    # notes: einsum without `optimize` sums j left-to-right — the same
+    # fold order as the SQL aggregate and the oracle's list_dot_product —
+    # and the sign/bucket math is integer-exact, so the candidate set and
+    # the (JVM-computed, unchanged) verify cosines hash-match the oracle.
+    # At scale this is the same shape as ann_bruteforce_topk_arrow: the
+    # plane matrix is process-resident per executor, the scan distributes.
+    import numpy as np
+
+    pmat = np.array([[float(c) for c in p] for p in _EMB_PLANES], dtype=np.float64)
+    band_weights = np.array(
+        [1 << (_EMB_BAND_BITS - 1 - r) for r in range(_EMB_BAND_BITS)],
+        dtype=np.int64,
+    )
+    bp = spark.sparkContext.broadcast((pmat, band_weights))
+
     emb = fan_out(spark, table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = (
-        emb.crossJoin(F.broadcast(_emb_planes_rel(spark)))
-        .withColumn(
-            "nrm",
-            F.sqrt(
-                F.expr(
-                    "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-                )
-            ),
-        )
-        .withColumn(
-            "bits",
-            F.expr(
-                "transform(pmat, p -> CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)"
-            ),
-        )
-        .drop("pmat")
+
+    def signatures(batches):
+        import pyarrow as pa
+
+        b_pmat, b_weights = bp.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            vec_id = batch.column(names.index("vec_id"))
+            v = batch.column(names.index("v"))
+            vmat = v.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
+            bits = (np.einsum("ij,kj->ik", vmat, b_pmat) > 0).astype(np.int64)
+            buckets = bits.reshape(n, _EMB_BANDS, _EMB_BAND_BITS) @ b_weights
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    v,
+                    pa.array(nrm, pa.float64()),
+                    pa.array(buckets.tolist(), pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "v", "nrm", "buckets"],
+            )
+
+    sig = emb.mapInArrow(
+        signatures, "vec_id bigint, v array<double>, nrm double, buckets array<int>"
     )
+    # No explicit repartition here (unlike dedup_simhash): the band
+    # relation is small enough that AQE broadcasts one join side, which
+    # beats forcing a shuffle for exchange reuse (measured 2.0s vs 3.2s).
     bands = sig.select(
         "vec_id",
         "v",
         "nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.expr(
-                            f"aggregate(slice(bits, {band * _EMB_BAND_BITS + 1}, {_EMB_BAND_BITS}), 0, (acc, x) -> acc * 2 + x)"
-                        ).alias("bucket"),
-                    )
-                    for band in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "vec_id", "v", "nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        F.posexplode("buckets").alias("band", "bucket"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
