@@ -125,3 +125,39 @@ def compact_dir(
         os.rename(tmp_old, base)  # roll back so the directory never vanishes
         raise
     shutil.rmtree(tmp_old)
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention: drop hive-layout partitions older than ``keep_from``.
+
+    The reference prunes job outputs older than N days by directory mtime
+    (cleanup_old_jobs.py:13); at lakehouse scale retention keys on the
+    PARTITION VALUE, not filesystem mtime — a backfilled old partition
+    written yesterday must still expire. Directories that are not
+    ``partition_col=value`` entries are left untouched (the reference's
+    "keep the visualizations folder" rule, generalized). Returns the
+    removed partition values. LOCAL-FS ONLY like compact_dir; on object
+    stores this is a metastore/table-format DROP PARTITION.
+    """
+    import os
+    import shutil
+
+    removed: list[str] = []
+    prefix = f"{partition_col}="
+    base = path.rstrip("/")
+    if not os.path.isdir(base):
+        return removed
+    for item in sorted(os.listdir(base)):
+        item_path = os.path.join(base, item)
+        if not (os.path.isdir(item_path) and item.startswith(prefix)):
+            continue
+        value = item[len(prefix):]
+        if value < keep_from:  # ISO dates compare lexicographically
+            shutil.rmtree(item_path)
+            removed.append(value)
+    return removed

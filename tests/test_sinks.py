@@ -140,3 +140,38 @@ def test_compact_dir_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
 
 def test_text_embed_stub_parity(spark, sf_dir):
     assert_parity(spark, "text_embed_stub", sf_dir)
+
+
+def test_expire_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.sinks import (
+        expire_partitions,
+        write_partitioned,
+    )
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "retained")
+    write_partitioned(events, path, partition_by=("day",), sort_within=("event_id",))
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    assert len(days) > 2
+    cutoff = days[len(days) // 2]
+    # a non-partition dir must survive (the reference's visualizations rule)
+    os.mkdir(os.path.join(path, "visualizations"))
+
+    removed = expire_partitions(spark, path, "day", keep_from=cutoff)
+    assert removed == [d for d in days if d < cutoff]
+    assert os.path.isdir(os.path.join(path, "visualizations"))
+    left = spark.read.parquet(path)
+    # the partition column reads back type-inferred (DATE) — compare as text
+    assert str(left.agg(F.min(F.col("day").cast("string"))).collect()[0][0]) >= cutoff
+    # retained row count equals the original rows at-or-after the cutoff
+    want = events.where(F.col("day") >= cutoff).count()
+    assert left.count() == want
