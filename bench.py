@@ -37,6 +37,8 @@ HEADLINE = [
     "q_events_window",
     "q_events_sessions",
     "q_events_json",
+    "q7_nation_trade",
+    "q13_order_count_dist",
     # relational_ext
     "q6_forecast_revenue",
     "q10_returned_items",

@@ -345,3 +345,126 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(k).alias("avg_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q7: volume shipping between two nations (TPC-H Q7 shape) — the
+# dual-direction join: lineitem brings the supplier nation, its order
+# brings the customer nation, and only the two (A,B)/(B,A) pairs survive.
+# Scale: both nation-annotated dims (supplier⋈nation, customer⋈nation) are
+# broadcast; the fact tables join once on orderkey; the pair filter prunes
+# before the final tiny aggregate.
+# ---------------------------------------------------------------------------
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         cast(year(l_shipdate) as int) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+     OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_trade", oracle=_Q7_ORACLE)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    # dims annotated with their nation BEFORE touching facts: supplier and
+    # customer stay broadcast-sized, and the only fact-fact shuffle is
+    # lineitem⋈orders on the order key.
+    sup_n = broadcast(
+        sup.join(broadcast(n1), sup.s_nationkey == n1.n1_key).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    cust_n = broadcast(
+        cust.join(broadcast(n2), cust.c_nationkey == n2.n2_key).select(
+            "c_custkey", "cust_nation"
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == _Q7_NATION_A) & (F.col("cust_nation") == _Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == _Q7_NATION_B) & (F.col("cust_nation") == _Q7_NATION_A)
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution (TPC-H Q13 shape) — LEFT OUTER
+# join so zero-order customers count, then a double aggregation: orders
+# per customer, customers per order-count. Scale: the outer join shuffles
+# on custkey once; both aggregates are partial-agg friendly, and the final
+# histogram relation is at most |distinct order counts| rows.
+# ---------------------------------------------------------------------------
+
+_Q13_EXCLUDED_PRIORITY = "1-URGENT"  # stand-in for Q13's comment filter
+
+_Q13_ORACLE = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{_Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_dist", oracle=_Q13_ORACLE)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != _Q13_EXCLUDED_PRIORITY
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -183,3 +183,17 @@ def test_decontaminate_broadcast_and_no_corpus_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "g#" not in line.split("hashpartitioning", 1)[1], line
+
+
+def test_q7_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    # Both nation-annotated dims must broadcast; the only fact-fact join
+    # (lineitem⋈orders) may shuffle. Zero SortMergeJoin of a dim.
+    df = QUERIES["q7_nation_trade"](spark, sf_dir)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 3, plan_str(df)
+
+
+def test_q13_left_outer_preserved(spark, sf_dir):
+    # Zero-order customers must survive: the join stays LEFT OUTER (an
+    # inner rewrite would silently drop the c_count=0 histogram bucket).
+    plan = plan_str(QUERIES["q13_order_count_dist"](spark, sf_dir))
+    assert "LeftOuter" in plan, plan
