@@ -144,3 +144,45 @@ def test_domain_mix_no_upsampling(spark, sf_dir):
     assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r.expected_docs <= r.n_docs
+
+
+def test_curation_edge_case_corpus(spark, tmp_path):
+    """Gopher metrics + decontamination must agree with the DuckDB oracle
+    on edge-case text the driver corpus never exercises: empty docs,
+    single words, exact repeated lines, heavy symbols, multi-byte UTF-8
+    (char-semantics of length/substring), and massive token repetition."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from tests.parity import _normalize
+
+    texts = [
+        "",
+        "word",
+        "line one\nline one\nline one\nline two",
+        "### ### ### almost all symbols ... ... ...",
+        "héllo wörld héllo wörld héllo wörld héllo wörld",
+        "the same pair " + "again again " * 30,
+        "a normal looking sentence with reasonably varied words here",
+        "日本語 トークン 長さ テスト 日本語 トークン 長さ テスト 日本語 トークン",
+    ] * 4  # 32 docs so some land on each side of the eval split
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array([f"src{i % 3}" for i in range(len(texts))]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    for name in ("text_gopher_quality", "decontaminate_ngrams", "domain_mix_plan"):
+        got = _normalize(entrymod.queries()[name](spark, str(tmp_path)).toPandas())
+        want = _normalize(con.sql(entrymod.oracle_sql()[name]).df())
+        assert list(got.columns) == list(want.columns), name
+        assert got.astype(str).values.tolist() == want.astype(str).values.tolist(), name
+    con.close()
