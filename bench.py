@@ -111,6 +111,7 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "stream_dedup_exact",
     "stream_interval_join",
+    "stream_quality_gate",
 ]
 
 

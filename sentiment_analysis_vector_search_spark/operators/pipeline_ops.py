@@ -127,9 +127,11 @@ FROM feat
 """
 
 
-@register("text_quality_gate", oracle=_GATE_ORACLE)
-def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def gate_columns() -> dict[str, "F.Column"]:
+    """The C4-style gate expressions over a `text` column — shared by the
+    batch operator and the streaming gate (stream_ops.stream_quality_gate)
+    so both paths apply IDENTICAL semantics (stateless Columns are
+    streaming-safe by construction)."""
     toks = S.tokens(F.col("text"))
     raw_toks = F.split(F.col("text"), r"\s+")
     n_words = F.size(toks).cast("bigint")
@@ -143,13 +145,21 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_hits >= _MIN_STOPWORD_HITS)
         & ~has_long_word
     )
+    return {
+        "n_words": n_words,
+        "stop_hits": stop_hits,
+        "ends_sentence": ends_sentence,
+        "has_long_word": has_long_word,
+        "keep": keep,
+    }
+
+
+@register("text_quality_gate", oracle=_GATE_ORACLE)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cols = gate_columns()
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        stop_hits.alias("stop_hits"),
-        ends_sentence.alias("ends_sentence"),
-        has_long_word.alias("has_long_word"),
-        keep.alias("keep"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 

@@ -360,3 +360,72 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# stream_quality_gate — quality gating at INGEST time: the C4-style gates
+# applied inside Structured Streaming with per-(lang, keep) counts drained
+# to the sink. The gate expressions are the exact Column objects the batch
+# operator uses (pipeline_ops.gate_columns) — stateless projections are
+# streaming-safe by construction, so the drained counts must equal the
+# batch GROUP BY the oracle runs. At scale this is the shape of a gating
+# stage in a continuously-ingesting corpus pipeline: no state beyond the
+# aggregate, arbitrarily parallel.
+# ---------------------------------------------------------------------------
+
+# Gate thresholds inlined, NOT imported from operators.pipeline_ops at
+# decoration time — that import would register pipeline_ops' queries
+# mid-stream_ops and scramble the driver grading-window rotation. A pytest
+# (test_sentiment/test_pipeline) asserts these literals equal the batch
+# constants so the two texts cannot drift silently. The tokenization
+# mirrors the batch _GATE_ORACLE exactly: split keeps empty tokens
+# (S.tokens semantics), stopword hits over the same lowered split.
+_SGATE_MIN_WORDS = 5
+_SGATE_MIN_STOP_HITS = 1
+_SGATE_MAX_WORD_CHARS = 25
+
+
+def _sgate_oracle() -> str:
+    from ..functions import sentiment as S
+
+    stop_sql = ", ".join(f"'{w}'" for w in S.STOPWORDS)
+    return f"""
+WITH feat AS (
+  SELECT lang,
+         len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x in ({stop_sql}))) AS stop_hits,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> length(x) > {_SGATE_MAX_WORD_CHARS})) > 0 AS has_long_word
+  FROM documents
+)
+SELECT lang,
+       (n_words >= {_SGATE_MIN_WORDS} AND stop_hits >= {_SGATE_MIN_STOP_HITS}
+        AND NOT has_long_word) AS keep,
+       count(*) AS n_docs
+FROM feat GROUP BY 1, 2
+"""
+
+
+@register("stream_quality_gate", oracle=_sgate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pipeline_ops import gate_columns
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = src.select("lang", gate_columns()["keep"].alias("keep"))
+    agg = gated.groupBy("lang", "keep").agg(F.count(F.lit(1)).alias("n_docs"))
+    sink = f"stream_qgate_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)

@@ -186,3 +186,28 @@ def test_curation_edge_case_corpus(spark, tmp_path):
         assert list(got.columns) == list(want.columns), name
         assert got.astype(str).values.tolist() == want.astype(str).values.tolist(), name
     con.close()
+
+
+def test_stream_gate_constants_match_batch():
+    # the streaming gate inlines its thresholds (import-order constraint,
+    # see stream_ops) — this pins them to the batch gate's constants
+    from sentiment_analysis_vector_search_spark.operators.pipeline_ops import (
+        _MAX_WORD_CHARS,
+        _MIN_STOPWORD_HITS,
+        _MIN_WORDS,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.stream_ops import (
+        _SGATE_MAX_WORD_CHARS,
+        _SGATE_MIN_STOP_HITS,
+        _SGATE_MIN_WORDS,
+    )
+
+    assert _SGATE_MIN_WORDS == _MIN_WORDS
+    assert _SGATE_MIN_STOP_HITS == _MIN_STOPWORD_HITS
+    assert _SGATE_MAX_WORD_CHARS == _MAX_WORD_CHARS
+
+
+def test_stream_quality_gate_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "stream_quality_gate", sf_dir)
