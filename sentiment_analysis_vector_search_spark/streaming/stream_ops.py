@@ -55,6 +55,29 @@ def _stream_shuffle(spark: SparkSession):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _drain_to_memory(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """availableNow drain to a memory sink, returning the result DETACHED
+    from the sink: the drained rows are checkpointed and the temp view is
+    dropped immediately. Without the drop, every invocation leaves its full
+    result set pinned in the session catalog — repeated calls (driver rows
+    pass + hash pass, bench warmup + reps) accumulate into real memory
+    pressure (measured: stream_interval_join 2.5s → 6.4s over a bench run).
+    """
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming events source with ts normalized to TIMESTAMP.
 
@@ -103,17 +126,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return _drain_to_memory(spark, agg, "stream_counts", "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -165,17 +178,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return _drain_to_memory(spark, agg, "stream_sessions", "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -231,19 +234,9 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    sink = f"stream_ustats_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     # update-mode sink may hold one row per (user, micro-batch): keep the
     # final state per user (max n_events is monotone in batches).
-    snap = spark.table(sink)
+    snap = _drain_to_memory(spark, out, "stream_ustats", "update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         snap.withColumn("_rk", F.row_number().over(w))
@@ -288,17 +281,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lang", "text_hash"]
     )
     agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique"))
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return _drain_to_memory(spark, agg, "stream_dedup", "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -349,17 +332,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).cast("bigint").alias("gap_us"),
     )
-    sink = f"stream_sjoin_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return _drain_to_memory(spark, joined, "stream_sjoin", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -418,14 +391,4 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = src.select("lang", gate_columns()["keep"].alias("keep"))
     agg = gated.groupBy("lang", "keep").agg(F.count(F.lit(1)).alias("n_docs"))
-    sink = f"stream_qgate_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(sink)
+    return _drain_to_memory(spark, agg, "stream_qgate", "complete")
