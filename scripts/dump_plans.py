@@ -23,6 +23,8 @@ SHOW = [
     ("pipeline_curate_stats", "classify→quality→dedup→stats fused in one plan"),
     ("text_gopher_quality", "map-only repetition metrics; zero Exchange at any scale"),
     ("decontaminate_ngrams", "broadcast eval-gram join; corpus spine never shuffled"),
+    ("q7_nation_trade", "nation-annotated dims broadcast; one fact-fact shuffle"),
+    ("q13_order_count_dist", "LEFT OUTER preserved; double partial-agg"),
 ]
 
 
