@@ -41,6 +41,16 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001 — conf may be removed in future Spark
         pass
+    # LOUD SESSION-STATE CONTRACT: this engine computes event time in UTC,
+    # and pins the session timezone here — the single entry point every
+    # events consumer (batch table(), streaming _event_stream) goes
+    # through — rather than as a hidden branch-dependent side effect
+    # inside normalize_event_ts (r4 advice). The NTZ→TIMESTAMP cast below
+    # reinterprets wall-clock in the session timezone, so without the pin
+    # a caller-provided non-UTC session would silently shift every event.
+    # Callers that need another zone should convert on the OUTPUT with
+    # from_utc_timestamp, not reconfigure the engine.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
@@ -49,10 +59,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
     bigint        → nanos since epoch (nanosAsLong read): integer-DIV to
                     micros, then timestamp_micros (full precision kept).
-    timestamp_ntz → native micros read: cast to TIMESTAMP. The driver and
-                    tests run with session tz UTC, where the cast is
-                    value-preserving; downstream operators need LTZ for
-                    unix_micros()/epoch arithmetic.
+    timestamp_ntz → native micros read: cast to TIMESTAMP. Value-preserving
+                    because read_events_raw pinned the session timezone to
+                    UTC (see the contract note there); this function itself
+                    no longer mutates session state. Downstream operators
+                    need LTZ for unix_micros()/epoch arithmetic.
     """
     from pyspark.sql import functions as F
 
@@ -60,10 +71,6 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif dt == "timestamp_ntz":
-        # The cast reinterprets wall-clock in the session timezone; pin UTC
-        # defensively (caller-provided sessions may not come from
-        # session.get_spark) so the value is preserved on any host.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -98,8 +98,24 @@ toksets AS (
 """
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, sh) word-trigram shingles."""
+def shingle_sets(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """Distinct (doc_id, sh) word-trigram shingles.
+
+    ``materialize=True`` cuts the lineage with an eager localCheckpoint so
+    consumers that read the relation several times (minhash: signatures +
+    sizes + both sides of the verify join; jaccard: sizes + df-filter +
+    both sides of the candidate self-join) pay the scan→explode→distinct
+    shuffle ONCE instead of once per subtree — at corpus scale each
+    recomputation is a full extra corpus scan + shuffle (the r4 verdict's
+    top finding: 3 redundant passes made minhash 31% of the whole suite).
+    On a multi-node cluster the same role is played by persist(DISK) or a
+    reliable checkpoint; localCheckpoint is the single-JVM equivalent.
+    A pipeline running several shingle-based dedups back-to-back should
+    materialize once and pass the frame to each operator via their ``sh``
+    parameter.
+    """
     # tokenize + trigram transform + explode is the expensive scan-stage
     # projection in both jaccard and minhash: fan it out across cores.
     docs = fan_out(spark, table(spark, sf_dir, "documents"))
@@ -117,7 +133,10 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("array()"))
         ).alias("sh"),
     )
-    return df.distinct()
+    df = df.distinct()
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    return df
 
 
 def _sizes(sh: DataFrame) -> DataFrame:
@@ -149,8 +168,13 @@ WHERE round(shared * 1.0 / (sa.sz + sb.sz - shared), 6) >= {_JACCARD_T}
 
 
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_sets(spark, sf_dir)
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    # ``sh``: optionally a pre-materialized shingle_sets() frame so a
+    # pipeline running jaccard AND minhash shares one materialization.
+    if sh is None:
+        sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = _sizes(sh)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _DF_CAP
@@ -237,8 +261,13 @@ JOIN sizes sb ON sb.doc_id = v.doc_b
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_sets(spark, sf_dir)
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    # ``sh``: optionally a pre-materialized shingle_sets() frame (shared
+    # with dedup_ngram_jaccard when a pipeline runs both).
+    if sh is None:
+        sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = _sizes(sh)
     base = md5_int31(F.col("sh"))
     sigs = sh.groupBy("doc_id").agg(
@@ -278,9 +307,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # Materialized once: the candidate relation feeds the id semi-join
+        # below AND the verify join — without the cut the band self-join
+        # (itself fed by the signature groupBy) would run twice.
+        .localCheckpoint(eager=True)
     )
-    sha = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    shb = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    # Semi-join the shingle relation down to candidate docs BEFORE the
+    # verify join: only docs that collided in some band can contribute a
+    # verified pair, so the verify shuffle moves candidate shingles, not
+    # the whole corpus. The candidate id set is near-dup-bounded (tiny
+    # relative to the corpus) → broadcast; at extreme candidate volumes
+    # drop the hint and let AQE pick a shuffled semi-join.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sha = sh_cand.withColumnsRenamed({"doc_id": "doc_a"})
+    shb = sh_cand.withColumnsRenamed({"doc_id": "doc_b"})
     ver = (
         cand.join(sha, "doc_a")
         .join(shb, ["doc_b", "sh"])
@@ -525,7 +570,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             names = batch.schema.names
             vec_id = batch.column(names.index("vec_id"))
             v = batch.column(names.index("v"))
-            vmat = v.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            dim = b_pmat.shape[1]
+            if len(flat) != n * dim:
+                # Fail loud: a null or ragged embedding list would either
+                # raise an opaque reshape error or (if lengths happen to
+                # divide) silently misalign vec_ids with vectors.
+                raise ValueError(
+                    f"dedup_embedding: expected {n} non-null {dim}-dim "
+                    f"embeddings, got {len(flat)} flat values"
+                )
+            vmat = flat.reshape(n, dim)
             nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
             bits = (np.einsum("ij,kj->ik", vmat, b_pmat) > 0).astype(np.int64)
             buckets = bits.reshape(n, _EMB_BANDS, _EMB_BAND_BITS) @ b_weights

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.stable import DEC
-from ..functions.vectors import hyperplanes, spark_plane_dot, sql_plane_dot
+from ..functions.vectors import hyperplanes, sql_plane_dot
 from ..registry import register
 
 _N_QUERIES = 5
@@ -156,58 +156,103 @@ SELECT query_id, vec_id, cosine, rk FROM (
 """
 
 
-def _with_bands(df: DataFrame, vec: str, id_alias: str) -> DataFrame:
-    sig = df
-    for i, p in enumerate(_PLANES):
-        sig = sig.withColumn(
-            f"bit{i}", F.when(spark_plane_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0))
-        )
-    bands = sig.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (F.col(f"bit{2 * b}") * 2 + F.col(f"bit{2 * b + 1}")).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    )
-    return bands.withColumns(
-        {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
-    ).drop("bb", *[f"bit{i}" for i in range(len(_PLANES))])
-
-
 @register("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vectors(spark, sf_dir)
-    vbands = _with_bands(vecs, "v", "vec_id")
-    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
+    """Sign-LSH candidate generation with Arrow-vectorized signatures.
+
+    The r3 formulation computed 8 plane dots per row as interpreted
+    higher-order-function Columns — the same per-row lambda-math cost that
+    made dedup_embedding 3.1s (2.08s here, r4 bench, the slowest
+    similarity op). One einsum per Arrow batch does identical algebra
+    vectorized: bits = sign(V·P^T), bucket_b = 2*bit(2b) + bit(2b+1) —
+    integer-exact, so the candidate set is unchanged and the (JVM-fold)
+    verify cosines still hash-match the oracle. The plane matrix is
+    process-resident per executor (broadcast); queries are the vec_id <
+    _N_QUERIES rows of the SAME signature relation, so signatures are
+    computed once, not twice.
+    """
+    import numpy as np
+
+    pmat = np.array([[float(c) for c in p] for p in _PLANES], dtype=np.float64)
+    bp = spark.sparkContext.broadcast(pmat)
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qbands = _with_bands(queries, "qv", "query_id")
-    cand = (
-        qbands.alias("q")
+
+    def signatures(batches):
+        import pyarrow as pa
+
+        b_pmat = bp.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            vec_id = batch.column(names.index("vec_id"))
+            v = batch.column(names.index("v"))
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            dim = b_pmat.shape[1]
+            if len(flat) != n * dim:
+                # Fail loud on null/ragged embeddings (see dedup_embedding).
+                raise ValueError(
+                    f"ann_lsh_topk: expected {n} non-null {dim}-dim "
+                    f"embeddings, got {len(flat)} flat values"
+                )
+            vmat = flat.reshape(n, dim)
+            nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
+            bits = (np.einsum("ij,kj->ik", vmat, b_pmat) > 0).astype(np.int64)
+            buckets = bits.reshape(n, _LSH_BANDS, 2) @ np.array([2, 1], dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    v,
+                    pa.array(nrm, pa.float64()),
+                    pa.array(buckets.tolist(), pa.list_(pa.int32())),
+                ],
+                names=["vec_id", "v", "nrm", "buckets"],
+            )
+
+    _SIG_SCHEMA = "vec_id bigint, v array<double>, nrm double, buckets array<int>"
+    sig = emb.mapInArrow(signatures, _SIG_SCHEMA)
+    vbands = sig.select(
+        "vec_id", "v", "nrm", F.posexplode("buckets").alias("band", "bucket")
+    )
+    # Query signatures from a SEPARATE pushdown-filtered scan: a filter on
+    # the mapInArrow output cannot be pushed below the Python stage, so
+    # deriving queries from `sig` would run the full corpus through Arrow a
+    # second time. The vec_id < _N_QUERIES predicate reaches the parquet
+    # scan here, making the query-side pass 5 rows, not the corpus.
+    qbands = (
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .mapInArrow(signatures, _SIG_SCHEMA)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+    )
+    # Score BEFORE deduplicating band collisions: the cosine is a pure
+    # function of the pair, so distinct-on-(ids, cosine) equals the
+    # oracle's distinct-then-score — but the exchange then moves 3 scalars
+    # per row instead of two 64-double arrays (a pair colliding in k<=4
+    # bands recomputes its dot k times map-side; arithmetic is cheaper
+    # than shuffling the vectors).
+    scored = (
+        F.broadcast(qbands).alias("q")
         .join(
             vbands.alias("x"),
             (F.col("q.band") == F.col("x.band"))
             & (F.col("q.bucket") == F.col("x.bucket"))
             & (F.col("x.vec_id") != F.col("q.query_id")),
         )
-        .select("query_id", "vec_id", "qv", "qnrm", "v", "nrm")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+        )
         .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
@@ -442,7 +487,16 @@ def ann_bruteforce_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ListArray.flatten() honors offsets/slices; the generated
             # embeddings are non-null fixed-width lists, so the flat values
             # reshape to the batch matrix without copying.
-            vmat = cols["v"].flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            flat = cols["v"].flatten().to_numpy(zero_copy_only=False)
+            dim = b_qmat.shape[1]
+            if len(flat) != n * dim:
+                # Fail loud on null/ragged embeddings instead of an opaque
+                # reshape error or a silent vec_id/vector misalignment.
+                raise ValueError(
+                    f"ann_bruteforce_topk_arrow: expected {n} non-null "
+                    f"{dim}-dim embeddings, got {len(flat)} flat values"
+                )
+            vmat = flat.reshape(n, dim)
             nrm = cols["nrm"].to_numpy(zero_copy_only=False)
             vid = cols["vec_id"].to_numpy(zero_copy_only=False)
             sims = np.einsum("ij,kj->ik", vmat, b_qmat) / np.outer(nrm, b_qnrm)

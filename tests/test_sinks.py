@@ -166,7 +166,7 @@ def test_expire_partitions(spark, sf_dir, tmp_path):
     # a non-partition dir must survive (the reference's visualizations rule)
     os.mkdir(os.path.join(path, "visualizations"))
 
-    removed = expire_partitions(spark, path, "day", keep_from=cutoff)
+    removed = expire_partitions(path, "day", keep_from=cutoff)
     assert removed == [d for d in days if d < cutoff]
     assert os.path.isdir(os.path.join(path, "visualizations"))
     left = spark.read.parquet(path)
