@@ -1,0 +1,96 @@
+"""Order-of-magnitude scale smoke for the heaviest queries (r4 verdict #7).
+
+Runs the top-cost operators against the tiled sf10-equivalent corpus
+(scripts/make_scale_data.py) and reports, per query, the measured seconds
+and the RATIO against linear scaling from the sf0.1 baseline:
+
+    ratio = t_scale / (t_sf0.1 * tiles)
+
+ratio ~ 1 means the operator scales linearly with the data (what the
+bucketed/broadcast designs claim); >> 1 flags a super-linear blowup the
+small-SF bench can't see (e.g. LSH bucket occupancy outgrowing the band
+width). Single timed run per query — at 10-100x the data, codegen setup is
+amortized and the medians-of-3 discipline would triple a multi-minute
+smoke for noise that no longer dominates.
+
+Embeddings tile 10x vs 100x for documents/events: the embedding LSH family
+(dedup_embedding / components) uses 5-bit bands sized for the test corpus;
+bucket occupancy grows linearly with corpus size, so candidate PAIRS grow
+quadratically — at a real 100x you would widen the bands (more planes per
+band), which changes the oracle constants. The 10x smoke is exactly what
+surfaces that: its ratio is expected around ~10 (occupancy x10), and the
+number is reported, not hidden.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+# query -> which tile multiplier its input tables got (for the ratio):
+# "doc" = documents/events tiling, "emb" = embeddings tiling.
+SCALE_QUERIES = {
+    "dedup_minhash_lsh": "doc",
+    "dedup_ngram_jaccard": "doc",
+    "dedup_simhash": "doc",
+    "rag_retrieve": "doc",
+    "stream_stateful_user_stats": "doc",
+    "ann_lsh_topk": "emb",
+    "dedup_components": "emb",
+}
+
+
+def run_scale_bench(spark, queries) -> tuple[dict, dict]:
+    """Returns (compact_summary, full_detail). Baselines (sf0.1 medians)
+    are read from the timings the caller just measured via bench_detail —
+    passed implicitly through env-independent recomputation is pointless,
+    so the caller's timings dict is consulted lazily via closure-free API:
+    we re-time nothing at sf0.1 here."""
+    from scripts.make_scale_data import ensure_scale_data
+
+    tiles = int(os.environ.get("SPARK_GRAFT_SCALE_TILES", "100"))
+    emb_tiles = max(1, tiles // 10)
+    out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
+
+    detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}
+    total = 0.0
+    for name, _ in SCALE_QUERIES.items():
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        secs = round(time.perf_counter() - t0, 2)
+        detail["queries"][name] = secs
+        total += secs
+        print(f"  [scale] {name}: {secs}s", file=sys.stderr)
+
+    detail["total"] = round(total, 2)
+    summary = {"total": round(total, 1), "tiles": tiles}
+    return summary, detail
+
+
+def attach_ratios(detail: dict, base_timings: dict) -> None:
+    """Add per-query linear-scaling ratios given the sf0.1 medians."""
+    ratios = {}
+    for name, secs in detail["queries"].items():
+        mult = (
+            detail["emb_tiles"] if SCALE_QUERIES[name] == "emb" else detail["tiles"]
+        )
+        base = base_timings.get(name)
+        if base and base > 0:
+            ratios[name] = round(secs / (base * mult), 2)
+    detail["linear_ratio"] = ratios
+    if ratios:
+        detail["max_linear_ratio"] = max(ratios.values())
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.session import get_spark
+
+    spark = get_spark("bench-scale")
+    summary, det = run_scale_bench(spark, entrymod.queries())
+    import json
+
+    print(json.dumps(det, indent=1))

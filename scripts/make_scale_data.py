@@ -1,0 +1,153 @@
+"""Tile sf0.1 into an sf10-equivalent corpus for order-of-magnitude scale smokes.
+
+Everything below sf0.1 (17 MB) validates CORRECTNESS; this generator gives
+the perf claims (minhash bucketing, components rounds, broadcast
+decontamination) at least one 10-100x check without shipping new test data.
+
+Tiling is NOT naive replication — exact copies would make every document a
+cross-tile exact/near duplicate and turn the pairwise operators into a
+deliberate O(n * tiles) blowup that no real corpus exhibits. Instead each
+tile is a deterministic mutation that PRESERVES within-tile structure and
+BREAKS cross-tile similarity:
+
+- documents: doc_id offset per tile; every token suffixed with ``~<tile>``
+  so word-shingle sets are tile-disjoint (vocabulary grows ~linearly, like
+  a real corpus), EXCEPT the rag_retrieve query words which stay intact so
+  keyword retrieval still matches.
+- embeddings: vec_id offset per tile; per-(tile, dim) deterministic sign
+  flip — norms and all within-tile cosines are exactly preserved, while a
+  cross-tile cosine is a +-1-weighted sum with mean 0 (P(>=0.5) ~ 0), so
+  near-dup structure stays per-tile like a real sharded corpus.
+- events: event_id/user_id offset per tile, timestamps kept — 100x event
+  density over the same window with 100x distinct users (state-store keys
+  scale with the data, as they would in production).
+
+Output is one parquet FILE per table (coalesce(1) + rename) because the
+streaming sources address ``<dir>/events.parquet`` with a pathGlobFilter.
+A manifest records the tiling config + source fingerprints; the build is
+skipped when it matches (the scale bench reuses the cache across rounds).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ID_OFFSET = 10_000_000
+_EVENT_ID_OFFSET = 1_000_000_000
+# Words rag_retrieve scores on (similarity._RAG_QUERY_WORDS) — kept
+# unsuffixed so keyword retrieval has hits in every tile.
+_KEEP_WORDS = ("slow", "query", "join")
+
+
+def _tiled(df: DataFrame, tiles: int) -> DataFrame:
+    # bigint tile: the event_id offset multiply (tile * 1e9) overflows int32
+    return df.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(tiles - 1).cast("bigint"))
+        ).alias("tile"),
+    )
+
+
+def _documents(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    keep = ", ".join(f"'{w}'" for w in _KEEP_WORDS)
+    mutate = (
+        "array_join(transform(split(text, '\\\\s+'), "
+        f"w -> CASE WHEN w IN ({keep}) THEN w "
+        "ELSE concat(w, '~', cast(tile as string)) END), ' ')"
+    )
+    return _tiled(spark.read.parquet(f"{src}/documents.parquet"), tiles).select(
+        (F.col("doc_id") + F.col("tile") * _ID_OFFSET).alias("doc_id"),
+        F.expr(mutate).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _embeddings(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    signs = (
+        "transform(sequence(0, size(embedding) - 1), "
+        "i -> CASE WHEN pmod(hash(tile * 1024 + i), 2) = 0 "
+        "THEN cast(1.0 as float) ELSE cast(-1.0 as float) END)"
+    )
+    return _tiled(spark.read.parquet(f"{src}/embeddings.parquet"), tiles).select(
+        (F.col("vec_id") + F.col("tile") * _ID_OFFSET).alias("vec_id"),
+        F.expr(f"zip_with(embedding, {signs}, (x, s) -> x * s)").alias("embedding"),
+        "label",
+    )
+
+
+def _events(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    from sentiment_analysis_vector_search_spark.catalog import (
+        normalize_event_ts,
+        read_events_raw,
+    )
+
+    ev = normalize_event_ts(read_events_raw(spark, src))
+    return _tiled(ev, tiles).select(
+        (F.col("event_id") + F.col("tile") * _EVENT_ID_OFFSET).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("tile") * _ID_OFFSET).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _write_single_file(df: DataFrame, out_dir: str, name: str) -> None:
+    tmp = os.path.join(out_dir, f"_tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(out_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def _manifest(src: str, tiles: int, emb_tiles: int) -> dict:
+    fp = {}
+    for t in ("documents", "embeddings", "events"):
+        st = os.stat(os.path.join(src, f"{t}.parquet"))
+        fp[t] = [st.st_mtime_ns, st.st_size]
+    return {"tiles": tiles, "emb_tiles": emb_tiles, "src": src, "fingerprint": fp}
+
+
+def ensure_scale_data(
+    spark: SparkSession,
+    src: str = "/root/testdata/sf0.1",
+    out: str = "/root/repo/.scale_data/sf10x",
+    tiles: int = 100,
+    emb_tiles: int = 10,
+) -> str:
+    """Build (or reuse) the tiled corpus; returns the output dir."""
+    manifest_path = os.path.join(out, "manifest.json")
+    want = _manifest(src, tiles, emb_tiles)
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as f:
+                if json.load(f) == want:
+                    return out
+        except (OSError, json.JSONDecodeError):
+            pass
+    os.makedirs(out, exist_ok=True)
+    _write_single_file(_documents(spark, src, tiles), out, "documents")
+    _write_single_file(_embeddings(spark, src, emb_tiles), out, "embeddings")
+    _write_single_file(_events(spark, src, tiles), out, "events")
+    with open(manifest_path, "w") as f:
+        json.dump(want, f)
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sentiment_analysis_vector_search_spark.session import get_spark
+
+    out = ensure_scale_data(get_spark("make-scale-data"))
+    print(out)

@@ -1,123 +1,307 @@
 """Representative-comment selection — the reference's "vector search"
 core (find_representative_comments, Context_analyzer_RoBERTa_fun.py:87):
-per sentiment class, TF-IDF vectorize, KMeans(k=10, seed=42), then pick the
-member nearest its cluster centroid by cosine; report cluster_id and
+per sentiment class, TF-IDF vectorize, KMeans (k=10 default), then pick
+the member nearest its cluster centroid by cosine; report cluster_id and
 cluster_size.
 
-Spark-first: MLlib pipeline (Tokenizer → HashingTF → IDF → KMeans) per
-class, then a DataFrame join against the (tiny, broadcast) centroid table
-with a zip_with dot product — no Python UDF; distances are computed by
-Catalyst over vector_to_array output.
+Re-expression (round 5): the clustering is now a fully IN-ENGINE,
+DETERMINISTIC spherical k-means over the corpus TF-IDF rows — plain
+DataFrame joins/aggregations, no MLlib — so a DuckDB oracle replays the
+identical fit and the driver hash-checks the complete output (this was
+the last rows-only query; r4 verdict item 3):
 
-Not SQL-expressible (iterative Lloyd's algorithm) → rows-only driver check;
-invariants are pytest-verified instead (cluster count, sizes sum to class
-size, representative belongs to its cluster).
+- features: the same sparse (doc_id, word, tfidf) relation as
+  ``tfidf_vectors`` (l2-normalized, 6-dp rounded — already hash-stable
+  across engines). One corpus-wide vocabulary instead of the reference's
+  per-class refit: one scan, shared vocab — the scale-correct layout.
+  Docs with no kept vocabulary words have no vector and sit outside the
+  clustering (the reference gives them all-zero rows; a zero vector has
+  no cosine and can never be a representative either way).
+- init: cluster j of a sentiment class seeds from the class member with
+  the (j+1)-th smallest doc_id, k = min(10, class size). Deterministic
+  and SQL-replayable, standing in for the reference's seed=42 RNG draw
+  (seeded-RNG parity across engines is not reproducible; a fixed
+  data-derived seeding is, and preserves the algorithmic contract).
+- iterations: ``_N_ITERS`` Lloyd rounds, assignment by max cosine
+  (spherical k-means — the cosine geometry the representative selection
+  and the reference's vector search already use), tie-break on lowest
+  cluster_id; a doc sharing no vocabulary with any centroid falls to
+  cluster 0. Centroids are dimension-wise member means rounded to 6 dp.
+  A cluster that loses all members disappears (classic Lloyd; the
+  invariants bound is therefore <= k, not == k).
+- numeric parity: every cross-row sum (dot products, norms, centroid
+  means) goes through the DECIMAL(30,10) order-independent accumulation
+  of functions/stable.py, so 32-way partial aggregation and DuckDB's
+  single-threaded fold produce bit-identical doubles; ranking keys are
+  those identical doubles (or their 6-dp roundings) with total
+  tie-breaks.
+
+Scale: per-round cost is one keyed join of the (checkpointed) sparse
+vector relation against a broadcast centroid table (<= 3 classes x 10
+clusters x 1000 words) plus two small groupBys — O(corpus) per round
+with no all-pairs stage anywhere; rounds are fixed at _N_ITERS.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.stable import DEC, sql_dec2double, sql_vardec
 from ..registry import register
 
-_N_REPRESENTATIVES = 10  # reference n_representatives default
-_HASHING_DIM = 1 << 12
-_SEED = 42
-# Lloyd's iterations shuffle the (small) assignment state every pass; pin
-# their parallelism so a default-conf session doesn't run 200-task stages
-# over kilobytes. The corpus scan itself keeps its input partitioning.
+_N_REPRESENTATIVES = 10  # reference n_representatives default (k)
+_N_ITERS = 5  # fixed Lloyd rounds, unrolled identically in the SQL oracle
+# Fit-time shuffle parallelism: every round shuffles small keyed relations
+# (vectors per class, <=30x1000 centroid rows); under a default-conf
+# session each would be a 200-task stage over kilobytes.
 _FIT_PARTS = "16"
-# KMeans aggregation order (and therefore the seed-42 outcome) depends on
-# the input's partition layout; hash-partitioning the class by doc_id to a
-# FIXED count makes the fit invariant to however the caller's scan happened
-# to split — the reference contract (k=10, seed=42,
-# Context_analyzer_RoBERTa_fun.py:87) implies reproducible clusters.
-_FIT_INPUT_PARTS = 8
 
 
-def _score_class(
-    spark: SparkSession, df: DataFrame, persisted: list | None = None
-) -> DataFrame | None:
-    """Cluster one sentiment class and score every member's cosine to its
-    cluster centroid. Split out from the representative selection so tests
-    can assert the argmax-membership property over the full assignment."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
-    from pyspark.ml.functions import vector_to_array
+def _dsum(col: Column) -> Column:
+    """Order-independent exact-decimal sum, back to double (stable.dsum
+    without the import cycle on Column typing)."""
+    return F.sum(col.cast(DEC)).cast("double")
 
-    # Partition-layout-invariant fit: same rows -> same clusters, no matter
-    # how the upstream scan or a fan-out split the class (hash, not
-    # round-robin: round-robin placement depends on the incoming layout).
-    df = df.repartition(_FIT_INPUT_PARTS, "doc_id")
-    n = df.count()
-    if n == 0:
-        return None
-    k = min(_N_REPRESENTATIVES, n)
 
-    tok = Tokenizer(inputCol="text", outputCol="words")
-    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=_HASHING_DIM)
-    idf = IDF(inputCol="tf", outputCol="features")
-    words = tok.transform(df)
-    tfd = tf.transform(words)
-    idf_model = idf.fit(tfd)
-    # Persist the featurized frame: IDF.fit already scanned the corpus once,
-    # and KMeans.fit + model.transform + the centroid join would otherwise
-    # re-run Tokenizer→HashingTF→IDF per consumer.
-    feats = idf_model.transform(tfd).persist()
-    if persisted is not None:
-        persisted.append(feats)
+def _sql_dsum(expr: str) -> str:
+    return sql_dec2double(f"sum({sql_vardec(expr)})")
 
-    km = KMeans(k=k, seed=_SEED, featuresCol="features", predictionCol="cluster_id")
-    model = km.fit(feats)
-    pred = model.transform(feats).withColumn("fa", vector_to_array("features"))
 
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cluster_id", "center"],
+# ---------------------------------------------------------------------------
+# DuckDB oracle: the same seeding, the same _N_ITERS unrolled rounds, the
+# same decimal-stable arithmetic. Built by the same loop structure the
+# DataFrame side executes, so the two cannot drift silently.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ctes() -> str:
+    from ..functions import sentiment as S
+    from ..functions.tfidf import SQL_TFIDF_CTE
+
+    k = _N_REPRESENTATIVES
+    parts = [
+        f"{S.SQL_CLASSIFIED_CTE}, {SQL_TFIDF_CTE},",
+        """
+cls AS (SELECT doc_id, sentiment FROM labeled),
+vec AS MATERIALIZED (
+  SELECT c.sentiment, t.doc_id, t.word, t.tfidf
+  FROM tfidf_rows t JOIN cls c USING (doc_id)
+), docs_d AS MATERIALIZED (
+  SELECT DISTINCT sentiment, doc_id FROM vec
+), dnorm AS MATERIALIZED (
+  SELECT doc_id, sqrt({dsum_sq}) AS dn FROM vec GROUP BY doc_id
+), cent0 AS MATERIALIZED (
+  SELECT s.sentiment, s.cluster_id, v.word, v.tfidf AS cw
+  FROM (
+    SELECT sentiment, doc_id,
+           row_number() OVER (PARTITION BY sentiment ORDER BY doc_id) - 1 AS cluster_id
+    FROM docs_d
+  ) s JOIN vec v ON v.doc_id = s.doc_id
+  WHERE s.cluster_id < {k}
+)""".format(dsum_sq=_sql_dsum("tfidf * tfidf"), k=k),
+    ]
+    for i in range(1, _N_ITERS + 1):
+        prev = i - 1
+        parts.append(
+            """
+, cn{i} AS (
+  SELECT sentiment, cluster_id, sqrt({cw_sq}) AS cn
+  FROM cent{prev} GROUP BY sentiment, cluster_id
+), dot{i} AS (
+  SELECT v.sentiment, v.doc_id, c.cluster_id, {dot} AS dot
+  FROM vec v JOIN cent{prev} c ON c.sentiment = v.sentiment AND c.word = v.word
+  GROUP BY v.sentiment, v.doc_id, c.cluster_id
+), assign{i} AS MATERIALIZED (
+  SELECT dd.sentiment, dd.doc_id, coalesce(b.cluster_id, 0) AS cluster_id
+  FROM docs_d dd LEFT JOIN (
+    SELECT sentiment, doc_id, cluster_id FROM (
+      SELECT d.sentiment, d.doc_id, d.cluster_id,
+             row_number() OVER (PARTITION BY d.sentiment, d.doc_id
+                                ORDER BY d.dot / n.cn DESC, d.cluster_id) AS rk
+      FROM dot{i} d JOIN cn{i} n USING (sentiment, cluster_id)
+    ) WHERE rk = 1
+  ) b USING (sentiment, doc_id)
+), m{i} AS (
+  SELECT sentiment, cluster_id, count(*) AS n FROM assign{i} GROUP BY 1, 2
+), cent{i} AS MATERIALIZED (
+  SELECT a.sentiment, a.cluster_id, v.word,
+         round({tf_sum} / min(m.n), 6) AS cw
+  FROM assign{i} a
+  JOIN vec v USING (sentiment, doc_id)
+  JOIN m{i} m USING (sentiment, cluster_id)
+  GROUP BY a.sentiment, a.cluster_id, v.word
+)""".format(
+                i=i,
+                prev=prev,
+                cw_sq=_sql_dsum("cw * cw"),
+                dot=_sql_dsum("v.tfidf * c.cw"),
+                tf_sum=_sql_dsum("v.tfidf"),
+            )
+        )
+    # final scored assignment against cent{_N_ITERS}
+    parts.append(
+        """
+, cnF AS (
+  SELECT sentiment, cluster_id, sqrt({cw_sq}) AS cn
+  FROM cent{last} GROUP BY sentiment, cluster_id
+), dotF AS (
+  SELECT v.sentiment, v.doc_id, c.cluster_id, {dot} AS dot
+  FROM vec v JOIN cent{last} c ON c.sentiment = v.sentiment AND c.word = v.word
+  GROUP BY v.sentiment, v.doc_id, c.cluster_id
+), scoredF AS MATERIALIZED (
+  SELECT dd.sentiment, dd.doc_id,
+         coalesce(b.cluster_id, 0) AS cluster_id,
+         coalesce(b.cosine, 0.0) AS centroid_cosine
+  FROM docs_d dd LEFT JOIN (
+    SELECT sentiment, doc_id, cluster_id, cosine FROM (
+      SELECT d.sentiment, d.doc_id, d.cluster_id,
+             round(d.dot / (dn.dn * n.cn), 6) AS cosine,
+             row_number() OVER (PARTITION BY d.sentiment, d.doc_id
+                                ORDER BY d.dot / n.cn DESC, d.cluster_id) AS rk
+      FROM dotF d
+      JOIN cnF n USING (sentiment, cluster_id)
+      JOIN dnorm dn ON dn.doc_id = d.doc_id
+    ) WHERE rk = 1
+  ) b USING (sentiment, doc_id)
+)""".format(
+            last=_N_ITERS,
+            cw_sq=_sql_dsum("cw * cw"),
+            dot=_sql_dsum("v.tfidf * c.cw"),
+        )
     )
-    dot = (
-        "aggregate(zip_with(fa, center, (x, y) -> x * y),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    nrm = lambda c: f"sqrt(aggregate(zip_with({c}, {c}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"  # noqa: E731
-    return pred.join(F.broadcast(centers), "cluster_id").withColumn(
-        "centroid_cosine",
-        F.expr(f"{dot} / (greatest({nrm('fa')}, 1e-12) * greatest({nrm('center')}, 1e-12))"),
-    )
+    return "".join(parts)
 
 
-def _representatives_for_class(
-    spark: SparkSession, df: DataFrame, persisted: list | None = None
-) -> DataFrame:
-    scored = _score_class(spark, df, persisted)
-    if scored is None:
-        return None
-    w_size = Window.partitionBy("cluster_id")
-    w_rank = Window.partitionBy("cluster_id").orderBy(
-        F.desc("centroid_cosine"), F.asc("doc_id")
+_KMEANS_ORACLE = f"""
+WITH {_kmeans_ctes()}
+SELECT r.sentiment, cast(r.cluster_id as int) AS cluster_id,
+       s.cluster_size, r.doc_id, r.centroid_cosine
+FROM (
+  SELECT sentiment, cluster_id, doc_id, centroid_cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY sentiment, cluster_id
+                                 ORDER BY centroid_cosine DESC, doc_id) AS rk
+    FROM scoredF
+  ) WHERE rk = 1
+) r JOIN (
+  SELECT sentiment, cluster_id, count(*) AS cluster_size
+  FROM scoredF GROUP BY 1, 2
+) s USING (sentiment, cluster_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-side fit — the same computation, Spark-first.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full final scored assignment: (sentiment, doc_id, cluster_id,
+    centroid_cosine) for every vectorized document. Split out so tests can
+    assert the argmax-membership property over the complete assignment."""
+    from .sentiment_ops import classified
+    from .text_ops import tfidf_vectors
+
+    cls = classified(spark, sf_dir).select("doc_id", "sentiment")
+    # Materialize the class-annotated sparse vectors once: every Lloyd
+    # round re-joins this relation (assignment + centroid update), and the
+    # final scoring reads it twice more. On a cluster: persist(DISK) or a
+    # reliable checkpoint instead.
+    vec = (
+        tfidf_vectors(spark, sf_dir)
+        .join(cls, "doc_id")
+        .select("sentiment", "doc_id", "word", "tfidf")
+        .localCheckpoint(eager=True)
     )
-    return (
-        scored.withColumn("cluster_size", F.count(F.lit(1)).over(w_size))
-        .withColumn("rk", F.row_number().over(w_rank))
+    docs_d = vec.select("sentiment", "doc_id").distinct().localCheckpoint(eager=True)
+    dnorm = vec.groupBy("doc_id").agg(
+        F.sqrt(_dsum(F.col("tfidf") * F.col("tfidf"))).alias("dn")
+    )
+
+    w_seed = Window.partitionBy("sentiment").orderBy("doc_id")
+    seeds = (
+        docs_d.withColumn("cluster_id", F.row_number().over(w_seed) - 1)
+        .where(F.col("cluster_id") < _N_REPRESENTATIVES)
+    )
+    cent = (
+        seeds.join(vec, ["sentiment", "doc_id"])
+        .select("sentiment", "cluster_id", "word", F.col("tfidf").alias("cw"))
+    )
+
+    def _cn(c: DataFrame) -> DataFrame:
+        return c.groupBy("sentiment", "cluster_id").agg(
+            F.sqrt(_dsum(F.col("cw") * F.col("cw"))).alias("cn")
+        )
+
+    def _dots(c: DataFrame) -> DataFrame:
+        # centroid table <= 3 classes x 10 clusters x 1000 words: broadcast,
+        # so the per-round corpus join never shuffles the vectors.
+        return (
+            vec.join(F.broadcast(c), ["sentiment", "word"])
+            .groupBy("sentiment", "doc_id", "cluster_id")
+            .agg(_dsum(F.col("tfidf") * F.col("cw")).alias("dot"))
+        )
+
+    w_doc = Window.partitionBy("sentiment", "doc_id").orderBy(
+        F.desc(F.col("dot") / F.col("cn")), F.asc("cluster_id")
+    )
+    for _ in range(_N_ITERS):
+        # checkpoint per round: truncates the growing lineage and lets the
+        # broadcast below read a materialized (tiny) relation.
+        cent = cent.localCheckpoint(eager=True)
+        best = (
+            _dots(cent)
+            .join(F.broadcast(_cn(cent)), ["sentiment", "cluster_id"])
+            .withColumn("rk", F.row_number().over(w_doc))
+            .where(F.col("rk") == 1)
+            .select("sentiment", "doc_id", "cluster_id")
+        )
+        assign = docs_d.join(best, ["sentiment", "doc_id"], "left").select(
+            "sentiment",
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.lit(0)).alias("cluster_id"),
+        )
+        m = assign.groupBy("sentiment", "cluster_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        cent = (
+            assign.join(vec, ["sentiment", "doc_id"])
+            .join(F.broadcast(m), ["sentiment", "cluster_id"])
+            .groupBy("sentiment", "cluster_id", "word")
+            .agg(F.round(_dsum(F.col("tfidf")) / F.min("n"), 6).alias("cw"))
+        )
+
+    cent = cent.localCheckpoint(eager=True)
+    scored = (
+        _dots(cent)
+        .join(F.broadcast(_cn(cent)), ["sentiment", "cluster_id"])
+        .join(dnorm, "doc_id")
+        .withColumn("rk", F.row_number().over(w_doc))
         .where(F.col("rk") == 1)
         .select(
             "sentiment",
-            F.col("cluster_id").cast("int").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
             "doc_id",
-            F.round("centroid_cosine", 6).alias("centroid_cosine"),
+            "cluster_id",
+            F.round(F.col("dot") / (F.col("dn") * F.col("cn")), 6).alias(
+                "centroid_cosine"
+            ),
         )
+    )
+    return docs_d.join(scored, ["sentiment", "doc_id"], "left").select(
+        "sentiment",
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.lit(0)).alias("cluster_id"),
+        F.coalesce(F.col("centroid_cosine"), F.lit(0.0)).alias("centroid_cosine"),
     )
 
 
 # Memo of materialized results per (application, sf_dir, data fingerprint):
 # the registered representatives_invariants query re-derives from the SAME
-# clustering, so the expensive iterative fit runs once per driver session,
-# not twice. The fingerprint (documents.parquet mtime/size) invalidates the
-# memo if the files under sf_dir are rewritten within one application.
-# (Safe to cache: KMeans is seeded and the fit is partition-layout-invariant
-# — pytest test_representatives_deterministic clears this to prove it.)
+# clustering, so the iterative fit runs once per driver session, not twice.
+# The fingerprint (documents.parquet mtime/size) invalidates the memo if
+# the files under sf_dir are rewritten within one application. (Safe to
+# cache: the fit is deterministic by construction — pytest
+# test_representatives_deterministic clears this to prove it.)
 _REPS_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -131,79 +315,70 @@ def _data_fingerprint(sf_dir: str) -> tuple:
         return (None, None)
 
 
-@register("representatives_kmeans")  # rows-only: iterative, no SQL oracle
+@register("representatives_kmeans", oracle=_KMEANS_ORACLE)
 def representatives_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sentiment_ops import classified
-
     key = (spark.sparkContext.applicationId, sf_dir, _data_fingerprint(sf_dir))
     hit = _REPS_CACHE.get(key)
     if hit is not None:
         return hit
 
-    # Pin fit-time shuffle parallelism (restored after the eager
-    # materialization below): every job this operator triggers — IDF/KMeans
-    # fits, the per-class counts, the final union — runs bounded stages.
-    # The pin-restore mutates session state, so the three class fits run
-    # sequentially on this thread (the driver evaluates queries one at a
-    # time); _score_class's own hash repartition makes each fit reproducible
-    # regardless.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _FIT_PARTS)
-    persisted: list[DataFrame] = []
-    lab = classified(spark, sf_dir).select("doc_id", "text", "sentiment").persist()
-    persisted.append(lab)
     try:
-        # Per-class clustering mirrors the reference; the loop is over the 3
-        # sentiment classes, never over data.
-        out = None
-        for sent in ("POSITIVE", "NEGATIVE", "NEUTRAL"):
-            cls = lab.where(F.col("sentiment") == sent)
-            reps = _representatives_for_class(spark, cls, persisted)
-            if reps is not None:
-                out = reps if out is None else out.unionByName(reps)
-        if out is None:  # all three classes empty: empty result, not a crash
-            out = spark.createDataFrame(
-                [],
-                "sentiment string, cluster_id int, cluster_size bigint, "
-                "doc_id bigint, centroid_cosine double",
+        scored = _kmeans_assignments(spark, sf_dir)
+        w_size = Window.partitionBy("sentiment", "cluster_id")
+        w_rank = Window.partitionBy("sentiment", "cluster_id").orderBy(
+            F.desc("centroid_cosine"), F.asc("doc_id")
+        )
+        out = (
+            scored.withColumn("cluster_size", F.count(F.lit(1)).over(w_size))
+            .withColumn("rk", F.row_number().over(w_rank))
+            .where(F.col("rk") == 1)
+            .select(
+                "sentiment",
+                F.col("cluster_id").cast("int").alias("cluster_id"),
+                F.col("cluster_size").cast("bigint").alias("cluster_size"),
+                "doc_id",
+                "centroid_cosine",
             )
-        # The result is ~3·k rows; materialize it so (a) the conf restore
-        # below can't change its plan, (b) the invariants query and repeat
-        # calls reuse it without re-running Lloyd's iterations.
+        )
+        # ~3·k rows; materialize so (a) the conf restore below can't change
+        # the plan, (b) the invariants query and repeat calls reuse it
+        # without re-running the Lloyd rounds.
         out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        for df in persisted:
-            df.unpersist()
     _REPS_CACHE[key] = out
     return out
 
 
 # ---------------------------------------------------------------------------
-# representatives_invariants — the hash-checkable contract of the kmeans
-# output. Lloyd's iterations aren't SQL-expressible, but every structural
-# property of a CORRECT result is: per sentiment class, cluster sizes sum
-# exactly to the class population, at most min(10, class_n) clusters emit a
-# representative, representatives are distinct documents, and cosines lie
-# in [-1, 1]. The oracle derives the class populations from the same
-# SQL-expressible classification the clustering consumes and pins each
+# representatives_invariants — the structural contract of the kmeans
+# output, still checked as its own driver row: per sentiment class the
+# cluster sizes sum exactly to the vectorized class population, at most
+# min(k, class_n) clusters emit a representative, representatives are
+# distinct documents, and cosines lie in [0, 1] (non-negative features).
+# The oracle derives the class populations from the same SQL-expressible
+# classification + vectorization the clustering consumes and pins each
 # boolean invariant to literal true — any violation hash-mismatches.
-# (Representative argmin-membership and seed-42 determinism need the full
-# assignment, so they live in tests/test_representatives.py.)
+# (Now that representatives_kmeans itself is hash-checked against the
+# full fit, this row guards the cheap-to-read structural summary.)
 # ---------------------------------------------------------------------------
 
 
 def _invariants_oracle() -> str:
     from ..functions import sentiment as S
+    from ..functions.tfidf import SQL_TFIDF_CTE
 
     return f"""
-WITH {S.SQL_CLASSIFIED_CTE}
-SELECT sentiment,
-       count(*) AS class_n,
+WITH {S.SQL_CLASSIFIED_CTE}, {SQL_TFIDF_CTE}
+SELECT l.sentiment,
+       count(DISTINCT t.doc_id) AS class_n,
        true AS k_ok,
        true AS reps_distinct,
        true AS cosine_ok
-FROM labeled GROUP BY sentiment
+FROM labeled l JOIN tfidf_rows t USING (doc_id)
+GROUP BY l.sentiment
 """
 
 
@@ -214,11 +389,13 @@ def representatives_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").cast("bigint").alias("class_n"),
         (
             F.count(F.lit(1))
-            <= F.least(F.lit(_N_REPRESENTATIVES).cast("bigint"), F.sum("cluster_size"))
+            <= F.least(
+                F.lit(_N_REPRESENTATIVES).cast("bigint"), F.sum("cluster_size")
+            )
         ).alias("k_ok"),
         (F.countDistinct("doc_id") == F.count(F.lit(1))).alias("reps_distinct"),
         (
-            (F.min("centroid_cosine") >= -1.000001)
+            (F.min("centroid_cosine") >= -1e-6)
             & (F.max("centroid_cosine") <= 1.000001)
         ).alias("cosine_ok"),
     )
