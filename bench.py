@@ -169,25 +169,35 @@ def _final_line(
         (dict(list(sparse.items())[:4]), True),
         ({}, True),
     ]
-    for q_nd in (3, 2):
-        for sp, floored in spread_options:
-            for sc in (scale, None):
-                obj: dict = {
-                    "metric": "headline_suite_total",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": {k: round(v, q_nd) for k, v in timings.items()},
-                    "spread": sp,
-                }
-                if floored:
-                    obj["spread_floor"] = _SPREAD_FLOOR
-                if sc is not None:
-                    obj["sf10_equiv"] = sc
-                obj["sf"] = sf
-                obj["detail"] = "bench_detail.json"
-                line = json.dumps(obj, separators=(",", ":"))
-                if len(line) <= _MAX_LINE:
-                    return line
+    # Degradation order: drop the scale-smoke summary LAST (it exists
+    # nowhere else in the captured line), thin the spread before shaving
+    # the 3rd decimal off medians.
+    combos = sorted(
+        (
+            (sc is None, sp_rank, 3 - q_nd, sp, floored, q_nd, sc)
+            for sp_rank, (sp, floored) in enumerate(spread_options)
+            for q_nd in (3, 2)
+            for sc in ((scale, None) if scale is not None else (None,))
+        ),
+        key=lambda c: (c[0], c[1], c[2]),
+    )
+    for _, _, _, sp, floored, q_nd, sc in combos:
+        obj: dict = {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, q_nd) for k, v in timings.items()},
+            "spread": sp,
+        }
+        if floored:
+            obj["spread_floor"] = _SPREAD_FLOOR
+        if sc is not None:
+            obj["sf10_equiv"] = sc
+        obj["sf"] = sf
+        obj["detail"] = "bench_detail.json"
+        line = json.dumps(obj, separators=(",", ":"))
+        if len(line) <= _MAX_LINE:
+            return line
     # last resort: totals only (never expected with ~71 queries at 2dp)
     return json.dumps(
         {

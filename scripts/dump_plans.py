@@ -17,6 +17,8 @@ SHOW = [
     ("q10_returned_items", "TakeOrderedAndProject top-k; returnflag pushed to scan"),
     ("q_events_asof_attribution", "single user_id shuffle; sorted window as-of"),
     ("dedup_minhash_lsh", "band-bucket equi-join candidates; no cartesian"),
+    ("dedup_simhash", "codegen 60-sum signature aggregate; 15-bit band join"),
+    ("ann_lsh_topk", "Arrow einsum signatures; scalar-only candidate exchange"),
     ("ann_ivf_topk", "broadcast codebook relation; per-query-partition top-k"),
     ("ann_ivf_trained_topk", "in-engine trained codebook; keyed assignment windows"),
     ("q_nation_segment_pivot", "single-pass pivot with enumerated categories"),

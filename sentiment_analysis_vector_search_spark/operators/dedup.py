@@ -400,42 +400,40 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {_SIM_HAMMING}
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The signature is per-document, so compute it row-local with array
-    # higher-order functions: zero data-sized shuffles (the oracle's
-    # tok/tf/sums CTEs shuffle twice; summing +-1 per token == summing
-    # +-tf per distinct word). The signature loop is ~64×tokens closure
-    # evals per doc — fan it out so it doesn't serialize on a single scan
-    # split. The only remaining shuffle is the band-bucket self-join.
+    # Signature via explode + ONE partial-aggregable groupBy with 60
+    # conditional sums — the oracle's own formulation, and whole-stage
+    # codegen end-to-end. The r4 row-local higher-order-function variant
+    # avoided this shuffle but paid ~64 INTERPRETED closure evals per
+    # token; the 100x scale smoke measured that at >8 minutes while this
+    # codegen form stays linear (summing +-1 per token == summing +-tf
+    # per distinct word, so the tf stage is folded away; the shuffle
+    # carries 60 combined longs per doc per map partition, not tokens).
     docs = fan_out(spark, table(spark, sf_dir, "documents"))
-    toks_sql = r"filter(split(lower(text), '\\s+'), w -> w <> '')"
-    sig = (
-        docs.select("doc_id", F.expr(toks_sql).alias("toks"))
-        # empty docs carry no tokens: drop them like the explode path does,
-        # otherwise they'd all collide on simhash 0.
-        .where(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(toks, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"
-            ).alias("hs"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"aggregate(hs, array_repeat(0L, {_SIM_BITS}), "
-                f"(acc, h) -> zip_with(acc, sequence(0, {_SIM_BITS - 1}), "
-                "(a, i) -> a + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END)))"
-            ).alias("sums"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"aggregate(zip_with(sums, sequence(0, {_SIM_BITS - 1}), "
-                "(s, i) -> CASE WHEN s > 0 THEN shiftleft(1L, i) ELSE 0L END), "
-                "0L, (acc, x) -> acc + x)"
-            ).alias("simhash"),
-        )
+    # explode_outer + isNotNull, NOT explode: InferFiltersFromGenerate
+    # would push a size()>0 filter below the generate and re-evaluate the
+    # computed token array twice per row.
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')")
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    bits = toks.select("doc_id", md5_long(F.col("word")).alias("h"))
+    sums = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"s{i}")
+            for i in range(_SIM_BITS)
+        ]
     )
+    sig_col = None
+    for i in range(_SIM_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig_col = term if sig_col is None else sig_col + term
+    sig = sums.select("doc_id", sig_col.cast("bigint").alias("simhash"))
     bands = (
         sig.select(
             "doc_id",

@@ -42,7 +42,11 @@ def get_spark(app_name: str = "sentiment_analysis_vector_search_spark", shuffle_
         # events.parquet stores TIMESTAMP(NANOS); read as long and convert
         # in catalog.table (Spark has no native nanos timestamp type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver == executors, so "driver" memory is
+        # the WHOLE engine heap. 24g leaves the 10-100x scale smoke
+        # (bench_scale: ~50M-row checkpointed shingle relations + join
+        # execution memory) comfortable on the 128 GiB box; 8g OOM'd it.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -199,38 +199,54 @@ GROUP BY user_id
 """
 
 
-def _user_stats_fn(key, pdf_iter, state):
-    """Accumulate (n, exact decimal total) for one user across batches."""
-    from decimal import ROUND_HALF_UP, Decimal
+_VU_SCALE = 10**10  # decimal(…,10) fixed-point: 1 unit = 1e-10
 
-    q = Decimal("1e-10")  # decimal(30,10) addend cast, as in stable.dsum
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Accumulate (n, exact fixed-point total) for one user across batches.
+
+    The per-value decimal quantization happens JVM-SIDE before the Python
+    stage (cast to decimal(20,10) — Spark's BigDecimal.valueOf shortest-
+    repr HALF_UP, exactly stable.dsum's addend cast — scaled to integer
+    1e-10 units). State math is then a vectorized int64 sum per batch
+    instead of a per-row Python Decimal loop (r4's 2.8s was ~100k Decimal
+    constructions per drain); one exact Decimal division per emitted row
+    converts units back to the correctly-rounded double, so the output
+    still hash-matches the batch sql_dsum oracle bit-for-bit.
+    """
+    from decimal import Decimal
+
     if state.exists:
-        n, total_str = state.get
-        total = Decimal(total_str)
+        n, units = state.get
     else:
-        n, total = 0, Decimal(0)
+        n, units = 0, 0
     for pdf in pdf_iter:
         n += len(pdf)
-        for v in pdf["value"]:
-            # repr(), not Decimal(float): shortest-repr decimalization is
-            # what Spark's double→decimal cast (BigDecimal.valueOf) does;
-            # the raw binary expansion differs at the 1e-10 boundary.
-            total += Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)
-    state.update((n, str(total)))
+        units += int(pdf["vu"].sum())
+    state.update((n, units))
     import pandas as pd
 
+    total = float(Decimal(units) / Decimal(_VU_SCALE))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [float(total)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 
 @register("stream_stateful_user_stats", oracle=_USTATS_ORACLE)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _event_stream(spark, sf_dir)
-    out = src.groupBy("user_id").applyInPandasWithState(
+    # typed decimal(11,0) multiplier: decimal(20,10) x bigint would trigger
+    # allowPrecisionLoss scale reduction (silently truncating units);
+    # (20,10) x (11,0) -> (32,10), exact, then an exact bigint cast.
+    vu = (
+        F.col("value").cast("decimal(20,10)")
+        * F.lit(_VU_SCALE).cast("decimal(11,0)")
+    ).cast("bigint")
+    ev = src.select("user_id", "ts", vu.alias("vu"))
+    out = ev.groupBy("user_id").applyInPandasWithState(
         _user_stats_fn,
         outputStructType="user_id bigint, n_events bigint, total_value double",
-        stateStructType="n bigint, total string",
+        stateStructType="n bigint, units bigint",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
