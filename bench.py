@@ -53,6 +53,15 @@ HEADLINE = [
     "q_events_json",
     "q7_nation_trade",
     "q13_order_count_dist",
+    # relational_tpch2
+    "q2_min_cost_supplier",
+    "q8_national_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
     # relational_ext
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -110,6 +119,11 @@ HEADLINE = [
     # materializes the identical LSH candidate subplan as its input, so its
     # cost is already measured there once.
     "dedup_components",
+    "dedup_keep_canonical",
+    # curation2
+    "pack_sequences",
+    "corpus_vocab_stats",
+    "emb_quality_audit",
     # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",
@@ -132,6 +146,8 @@ HEADLINE = [
 def _time_queries(
     spark, queries, names, sf_dir: str, reps: int
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    import gc
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
@@ -143,6 +159,13 @@ def _time_queries(
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # Query isolation: drop the Python references to each rep's plan so
+        # the ContextCleaner can unpersist its localCheckpoint/cache blocks
+        # BEFORE the next query runs — without this, checkpoint blocks from
+        # the shingle-heavy dedup queries linger and inflate whatever runs
+        # after them (measured: dedup_simhash 2.3s standalone vs 5.8s
+        # in-suite behind minhash+jaccard).
+        gc.collect()
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = round(max(runs) - min(runs), 3)
         raw[name] = [round(r, 3) for r in runs]
@@ -176,7 +199,7 @@ def _final_line(
         (
             (sc is None, sp_rank, 3 - q_nd, sp, floored, q_nd, sc)
             for sp_rank, (sp, floored) in enumerate(spread_options)
-            for q_nd in (3, 2)
+            for q_nd in (3, 2, 1)
             for sc in ((scale, None) if scale is not None else (None,))
         ),
         key=lambda c: (c[0], c[1], c[2]),

@@ -1,0 +1,197 @@
+"""Second curation suite: training-shard packing and corpus audits —
+the steps between a cleaned corpus and the tensors a trainer reads.
+
+- ``pack_sequences`` — deterministic token-budget sequence packing:
+  documents are laid out in doc_id order within each source shard, and
+  each document joins the training sequence (bin) in which its first
+  token falls (``floor(tokens_before / budget)``). One window over the
+  pre-computed per-doc token counts — no iterative bin-packing, no
+  driver loop. A document that straddles a boundary belongs to the bin
+  it starts in (its tail is the bin's overflow — the usual
+  concat-then-chunk training layout, where chunk boundaries need not
+  align with document boundaries).
+- ``corpus_vocab_stats`` — per-source vocabulary audit: token volume,
+  distinct types, type/token ratio, hapax fraction. The classic
+  quick-look for corpus diversity and boilerplate collapse.
+- ``emb_quality_audit`` — embedding-table QA: per label, vector counts,
+  dimension consistency, NaN and zero-norm counts, and decimal-stable
+  norm statistics. The gate you run before trusting 100 TB of vectors.
+
+Scale notes: packing windows are partitioned by the shard key (source
+here; a hash bucket at 100 TB) so no global sort exists; vocab stats are
+two partial-agg-friendly groupBys over an exploded token stream; the
+embedding audit is one map-side pass + one small groupBy. Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.stable import dsum, sql_dec2double, sql_vardec
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+           AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tokens_before
+  FROM toks
+)
+SELECT source,
+       cast(floor(tokens_before / {_PACK_BUDGET}) as bigint) AS seq_id,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS seq_tokens,
+       round(sum(n_tokens) * 1.0 / {_PACK_BUDGET}, 6) AS fill_ratio
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')")
+    ).cast("bigint")
+    toks = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    seq_id = F.floor(F.col("tokens_before") / _PACK_BUDGET).cast("bigint")
+    return (
+        placed.groupBy("source", seq_id.alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.round(F.sum("n_tokens") * F.lit(1.0) / _PACK_BUDGET, 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_stats
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT source, word, count(*) AS c FROM tok WHERE word <> '' GROUP BY 1, 2
+)
+SELECT source,
+       cast(sum(c) as bigint) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+       cast(sum(case when c = 1 then 1 else 0 end) as bigint) AS hapax_types,
+       round(sum(case when c = 1 then 1 else 0 end) * 1.0 / count(*), 6)
+         AS hapax_fraction
+FROM wc
+GROUP BY source
+"""
+
+
+@register("corpus_vocab_stats", oracle=_VOCAB_ORACLE)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode_outer(
+            F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')")
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    wc = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        hapax.alias("hapax_types"),
+        F.round(hapax * F.lit(1.0) / F.count(F.lit(1)), 6).alias("hapax_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_quality_audit
+# ---------------------------------------------------------------------------
+
+# Norms fold the squared terms in list order on both engines
+# (F.aggregate over zip_with ≡ DuckDB list_dot_product — the same parity
+# dedup_embedding relies on), and sqrt is IEEE-correctly-rounded, so the
+# per-vector norm is bit-identical; cross-vector statistics then go
+# through the decimal-stable sum.
+_EMB_AUDIT_ORACLE = f"""
+WITH v AS (
+  SELECT label, vec_id,
+         cast(embedding as double[]) AS e,
+         len(embedding) AS dim,
+         len(list_filter(cast(embedding as double[]), x -> isnan(x))) AS n_nan
+  FROM embeddings
+), n AS (
+  SELECT label, vec_id, dim, n_nan,
+         sqrt(list_dot_product(e, e)) AS nrm
+  FROM v
+)
+SELECT label,
+       count(*) AS n_vecs,
+       cast(min(dim) as int) AS min_dim,
+       cast(max(dim) as int) AS max_dim,
+       cast(sum(case when n_nan > 0 then 1 else 0 end) as bigint) AS n_nan_vecs,
+       cast(sum(case when nrm = 0.0 then 1 else 0 end) as bigint) AS n_zero_vecs,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round({sql_dec2double(f"sum({sql_vardec('nrm')})")} / count(*), 6) AS avg_norm
+FROM n
+GROUP BY label
+"""
+
+
+@register("emb_quality_audit", oracle=_EMB_AUDIT_ORACLE)
+def emb_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.size("embedding").alias("dim"),
+    )
+    n_nan = F.size(F.expr("filter(e, x -> isnan(x))"))
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double),"
+            " (acc, x) -> acc + x)"
+        )
+    )
+    per_vec = emb.select("label", "dim", n_nan.alias("n_nan"), nrm.alias("nrm"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0)).alias("n_nan_vecs"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero_vecs"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(dsum(F.col("nrm")) / F.count(F.lit(1)), 6).alias("avg_norm"),
+    )

@@ -778,8 +778,18 @@ def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=True)
     )
-    edges = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    return _components_from_pairs(pairs)
+
+
+def _components_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Min-label connected components over a 2-column pair frame.
+
+    ``pairs`` must already be materialized (checkpointed/persisted) — it
+    is read by both union branches below. Returns (id, component).
+    """
+    edges = pairs.toDF("pa", "pb")
+    edges = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).toDF("a", "b")
     # Self-loops fold the "keep own label" branch into the neighbor-min
     # aggregate: each round is then ONE keyed join + ONE groupBy instead of
@@ -831,3 +841,80 @@ def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = new_sum
     edges_sl.unpersist()
     return comp
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_canonical — the end-to-end dedup endpoint a corpus pipeline
+# actually runs: minhash-LSH candidates → exact-Jaccard verify (>= τ) →
+# connected components → canonical survivor (min doc_id) per near-dup
+# group. Composes the machinery above: one shingle materialization, one
+# banded candidate join, one fixpoint — each stage already individually
+# scale-audited. Output covers every doc that belongs to some near-dup
+# group (singletons pass through a dedup untouched, so they carry no
+# information here); `is_duplicate` rows are exactly what a keep-filter
+# anti-joins out of the corpus. The oracle replays the identical
+# pipeline with a recursive CTE for the fixpoint.
+# ---------------------------------------------------------------------------
+
+_KEEP_ORACLE = f"""
+WITH RECURSIVE {_SQL_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs()}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  {_sql_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT v.doc_a, v.doc_b
+  FROM ver v
+  JOIN sizes sa ON sa.doc_id = v.doc_a
+  JOIN sizes sb ON sb.doc_id = v.doc_b
+  WHERE round(v.shared * 1.0 / (sa.sz + sb.sz - v.shared), 6) >= {_JACCARD_T}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+), cc AS (
+  SELECT id, min(comp) AS canonical FROM reach GROUP BY id
+)
+SELECT id AS doc_id,
+       canonical AS canonical_doc_id,
+       count(*) OVER (PARTITION BY canonical) AS group_size,
+       id <> canonical AS is_duplicate
+FROM cc
+"""
+
+
+@register("dedup_keep_canonical", oracle=_KEEP_ORACLE)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard") >= _JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", _CC_PARTS)
+    try:
+        comp = _components_from_pairs(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("group_size"),
+        (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )

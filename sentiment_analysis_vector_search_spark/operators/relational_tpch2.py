@@ -1,0 +1,466 @@
+"""Second extended relational suite: the remaining classic TPC-H query
+shapes (Q2/Q8/Q9/Q11/Q12/Q15/Q20/Q21), adapted to the available star
+schema. The testdata has no ``partsupp`` table and no commit/receipt
+dates, so the queries that depend on them derive an equivalent relation
+from ``lineitem`` (Q2/Q11/Q20: per-(part, supplier) supply stats) or
+substitute an available attribute with the same analytical shape
+(Q12: order priority classes; Q21: return flags as the "late" signal).
+What matters — and what is preserved — is the PLAN shape each query
+exercises: decorrelated per-group minima (Q2), dual-role dimension
+joins (Q8), multi-dim star joins with computed measures (Q9), global
+scalar thresholds (Q11/Q15), two-level aggregate semi-joins (Q20), and
+correlated EXISTS / NOT EXISTS against the same fact table (Q21, whose
+oracle is the textbook correlated form while the engine runs the
+decorrelated one-pass aggregation — the parity check proves the
+rewrite).
+
+Scale notes: every query filters facts before joining, broadcasts true
+dimensions (region/nation/supplier/part after their filters), keeps
+fact-fact joins keyed on orderkey/partkey (bucket-able at 100 TB), and
+derives global scalars from already-aggregated relations crossed in via
+a broadcast of ONE row — never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import table
+from ..functions.stable import (
+    DEC,
+    dsum,
+    sql_dec2double,
+    sql_dsum,
+    sql_vardec,
+)
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier (TPC-H Q2 shape). The supply relation is
+# derived from lineitem (min observed unit price per part+supplier — the
+# schema has no partsupp). The correlated "cost = (select min ...)"
+# subquery is decorrelated into a per-part window minimum over the
+# already-aggregated supply rows; dims broadcast. Unit price is one IEEE
+# double division — bit-identical on both engines — so the equality
+# against the window minimum is exact.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), costs AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM supply JOIN part ON pk = p_partkey
+  JOIN eur ON sk = s_suppkey
+  WHERE p_size <= 15 AND p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM costs WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    costs = supply.join(broadcast(part), supply.pk == part.p_partkey).join(
+        broadcast(eur), supply.sk == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share (TPC-H Q8). The nation dimension plays two
+# roles — customer nation (restricting to region AMERICA) and supplier
+# nation (the share numerator) — exercising a dual-alias broadcast join.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_3"
+
+_Q8_NAT_REV = (
+    f"case when sn.n_name = '{_Q8_NATION}' "
+    "then l_extendedprice * (1 - l_discount) else 0.0 end"
+)
+_Q8_NUM = sql_dec2double(f"sum({sql_vardec(_Q8_NAT_REV)})")
+_Q8_DEN = sql_dec2double(f"sum({sql_vardec('l_extendedprice * (1 - l_discount)')})")
+
+_Q8_ORACLE = f"""
+SELECT year(o_orderdate) AS o_year,
+       round({_Q8_NUM} / {_Q8_DEN}, 6) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+GROUP BY 1
+"""
+
+
+@register("q8_national_share", oracle=_Q8_ORACLE)
+def q8_national_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("sn.n_name") == _Q8_NATION, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(broadcast(region), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(dsum(nat_rev) / dsum(rev), 6).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: product-type profit (TPC-H Q9 shape). The schema has no
+# ps_supplycost, so cost is proxied by 10% of the part's retail price per
+# unit — the measure is still a multi-column arithmetic expression
+# crossing lineitem and a broadcast part, aggregated by supplier nation
+# and ship year.
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1', 'sum_profit')},
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: important stock (TPC-H Q11 shape). Per-part value held by two
+# nations' suppliers, kept where the part exceeds a fraction of the
+# GLOBAL total — the global scalar is computed from the already-
+# aggregated per-part relation and crossed in as a broadcast single row
+# (never a driver-side collect). Both engines compare the same
+# correctly-rounded doubles.
+# ---------------------------------------------------------------------------
+
+_Q11_NATIONS = ("NATION_7", "NATION_12")
+_Q11_FRACTION = 0.001
+
+_Q11_ORACLE = f"""
+WITH val AS (
+  SELECT l_partkey, sum({sql_vardec('l_extendedprice')}) AS value_d
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('{_Q11_NATIONS[0]}', '{_Q11_NATIONS[1]}')
+  GROUP BY 1
+)
+SELECT l_partkey, {sql_dec2double('value_d')} AS part_value
+FROM val, (SELECT sum(value_d) AS total FROM val)
+WHERE {sql_dec2double('value_d')} > {_Q11_FRACTION} * {sql_dec2double('total')}
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*_Q11_NATIONS)
+    )
+    val = (
+        li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_d"))
+    )
+    total = val.agg(F.sum("value_d").alias("total"))
+    return (
+        val.crossJoin(broadcast(total))
+        .where(
+            F.col("value_d").cast("double")
+            > F.lit(_Q11_FRACTION) * F.col("total").cast("double")
+        )
+        .select("l_partkey", F.col("value_d").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12: priority shipping audit (TPC-H Q12 shape). The schema has no
+# shipmode/commit/receipt dates; the return flag partitions lineitems and
+# the order-priority classes supply the conditional counts — the same
+# selective fact-fact join + dual conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) AS high_line_count,
+       cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH') then 1 else 0 end) as bigint) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+GROUP BY 1
+"""
+
+
+@register("q12_priority_shipping", oracle=_Q12_ORACLE)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier (TPC-H Q15). Revenue per supplier over one quarter,
+# then keep the supplier(s) achieving the global maximum — the classic
+# "create view + max over the view" expressed as one plan: the scalar max
+# comes from the aggregated relation itself and joins back by value
+# equality (exact: both engines produce identical decimal-summed
+# doubles).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01' AND l_shipdate < timestamp '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no,
+     (SELECT max(total_revenue) AS mx FROM rev)
+WHERE total_revenue = mx
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: part promotion (TPC-H Q20 shape). Suppliers (in region ASIA) who
+# shipped more than half of a 'small%' part's total 1997 volume — the
+# partsupp availqty predicate becomes a two-level aggregation over
+# lineitem (per part+supplier, then per part) with a semi-join up to the
+# supplier dimension. Exactly Q20's nested-IN plan: aggregate, compare
+# against a correlated aggregate, semi-join.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum({sql_vardec('l_quantity')}) AS qty_d
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1997-01-01' AND l_shipdate < timestamp '1998-01-01'
+  GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, sum(qty_d) AS tot_d FROM ps GROUP BY 1
+), big AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN pt USING (l_partkey)
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND {sql_dec2double('qty_d')} > 0.5 * {sql_dec2double('tot_d')}
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN big ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+ORDER BY s_name
+"""
+
+
+@register("q20_part_promotion", oracle=_Q20_ORACLE)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_d")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty_d").alias("tot_d"))
+    big = (
+        ps.join(pt, "l_partkey")
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            F.col("qty_d").cast("double") > F.lit(0.5) * F.col("tot_d").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(broadcast(big), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting (TPC-H Q21 shape). The oracle is
+# the textbook correlated EXISTS / NOT EXISTS double self-join on
+# lineitem; the engine runs the decorrelated equivalent — ONE pass
+# aggregating lineitem per (order, supplier), one per order, then a
+# filter — because at 100 TB two extra self-joins of the largest fact
+# table are exactly what you design away. The driver's hash-match proves
+# the rewrite is semantics-preserving. The "late" signal is the return
+# flag (the schema has no commit/receipt dates): a supplier kept order o
+# waiting if it returned lines in o while no OTHER supplier of o did,
+# and o has at least two suppliers and finished status.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("q21_waiting_suppliers", oracle=_Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders_f = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = table(spark, sf_dir, "supplier")
+    # one aggregation pass replaces l1, l2 (EXISTS) and l3 (NOT EXISTS):
+    # per (order, supplier) count returned lines; per order count
+    # suppliers and returning suppliers.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
+    )
+    ordstats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("r_lines") > 0, 1).otherwise(0)).alias("n_r_supp"),
+    )
+    waiting = (
+        pairs.join(ordstats, "l_orderkey")
+        .where(
+            (F.col("r_lines") > 0) & (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
+        )
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        waiting.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        # numwait counts qualifying l1 ROWS, i.e. returned lines, not
+        # distinct orders — sum the per-pair line counts.
+        .agg(F.sum("r_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

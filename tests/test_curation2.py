@@ -1,0 +1,58 @@
+import pytest
+
+from tests.parity import assert_parity
+
+CURATION2 = ["pack_sequences", "corpus_vocab_stats", "emb_quality_audit"]
+
+
+@pytest.mark.parametrize("name", CURATION2)
+def test_curation2_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_keep_canonical_parity(spark, sf_dir):
+    assert_parity(spark, "dedup_keep_canonical", sf_dir)
+
+
+def test_pack_sequences_bins_contiguous(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["pack_sequences"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    for src, grp in df.groupby("source"):
+        seqs = sorted(grp["seq_id"])
+        # a bin is skipped only if a single doc spans more than a full
+        # budget; with the ~55-token docs in the corpus bins are contiguous
+        assert seqs == list(range(len(seqs)))
+        # every bin except possibly the last holds at least a budget's
+        # worth of starts-before tokens minus the straddle — fill > 0
+        assert (grp["seq_tokens"] > 0).all()
+        assert (grp["n_docs"] > 0).all()
+
+
+def test_keep_canonical_invariants(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_keep_canonical"](spark, sf_dir).toPandas()
+    if len(df) == 0:
+        pytest.skip("no near-dup groups at this sf")
+    # canonical is the minimum doc_id of its group
+    assert (df.groupby("canonical_doc_id")["doc_id"].transform("min") == df["canonical_doc_id"]).all()
+    # exactly one non-duplicate (the canonical itself) per group
+    keepers = df[~df["is_duplicate"]]
+    assert (keepers["doc_id"] == keepers["canonical_doc_id"]).all()
+    assert keepers["canonical_doc_id"].is_unique
+    # group_size matches the actual member count
+    sizes = df.groupby("canonical_doc_id")["doc_id"].count()
+    got = df.drop_duplicates("canonical_doc_id").set_index("canonical_doc_id")["group_size"]
+    assert (sizes == got).all()
+
+
+def test_emb_quality_audit_clean_corpus(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["emb_quality_audit"](spark, sf_dir).toPandas()
+    assert (df["min_dim"] == 64).all() and (df["max_dim"] == 64).all()
+    assert (df["n_nan_vecs"] == 0).all()
+    assert (df["min_norm"] > 0).all()
+    assert (df["min_norm"] <= df["max_norm"]).all()

@@ -1,0 +1,57 @@
+import pytest
+
+from tests.parity import assert_parity
+
+TPCH2 = [
+    "q2_min_cost_supplier",
+    "q8_national_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH2)
+def test_tpch2_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_q2_rows_hit_per_part_minimum(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q2_min_cost_supplier"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    # every surviving row's unit_cost is the minimum for its part
+    assert (df.groupby("p_partkey")["unit_cost"].transform("min") == df["unit_cost"]).all()
+
+
+def test_q21_matches_correlated_exists_form(spark, sf_dir):
+    """The engine runs the decorrelated aggregation; re-run the textbook
+    EXISTS/NOT EXISTS form through spark.sql over registered views and
+    check both plans agree — the same rewrite-equivalence the DuckDB
+    oracle checks, but executed by Spark itself."""
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.catalog import register_views
+    from sentiment_analysis_vector_search_spark.operators.relational_tpch2 import (
+        _Q21_ORACLE,
+    )
+
+    register_views(spark, sf_dir)
+    got = entrymod.queries()["q21_waiting_suppliers"](spark, sf_dir).toPandas()
+    want = spark.sql(_Q21_ORACLE).toPandas()
+    got = got.sort_values(["numwait", "s_name"], ascending=[False, True], ignore_index=True)
+    want = want.sort_values(["numwait", "s_name"], ascending=[False, True], ignore_index=True)
+    assert got["s_name"].tolist() == want["s_name"].tolist()
+    assert got["numwait"].tolist() == want["numwait"].tolist()
+
+
+def test_q15_returns_global_max(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q15_top_supplier"](spark, sf_dir).toPandas()
+    assert len(df) >= 1
+    assert df["total_revenue"].nunique() == 1
