@@ -479,14 +479,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EMB_T = 0.5
-# 40 planes -> 8 bands x 5 bits: P(bucket collision | random pair) = 1/32
+# 8 bands x 5 bits (default): P(bucket collision | random pair) = 1/32
 # per band (candidate volume stays near-linear in n; 2-bit bands collide at
 # 1/4 and degenerate to O(n^2) candidates - measured 36 s for 2k vectors),
 # while a true near-dup pair (cosine >= 0.5) collides in >= 1 band with
 # p ~ 1-(1-(2/3)^5)^8 ~ 0.68.
-_EMB_PLANES = hyperplanes(40, 64, seed=7)
+#
+# BAND WIDTH IS THE SCALE KNOB: expected candidate pairs per band grow as
+# n^2 / 2^bits, so the 5-bit default that is linear at 10^4 vectors
+# degenerates around 10^6 — the r4 scale smoke measured components ~1x
+# linear at 10x vectors for exactly this reason. At larger corpora raise
+# SPARK_GRAFT_EMB_BAND_BITS (e.g. 12-16 at 10^8-10^9 vectors; recall per
+# band falls, so pair with more bands or a second LSH round + the exact
+# verify stage unchanged). The knob is read at import and the DuckDB
+# oracle text is GENERATED from the same constants, so parity holds at
+# any width — tests/test_dedup.py runs the parity suite in a subprocess
+# with a non-default width to pin that.
 _EMB_BANDS = 8
-_EMB_BAND_BITS = 5
+_EMB_BAND_BITS = int(os.environ.get("SPARK_GRAFT_EMB_BAND_BITS", "5"))
+_EMB_PLANES = hyperplanes(_EMB_BANDS * _EMB_BAND_BITS, 64, seed=7)
 
 
 def _sql_emb_bit_cols() -> str:

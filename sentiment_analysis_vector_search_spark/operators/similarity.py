@@ -21,6 +21,7 @@ two-phase (partial heap, merge) top-k, which preserves these semantics.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -107,8 +108,14 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact rerank. Recall < 1 by design; the oracle runs the same algorithm.
 # ---------------------------------------------------------------------------
 
-_PLANES = hyperplanes(8, 64, seed=7)  # same family as dedup_embedding
+# Band width is the scale knob (see dedup.py's embedding-LSH notes): per
+# query, expected candidates per band ~ n / 2^bits, so the 2-bit default
+# that suits 10^4 vectors needs 12-16 bits at 10^8-10^9 to keep the
+# rerank bounded. Read at import; the oracle text is generated from the
+# same constants, so parity holds at any width.
 _LSH_BANDS = 4
+_LSH_BAND_BITS = int(os.environ.get("SPARK_GRAFT_ANN_BAND_BITS", "2"))
+_PLANES = hyperplanes(_LSH_BANDS * _LSH_BAND_BITS, 64, seed=7)  # same family as dedup_embedding
 
 
 def _sql_sig_cols(vec: str) -> str:
@@ -119,10 +126,16 @@ def _sql_sig_cols(vec: str) -> str:
 
 
 def _sql_bands(src: str, id_col: str, keep: str) -> str:
-    return "\nUNION ALL\n".join(
-        f"SELECT {id_col}, {keep}, {b} AS band, bit{2 * b} * 2 + bit{2 * b + 1} AS bucket FROM {src}"
-        for b in range(_LSH_BANDS)
-    )
+    selects = []
+    for b in range(_LSH_BANDS):
+        bucket = " + ".join(
+            f"bit{_LSH_BAND_BITS * b + r} * {1 << (_LSH_BAND_BITS - 1 - r)}"
+            for r in range(_LSH_BAND_BITS)
+        )
+        selects.append(
+            f"SELECT {id_col}, {keep}, {b} AS band, {bucket} AS bucket FROM {src}"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 _LSH_ORACLE = f"""
@@ -202,7 +215,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             vmat = flat.reshape(n, dim)
             nrm = np.sqrt(np.einsum("ij,ij->i", vmat, vmat))
             bits = (np.einsum("ij,kj->ik", vmat, b_pmat) > 0).astype(np.int64)
-            buckets = bits.reshape(n, _LSH_BANDS, 2) @ np.array([2, 1], dtype=np.int64)
+            weights = np.array(
+                [1 << (_LSH_BAND_BITS - 1 - r) for r in range(_LSH_BAND_BITS)],
+                dtype=np.int64,
+            )
+            buckets = bits.reshape(n, _LSH_BANDS, _LSH_BAND_BITS) @ weights
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_id,

@@ -50,3 +50,45 @@ def test_dedup_components_invariants(spark, sf_dir):
     for comp, members in by_comp.items():
         assert all(m.component_size == len(members) for m in members)
         assert min(m.id for m in members) == comp
+
+
+def test_emb_band_width_knob_keeps_parity():
+    """SPARK_GRAFT_EMB_BAND_BITS is the embedding-LSH scale knob (candidate
+    volume ~ n^2 / 2^bits per band). The oracle SQL is generated from the
+    same import-time constants, so parity must hold at ANY width — run the
+    dedup_embedding parity check in a subprocess with a non-default width."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from tests.conftest import SF_DIR\n"
+        "from tests.parity import assert_parity\n"
+        "from sentiment_analysis_vector_search_spark.session import get_spark\n"
+        "from sentiment_analysis_vector_search_spark.operators import dedup, similarity\n"
+        "assert dedup._EMB_BAND_BITS == 6, dedup._EMB_BAND_BITS\n"
+        "assert len(dedup._EMB_PLANES) == 48\n"
+        "assert similarity._LSH_BAND_BITS == 3, similarity._LSH_BAND_BITS\n"
+        "assert len(similarity._PLANES) == 12\n"
+        "spark = get_spark('band-knob', shuffle_partitions=8)\n"
+        "assert_parity(spark, 'dedup_embedding', SF_DIR)\n"
+        "assert_parity(spark, 'ann_lsh_topk', SF_DIR)\n"
+        "print('BAND_KNOB_OK')\n"
+    ) % repo
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_EMB_BAND_BITS="6",
+        SPARK_GRAFT_ANN_BAND_BITS="3",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=repo,
+    )
+    assert "BAND_KNOB_OK" in out.stdout, out.stderr[-2000:]
