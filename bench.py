@@ -180,60 +180,57 @@ def _final_line(
     sf: float | None,
     scale: dict | None,
 ) -> str:
-    """Most informative encoding of the result that fits _MAX_LINE chars."""
-    sparse = {
+    """Most informative encoding of the result that fits _MAX_LINE chars.
+
+    With 80+ queries even 1-decimal medians overflow the budget, so the
+    encoder keeps the SLOWEST K queries individually (they are what a
+    perf review audits) and folds the fast tail into one aggregate —
+    {"fast_omitted": {"n": …, "total": …}} — choosing the largest K that
+    fits. Complete numbers (all queries, spreads, raw reps) are always in
+    bench_detail.json, which is committed with the repo.
+    """
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    big_spread = {
         k: v
         for k, v in sorted(spread.items(), key=lambda kv: -kv[1])
         if v >= _SPREAD_FLOOR
     }
-    spread_options: list[tuple[dict, bool]] = [
-        (spread, False),  # complete
-        (sparse, True),
-        (dict(list(sparse.items())[:4]), True),
-        ({}, True),
-    ]
-    # Degradation order: drop the scale-smoke summary LAST (it exists
-    # nowhere else in the captured line), thin the spread before shaving
-    # the 3rd decimal off medians.
-    combos = sorted(
-        (
-            (sc is None, sp_rank, 3 - q_nd, sp, floored, q_nd, sc)
-            for sp_rank, (sp, floored) in enumerate(spread_options)
-            for q_nd in (3, 2, 1)
-            for sc in ((scale, None) if scale is not None else (None,))
-        ),
-        key=lambda c: (c[0], c[1], c[2]),
-    )
-    for _, _, _, sp, floored, q_nd, sc in combos:
+
+    def encode(k: int, q_nd: int, sp: dict, sc: dict | None) -> str:
+        kept = dict(by_cost[:k])
+        omitted = by_cost[k:]
         obj: dict = {
             "metric": "headline_suite_total",
             "value": total,
             "unit": "sec",
-            "queries": {k: round(v, q_nd) for k, v in timings.items()},
-            "spread": sp,
+            "queries": {n: round(v, q_nd) for n, v in kept.items()},
         }
-        if floored:
+        if omitted:
+            obj["fast_omitted"] = {
+                "n": len(omitted),
+                "total": round(sum(v for _, v in omitted), 2),
+            }
+        if sp:
+            obj["spread"] = sp
             obj["spread_floor"] = _SPREAD_FLOOR
         if sc is not None:
             obj["sf10_equiv"] = sc
         obj["sf"] = sf
         obj["detail"] = "bench_detail.json"
-        line = json.dumps(obj, separators=(",", ":"))
-        if len(line) <= _MAX_LINE:
-            return line
-    # last resort: totals only (never expected with ~71 queries at 2dp)
-    return json.dumps(
-        {
-            "metric": "headline_suite_total",
-            "value": total,
-            "unit": "sec",
-            "queries": {},
-            "spread": {},
-            "sf": sf,
-            "detail": "bench_detail.json",
-        },
-        separators=(",", ":"),
-    )
+        return json.dumps(obj, separators=(",", ":"))
+
+    # Preference order: keep the scale-smoke summary (it exists nowhere
+    # else in the captured line), then as many per-query medians as
+    # possible, then spread highlights, then the 3rd decimal.
+    n = len(by_cost)
+    for sc in ((scale, None) if scale is not None else (None,)):
+        for k in (n, *range(n - 1, 7, -4), 8):
+            for sp in (big_spread, dict(list(big_spread.items())[:3]), {}):
+                for q_nd in (3, 2):
+                    line = encode(k, q_nd, sp, sc)
+                    if len(line) <= _MAX_LINE:
+                        return line
+    return encode(0, 2, {}, None)
 
 
 def main() -> None:

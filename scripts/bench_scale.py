@@ -30,11 +30,13 @@ import time
 
 # query -> which tile multiplier its input tables got (for the ratio):
 # "doc" = documents/events tiling, "emb" = embeddings tiling.
-# The r4 verdict's top-5 by sf0.1 cost. dedup_simhash is deliberately NOT
-# here: its signature stage is per-row higher-order-function math whose
-# interpreted cost at 100x dominates the smoke's whole budget (measured
-# >8 min); if it joins the set it first needs the Arrow-einsum treatment
-# its cousins got.
+# The r4 verdict's top-5 by sf0.1 cost. dedup_simhash sits out on
+# wall-clock grounds only: since the codegen rewrite its 100x run is
+# linear (the old higher-order-function form measured >8 min), but
+# linear from a 2.2s sf0.1 base is still ~1-2 min — more than the whole
+# smoke budget buys for a query whose scale behavior is already proven.
+# Same for dedup_keep_canonical, whose dominant stage IS the minhash
+# already measured here.
 SCALE_QUERIES = {
     "dedup_minhash_lsh": "doc",
     "rag_retrieve": "doc",

@@ -27,6 +27,11 @@ SHOW = [
     ("decontaminate_ngrams", "broadcast eval-gram join; corpus spine never shuffled"),
     ("q7_nation_trade", "nation-annotated dims broadcast; one fact-fact shuffle"),
     ("q13_order_count_dist", "LEFT OUTER preserved; double partial-agg"),
+    ("q2_min_cost_supplier", "supply agg first; dims broadcast; window min per part"),
+    ("q21_waiting_suppliers", "decorrelated EXISTS: ONE lineitem scan, per-order windows"),
+    ("q11_important_stock", "global scalar threshold as broadcast single row"),
+    ("pack_sequences", "shard-partitioned packing window; no global sort"),
+    ("dedup_keep_canonical", "minhash candidates -> components -> canonical; no cartesian"),
 ]
 
 

@@ -439,22 +439,22 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey")
     supp = table(spark, sf_dir, "supplier")
     # one aggregation pass replaces l1, l2 (EXISTS) and l3 (NOT EXISTS):
-    # per (order, supplier) count returned lines; per order count
-    # suppliers and returning suppliers.
+    # per (order, supplier) count returned lines, then per-order supplier
+    # stats as WINDOWS over the aggregated pairs — not a groupBy + join
+    # back, which would recompute the pair aggregation (and rescan
+    # lineitem) for the second branch. One fact scan, one groupBy
+    # shuffle, one small re-exchange of the aggregated relation
+    # (tests/test_plans.py pins the single lineitem scan).
     pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r_lines")
     )
-    ordstats = pairs.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("r_lines") > 0, 1).otherwise(0)).alias("n_r_supp"),
+    wo = Window.partitionBy("l_orderkey")
+    stats = pairs.withColumn("n_supp", F.count(F.lit(1)).over(wo)).withColumn(
+        "n_r_supp", F.sum(F.when(F.col("r_lines") > 0, 1).otherwise(0)).over(wo)
     )
-    waiting = (
-        pairs.join(ordstats, "l_orderkey")
-        .where(
-            (F.col("r_lines") > 0) & (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
-        )
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-    )
+    waiting = stats.where(
+        (F.col("r_lines") > 0) & (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
+    ).join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         waiting.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -76,6 +76,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # r6 plan: pipeline_ops 8 + grouped_ml 1 (r3), relational_ext rest 11
 #   (r3), plus whatever r5 touches; relational/sentiment_ops/
 #   curation_ext/stream_ops/multimodal (r4) rotate r6/r7.
+#   Deferred-to-r6 perf work (would change out-of-window operators, which
+#   the rotation rule forbids mid-round): text_char_trigram_score
+#   (pipeline_ops.py) recomputes its 1.5M-row gram explode twice and
+#   shuffles it into the corpus-count join — materialize grams once and
+#   broadcast the (charset^3-bounded) corpus relation when pipeline_ops
+#   rotates in. stream_interval_join (2.7s) and the shared
+#   _drain_to_memory fixed cost likewise wait for stream_ops' rotation:
+#   the drain helper is shared by all six streaming ops, so touching it
+#   re-opens five queries that are out-of-window this round.
 # ---------------------------------------------------------------------------
 
 GRADED_WINDOW: list[str] = [

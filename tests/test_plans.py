@@ -197,3 +197,55 @@ def test_q13_left_outer_preserved(spark, sf_dir):
     # inner rewrite would silently drop the c_count=0 histogram bucket).
     plan = plan_str(QUERIES["q13_order_count_dist"](spark, sf_dir))
     assert "LeftOuter" in plan, plan
+
+
+def test_q2_supply_agg_then_broadcast_dims(spark, sf_dir):
+    # supply is aggregated from lineitem FIRST; part + EUROPE suppliers
+    # broadcast onto the aggregated relation. No dim may shuffle-join.
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    assert count_in_plan(df, "BroadcastHashJoin") >= 2, plan_str(df)
+    assert count_in_plan(df, "CartesianProduct") == 0
+
+
+def test_q8_q9_dims_broadcast(spark, sf_dir):
+    # Q8: part/region/supplier/both nation roles broadcast; Q9: all dims.
+    assert count_in_plan(QUERIES["q8_national_share"](spark, sf_dir), "BroadcastHashJoin") >= 4
+    assert count_in_plan(QUERIES["q9_product_profit"](spark, sf_dir), "BroadcastHashJoin") >= 3
+
+
+def test_q11_q15_global_scalar_is_broadcast(spark, sf_dir):
+    # The global total/max joins back as a broadcast single-row relation —
+    # never a driver-side collect (no LocalTableScan of a collected value).
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        plan = plan_str(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+            name,
+            plan,
+        )
+
+
+def test_q12_shipdate_pushed_to_scan(spark, sf_dir):
+    filters = " ".join(pushed_filters(QUERIES["q12_priority_shipping"](spark, sf_dir)))
+    assert "l_shipdate" in filters, filters
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    # The decorrelated rewrite's whole point: the textbook EXISTS/NOT
+    # EXISTS form scans lineitem THREE times (l1, l2, l3); the engine's
+    # aggregation form must scan it exactly once.
+    plan = plan_str(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    # The packing window must partition by the shard key (source) — a
+    # global unpartitioned window would serialize the corpus through one
+    # task at 100 TB.
+    plan = plan_str(QUERIES["pack_sequences"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_keep_canonical_no_cartesian(spark, sf_dir):
+    df = QUERIES["dedup_keep_canonical"](spark, sf_dir)
+    assert count_in_plan(df, "CartesianProduct") == 0, plan_str(df)
