@@ -6,13 +6,14 @@ uncompressed numbers to bench_detail.json next to this script.
 
 CAPTURE BUDGET: the round driver records only the LAST 2000 CHARS of
 stdout (BENCH_r04 was an unparseable mid-line cut because the full
-71-query line is ~4 KB). The final line is therefore emitted in the most
-informative encoding that fits _MAX_LINE chars: medians drop from 3 to 2
-decimals and the spread map degrades from complete → sparse (only entries
->= _SPREAD_FLOOR seconds, largest first; "spread_floor" names the cut) →
-empty, in that order. bench_detail.json always holds the complete 3-decimal
-medians, the complete spread, and the per-rep raw timings; per-query
-progress goes to stderr, which the driver does not capture.
+71-query line is ~4 KB, and with 83 queries even 1-decimal medians
+overflow). The final line keeps the scale-smoke summary, then the
+SLOWEST K queries individually (largest K that fits — what a perf
+review audits), folding the fast tail into {"fast_omitted": {n,
+total}}, then spread highlights, then the 3rd decimal.
+bench_detail.json always holds the complete 3-decimal medians, the
+complete spread, and the per-rep raw timings; per-query progress goes
+to stderr, which the driver does not capture.
 
 Each query is forced end-to-end with the `noop` sink (full execution, no
 driver-side collect) and timed SPARK_GRAFT_BENCH_REPS times (default 3);

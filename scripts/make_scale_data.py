@@ -101,6 +101,26 @@ def _events(spark: SparkSession, src: str, tiles: int) -> DataFrame:
     )
 
 
+def _lineitem(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    # l_orderkey offset per tile: 100x orders over the same part/supplier
+    # dims — how a real fact table grows (more transactions, same catalog).
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    rest = [c for c in li.columns if c != "l_orderkey"]
+    return _tiled(li, tiles).select(
+        (F.col("l_orderkey") + F.col("tile") * _EVENT_ID_OFFSET).alias("l_orderkey"),
+        *rest,
+    )
+
+
+def _orders(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    od = spark.read.parquet(f"{src}/orders.parquet")
+    rest = [c for c in od.columns if c != "o_orderkey"]
+    return _tiled(od, tiles).select(
+        (F.col("o_orderkey") + F.col("tile") * _EVENT_ID_OFFSET).alias("o_orderkey"),
+        *rest,
+    )
+
+
 def _write_single_file(df: DataFrame, out_dir: str, name: str) -> None:
     tmp = os.path.join(out_dir, f"_tmp_{name}")
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -109,12 +129,25 @@ def _write_single_file(df: DataFrame, out_dir: str, name: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _write_dir(df: DataFrame, out_dir: str, name: str) -> None:
+    # Facts that only Spark reads (no streaming pathGlobFilter, no DuckDB)
+    # can stay multi-part directories — a parallel write, and the layout a
+    # real table would have.
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
 def _manifest(src: str, tiles: int, emb_tiles: int) -> dict:
     fp = {}
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders"):
         st = os.stat(os.path.join(src, f"{t}.parquet"))
         fp[t] = [st.st_mtime_ns, st.st_size]
-    return {"tiles": tiles, "emb_tiles": emb_tiles, "src": src, "fingerprint": fp}
+    return {
+        "version": 2,  # v2: + tiled lineitem/orders, copied dims
+        "tiles": tiles,
+        "emb_tiles": emb_tiles,
+        "src": src,
+        "fingerprint": fp,
+    }
 
 
 def ensure_scale_data(
@@ -138,6 +171,13 @@ def ensure_scale_data(
     _write_single_file(_documents(spark, src, tiles), out, "documents")
     _write_single_file(_embeddings(spark, src, emb_tiles), out, "embeddings")
     _write_single_file(_events(spark, src, tiles), out, "events")
+    _write_dir(_lineitem(spark, src, tiles), out, "lineitem")
+    _write_dir(_orders(spark, src, tiles), out, "orders")
+    # dims unchanged — copy so any registered query runs against the dir
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copyfile(
+            os.path.join(src, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
+        )
     with open(manifest_path, "w") as f:
         json.dump(want, f)
     return out

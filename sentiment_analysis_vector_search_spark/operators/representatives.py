@@ -198,7 +198,29 @@ FROM (
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full final scored assignment: (sentiment, doc_id, cluster_id,
     centroid_cosine) for every vectorized document. Split out so tests can
-    assert the argmax-membership property over the complete assignment."""
+    assert the argmax-membership property over the complete assignment.
+
+    Iterate-state parallelism: the 5 Lloyd rounds run ~20 small stages
+    over a few-hundred-k-row term relation; under the session's default
+    shuffle width each stage pays full task-launch overhead for
+    kilobyte partitions. Pinned for the fit, restored after (same
+    discipline as dedup's _CC_PARTS); size to corpus/executors via the
+    env knob at real scale. Values are partitioning-independent by the
+    decimal-stable sums, so this cannot change results."""
+    import os as _os
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_KMEANS_PARTITIONS", "8"),
+    )
+    try:
+        return _kmeans_assignments_inner(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _kmeans_assignments_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sentiment_ops import classified
     from .text_ops import tfidf_vectors
 

@@ -164,3 +164,151 @@ def expire_partitions(
             shutil.rmtree(item_path)
             removed.append(value)
     return removed
+
+
+def write_with_manifest(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str],
+) -> dict:
+    """Write parquet + a per-file min/max stats manifest (data skipping).
+
+    Partition pruning only skips whole directories; at 100 TB the next
+    10-100x of scan avoidance comes from FILE-level skipping on clustered
+    columns — the core mechanic of Iceberg/Delta manifests, reproduced
+    here as a JSON sidecar built from the parquet footers (no data read).
+    Cluster the frame on the stats column first (``repartitionByRange`` +
+    ``sortWithinPartitions``) or the per-file ranges all overlap and
+    nothing can be skipped.
+
+    Supported stats domains: numbers and strings (timestamps: cast to an
+    ISO date/time string column first — lexicographic order matches time
+    order). Returns the manifest dict.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    df.write.mode("overwrite").parquet(path)
+    files = {}
+    base = path.rstrip("/")
+    for name in sorted(os.listdir(base)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(base, name))
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col_stats: dict = {}
+        for c in stats_cols:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                col_stats[c] = [lo, hi]
+        files[name] = col_stats
+    manifest = {"stats_cols": list(stats_cols), "files": files}
+    with open(os.path.join(base, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, default=str)
+    return manifest
+
+
+def manifest_prune(path: str, col: str, lo, hi) -> tuple[list[str], int]:
+    """File paths whose [min, max] range overlaps [lo, hi] (plus any file
+    with no stats for ``col`` — skipping is only safe when proven).
+    Returns (kept_paths, total_files)."""
+    import json
+    import os
+
+    base = path.rstrip("/")
+    with open(os.path.join(base, "_manifest.json")) as f:
+        manifest = json.load(f)
+    kept = []
+    for name, stats in manifest["files"].items():
+        rng = stats.get(col)
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            kept.append(os.path.join(base, name))
+    return kept, len(manifest["files"])
+
+
+def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
+    """Manifest-pruned read: opens only the files that can contain rows
+    with ``col`` in [lo, hi], then applies the precise filter (file
+    skipping is a superset guarantee, not a filter)."""
+    kept, _total = manifest_prune(path, col, lo, hi)
+    if not kept:
+        return (
+            spark.read.parquet(path)
+            .where(F.lit(False))
+            .where(F.col(col).between(lo, hi))
+        )
+    return spark.read.parquet(*kept).where(F.col(col).between(lo, hi))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+) -> list[str]:
+    """MERGE (upsert) into a hive-partitioned parquet dir: rows matching
+    ``keys`` are replaced, new keys inserted, and ONLY the partitions
+    present in the update batch are rewritten — the incremental-ingest
+    pattern (delete-and-insert by partition) that keeps a daily merge at
+    100 TB proportional to the day's data, not the table.
+
+    The update batch's distinct partition VALUES are collected (bounded
+    metadata, not data). Each affected partition is rebuilt as
+    (old ANTI-JOIN update-keys) UNION update-rows and atomically swapped
+    in; untouched partitions' files are never opened. LOCAL-FS ONLY (see
+    compact_dir); on object stores the swap is a table-format commit.
+    Returns the rewritten partition values.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    base = path.rstrip("/")
+    parts = sorted(
+        str(r[0])
+        for r in updates.select(partition_col).distinct().collect()
+    )
+    old = spark.read.parquet(base).where(F.col(partition_col).isin(parts))
+    merged = old.join(
+        updates.select(*keys).distinct(), list(keys), "left_anti"
+    ).unionByName(updates)
+    token = _uuid.uuid4().hex[:8]
+    tmp = f"{base}__merge_{token}"
+    (
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    for v in parts:
+        sub = f"{partition_col}={v}"
+        new_dir = os.path.join(tmp, sub)
+        dst = os.path.join(base, sub)
+        old_dir = f"{dst}__old_{token}"
+        had_old = os.path.isdir(dst)
+        if had_old:
+            os.rename(dst, old_dir)
+        try:
+            os.rename(new_dir, dst)
+        except OSError:
+            if had_old:
+                os.rename(old_dir, dst)
+            raise
+        if had_old:
+            shutil.rmtree(old_dir)
+    shutil.rmtree(tmp)
+    return parts

@@ -71,3 +71,30 @@ def test_tiling_counts_ids_and_structure(spark, sf_dir, tmp_path):
     )
     ev = spark.read.parquet(f"{out}/events.parquet")
     assert ev.select("user_id").distinct().count() == 3 * ev_src_users
+
+
+def test_tiling_relational_facts(spark, sf_dir, tmp_path):
+    out = ensure_scale_data(
+        spark, src=sf_dir, out=str(tmp_path / "tiled2"), tiles=3, emb_tiles=2
+    )
+    src_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    assert li.count() == 3 * src_li.count()
+    # orderkeys disjoint across tiles; per-order line structure preserved
+    assert (
+        li.select("l_orderkey").distinct().count()
+        == 3 * src_li.select("l_orderkey").distinct().count()
+    )
+    # dims copied verbatim so every registered query runs against the dir
+    assert spark.read.parquet(f"{out}/supplier.parquet").count() == (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    )
+    # orders tiled with the same offset constant: the lineitem⋈orders
+    # key relationship survives tiling (join hit count scales linearly)
+    orders = spark.read.parquet(f"{out}/orders.parquet")
+    src_hits = src_li.join(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).count()
+    hits = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert hits == 3 * src_hits

@@ -175,3 +175,84 @@ def test_expire_partitions(spark, sf_dir, tmp_path):
     # retained row count equals the original rows at-or-after the cutoff
     want = events.where(F.col("day") >= cutoff).count()
     assert left.count() == want
+
+
+def test_manifest_pruned_read_skips_files(spark, sf_dir, tmp_path):
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        manifest_prune,
+        read_pruned,
+        write_with_manifest,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_clustered")
+    clustered = orders.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+        "o_orderkey"
+    )
+    manifest = write_with_manifest(spark, clustered, path, ["o_orderkey"])
+    assert len(manifest["files"]) == 8
+    assert os.path.exists(os.path.join(path, "_manifest.json"))
+
+    lo, hi = 10, 60  # narrow key range → one or two of 8 range-files
+    kept, total = manifest_prune(path, "o_orderkey", lo, hi)
+    assert total == 8
+    assert 1 <= len(kept) <= 2, kept
+
+    got = read_pruned(spark, path, "o_orderkey", lo, hi)
+    # only the kept files are opened
+    assert set(got.inputFiles()) <= {f"file://{p}" for p in kept} | set(kept)
+    want = orders.where(F.col("o_orderkey").between(lo, hi))
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
+
+    # empty overlap → zero rows without error
+    assert read_pruned(spark, path, "o_orderkey", -100, -50).count() == 0
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "docs_merge")
+    write_partitioned(docs, path, partition_by=("lang",), sort_within=("doc_id",))
+
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    target_lang, other_lang = langs[0], langs[1]
+    before_other = {
+        f: os.path.getmtime(f"{path}/lang={other_lang}/{f}")
+        for f in os.listdir(f"{path}/lang={other_lang}")
+    }
+
+    some_id = docs.where(F.col("lang") == target_lang).agg(F.min("doc_id")).collect()[0][0]
+    updates = spark.createDataFrame(
+        [(int(some_id), "REPLACED TEXT", target_lang), (10**9, "BRAND NEW", target_lang)],
+        "doc_id bigint, text string, lang string",
+    )
+    rewritten = merge_upsert(spark, path, updates, keys=["doc_id"], partition_col="lang")
+    assert rewritten == [target_lang]
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("doc_id") == some_id).collect()[0].text == "REPLACED TEXT"
+    assert after.where(F.col("doc_id") == 10**9).count() == 1
+    # row count: +1 insert, replacement not duplicated
+    assert after.count() == docs.count() + 1
+    # untouched partition's files identical
+    after_other = {
+        f: os.path.getmtime(f"{path}/lang={other_lang}/{f}")
+        for f in os.listdir(f"{path}/lang={other_lang}")
+    }
+    assert after_other == before_other
+    # other-partition content untouched
+    assert after.where(F.col("lang") == other_lang).count() == docs.where(
+        F.col("lang") == other_lang
+    ).count()
