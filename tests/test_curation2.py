@@ -56,3 +56,62 @@ def test_emb_quality_audit_clean_corpus(spark, sf_dir):
     assert (df["n_nan_vecs"] == 0).all()
     assert (df["min_norm"] > 0).all()
     assert (df["min_norm"] <= df["max_norm"]).all()
+
+
+def test_pack_sequences_matches_python_reference(spark, tmp_path):
+    """Packing semantics vs a plain-Python reference on a synthetic corpus
+    (including empty docs and docs longer than the whole budget)."""
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.operators.curation2 import (
+        _PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = []
+    texts = {
+        1: "a b c",
+        2: " ".join(f"w{i}" for i in range(_PACK_BUDGET + 7)),  # spans > budget
+        3: "x",
+        4: "",
+        5: " ".join(f"v{i}" for i in range(200)),
+        6: "one two three four five six",
+    }
+    for doc_id, text in texts.items():
+        rows.append((doc_id, text, "en", "srcA", len(text)))
+        rows.append((doc_id + 100, text, "en", "srcB", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "packdata")
+    df.coalesce(1).write.parquet(d)
+    # pack_sequences reads <dir>/documents.parquet
+    import glob
+    import os
+
+    part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(d, "documents.parquet"))
+    shutil.rmtree(d + "/_SUCCESS", ignore_errors=True)
+
+    got = {
+        (r.source, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in pack_sequences(spark, d).collect()
+    }
+
+    # python reference: same rule — doc joins the bin its first token
+    # falls in; empty docs count 1 token ('' split yields [''], filtered
+    # to [] -> 0 tokens... match the engine: non-empty tokens only)
+    want: dict = {}
+    for source in ("srcA", "srcB"):
+        ids = sorted(k for k in texts) if source == "srcA" else sorted(
+            k + 100 for k in texts
+        )
+        offset = 0
+        for doc_id in ids:
+            text = texts[doc_id if source == "srcA" else doc_id - 100]
+            n_tok = len([w for w in text.lower().split() if w])
+            bin_id = offset // _PACK_BUDGET
+            n, t = want.get((source, bin_id), (0, 0))
+            want[(source, bin_id)] = (n + 1, t + n_tok)
+            offset += n_tok
+    assert got == want
