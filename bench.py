@@ -262,6 +262,11 @@ def main() -> None:
             attach_ratios(scale_detail, timings)
             if "max_linear_ratio" in scale_detail:
                 scale_summary["max_ratio"] = scale_detail["max_linear_ratio"]
+            # surface the band-width-knob demo next to the max it explains:
+            # components' super-linear default-width ratio vs the widened one
+            for k, v in scale_detail.get("linear_ratio", {}).items():
+                if "@" in k:
+                    scale_summary[k.split("_")[-1]] = v  # e.g. "components@8bit": 1.2
         except Exception as e:  # noqa: BLE001 — scale smoke must not kill bench
             print(f"  scale bench skipped: {e}", file=sys.stderr)
 
