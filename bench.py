@@ -283,7 +283,15 @@ def main() -> None:
     if scale_detail is not None:
         detail["sf10_equiv"] = scale_detail
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+    # bench_detail.json is the COMMITTED artifact for the default sf0.1
+    # config; debug runs at other SFs write a side file so they cannot
+    # clobber the round's record.
+    fname = (
+        "bench_detail.json"
+        if sf is not None and abs(sf - 0.1) < 1e-9
+        else f"bench_detail_sf{sf}.json"
+    )
+    with open(os.path.join(here, fname), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     print(_final_line(total, timings, spread, sf, scale_summary))

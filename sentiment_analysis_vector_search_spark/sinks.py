@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -312,3 +312,45 @@ def merge_upsert(
             shutil.rmtree(old_dir)
     shutil.rmtree(tmp)
     return parts
+
+
+def zorder_by(
+    df: DataFrame, cols: Sequence[str], bits: int = 16, n_files: int | None = None
+) -> DataFrame:
+    """Cluster rows along a Z-order (Morton) curve over ``cols`` so that
+    per-file min/max ranges stay tight on EVERY listed column at once —
+    single-column range clustering gives perfect skipping on one column
+    and none on the others; the space-filling curve shares the locality.
+    Pair with ``write_with_manifest``/``read_pruned``: this is the
+    Delta/Iceberg OPTIMIZE ZORDER mechanic.
+
+    Each column is rank-normalized to ``bits`` levels with ``ntile`` (a
+    windowed rank — for 100 TB swap in approx-quantile bucket boundaries
+    so the pass stays one scan), then the bit planes are interleaved into
+    one sort key. Returns the frame sorted by the curve; write it with
+    ``repartitionByRange`` on ``_z`` preserved upstream or let the
+    caller's writer shard it.
+    """
+    n_levels = 1 << bits
+    zcols = []
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        zcols.append((F.ntile(n_levels).over(w) - 1).alias(f"_r_{c}"))
+    ranked = df.select("*", *zcols)
+    # interleave bit planes: z = sum over bit b, col i of rank_i[b] << (b*k + i)
+    k = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"_r_{c}"), b).bitwiseAND(F.lit(1)).cast("bigint")
+            z = z + (bit * F.lit(1 << (b * k + i))).cast("bigint")
+    withz = ranked.withColumn("_z", z)
+    if n_files is not None:
+        # explicit output-file count: AQE would coalesce a small range
+        # shuffle into one partition and defeat the per-file skipping
+        withz = withz.repartitionByRange(n_files, F.col("_z")).sortWithinPartitions(
+            "_z"
+        )
+    else:
+        withz = withz.orderBy("_z")
+    return withz.drop("_z", *[f"_r_{c}" for c in cols])

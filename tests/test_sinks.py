@@ -256,3 +256,36 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     assert after.where(F.col("lang") == other_lang).count() == docs.where(
         F.col("lang") == other_lang
     ).count()
+
+
+def test_zorder_manifest_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering + manifest: files skippable on EITHER column.
+    Single-column range clustering would leave the second column's
+    per-file ranges spanning the whole domain (no skipping)."""
+    from sentiment_analysis_vector_search_spark.sinks import (
+        manifest_prune,
+        read_pruned,
+        write_with_manifest,
+        zorder_by,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # write the z-sorted frame directly: orderBy range-partitions along
+    # the curve (session shuffle width = 8 files) — re-partitioning by a
+    # single column here would destroy exactly the locality being built
+    z = zorder_by(orders, ["o_custkey", "o_orderkey"], bits=8, n_files=8)
+    path = str(tmp_path / "orders_z")
+    write_with_manifest(spark, z, path, ["o_custkey", "o_orderkey"])
+    n = orders.count()
+    custs = sorted(r.o_custkey for r in orders.select("o_custkey").collect())
+    keys = sorted(r.o_orderkey for r in orders.select("o_orderkey").collect())
+
+    # narrow range on EACH column must skip files
+    for col, domain in (("o_custkey", custs), ("o_orderkey", keys)):
+        lo, hi = domain[n // 10], domain[n // 10 + max(2, n // 50)]
+        kept, total = manifest_prune(path, col, lo, hi)
+        assert total >= 4
+        assert len(kept) < total, (col, len(kept), total)
+        got = read_pruned(spark, path, col, lo, hi)
+        want = orders.where(F.col(col).between(lo, hi)).count()
+        assert got.count() == want
