@@ -598,8 +598,9 @@ SELECT query_id, vec_id, cosine, rk FROM (
 """
 
 
-@register("ann_ivf_trained_topk", oracle=_trained_ivf_oracle())
-def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived coarse codebook: per-label mean vectors with norms —
+    (label, c array<double>, cn). Broadcast-sized by construction."""
     from ..functions.stable import davg
 
     emb = table(spark, sf_dir, "embeddings")
@@ -616,21 +617,32 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
         ).alias("c")
     )
-    cents_n = cents.withColumn(
+    return cents.withColumn(
         "cn", F.sqrt(F.expr("aggregate(zip_with(c, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
     )
+
+
+def _trained_assignments(spark: SparkSession, sf_dir: str, cents_n: DataFrame) -> DataFrame:
+    """Every corpus vector assigned to its max-cosine codebook cell."""
     vecs = _vectors(spark, sf_dir)
     sim = F.expr(
         "aggregate(zip_with(v, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
     ) / (F.col("nrm") * F.col("cn"))
     wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
-    assigned = (
+    return (
         vecs.crossJoin(F.broadcast(cents_n))
         .withColumn("sim", sim)
         .withColumn("rk", F.row_number().over(wv))
         .where(F.col("rk") == 1)
         .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
     )
+
+
+@register("ann_ivf_trained_topk", oracle=_trained_ivf_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents_n = _trained_codebook(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    assigned = _trained_assignments(spark, sf_dir, cents_n)
     queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -657,3 +669,81 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — build once, query many times. The build writes
+# the codebook and the cell assignments as parquet, with assignments
+# PARTITIONED BY CELL so a query's nprobe cells become partition-pruned
+# directory reads: at 10^9 vectors a 2-of-1024-cell probe opens ~0.2% of
+# the index. Query results for the same (queries, k, nprobe) are
+# IDENTICAL to ann_ivf_trained_topk — pinned by pytest — because both
+# paths share _trained_codebook/_trained_assignments.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the trained-IVF index: codebook + cell-partitioned
+    assignments (vec_id, v, nrm, cell)."""
+    cents_n = _trained_codebook(spark, sf_dir)
+    cents_n.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    (
+        _trained_assignments(spark, sf_dir, cents_n)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
+def ann_ivf_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = _TOP_K,
+    nprobe: int = _TRAINED_NPROBE,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    ``queries``: (query_id bigint, qv array<double>). The probe cells are
+    computed against the (tiny, collected) codebook and pushed as LITERAL
+    partition filters so the assignment scan is statically pruned — the
+    collect moves nq x nprobe cell ids, bounded metadata. The rerank is
+    the same broadcast-queries candidate join as the in-memory path.
+    """
+    cents_n = spark.read.parquet(f"{index_dir}/codebook")
+    q = queries.select(
+        "query_id",
+        "qv",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ).alias("qnrm"),
+    )
+    qsim = F.expr(
+        "aggregate(zip_with(qv, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    ) / (F.col("qnrm") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("label"))
+    qprobe = (
+        q.crossJoin(F.broadcast(cents_n))
+        .withColumn("sim", qsim)
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "qnrm", F.col("label").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    cells = sorted({r.cell for r in qprobe.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{index_dir}/assignments").where(
+        F.col("cell").isin(cells)
+    )
+    cand = F.broadcast(qprobe).join(assigned, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -50,3 +50,49 @@ def test_ann_ivf_trained_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "ann_ivf_trained_topk", sf_dir)
+
+
+def test_ivf_index_build_query_matches_inmemory(spark, sf_dir, tmp_path):
+    """The persisted index must return byte-identical results to the
+    in-memory trained-IVF query for the same (queries, k, nprobe), and
+    the probe must open only the probed cells' partition directories."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, index_dir)
+
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, index_dir, queries)
+    want = entrymod.queries()["ann_ivf_trained_topk"](spark, sf_dir)
+    key = ["query_id", "rk"]
+    g = sorted(tuple(r) for r in got.select(*key, "vec_id", "cosine").collect())
+    w = sorted(tuple(r) for r in want.select(*key, "vec_id", "cosine").collect())
+    assert g == w
+
+    # partition pruning: a small probe set reaches the assignment scan as
+    # a LITERAL partition filter (inputFiles() ignores partition filters,
+    # so assert on the physical plan; the full _N_QUERIES set legitimately
+    # covers all 10 cells at this sf, hence 2 queries here)
+    import re
+
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    narrow = ann_ivf_index_query(spark, index_dir, queries.where(F.col("query_id") < 2))
+    plan = plan_str(narrow)
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    n_probed = len(m.group(1).split(","))
+    import os
+
+    n_all = sum(1 for d in os.listdir(f"{index_dir}/assignments") if d.startswith("cell="))
+    assert n_probed < n_all, (n_probed, n_all)
