@@ -282,7 +282,17 @@ def merge_upsert(
         str(r[0])
         for r in updates.select(partition_col).distinct().collect()
     )
-    old = spark.read.parquet(base).where(F.col(partition_col).isin(parts))
+    old = spark.read.parquet(base)
+    # hive partition values read back TYPE-INFERRED (day=2026-01-01 →
+    # DATE, id=3 → INT) while the update batch carries whatever the
+    # caller computed — normalize old to the batch's types so the
+    # anti-join keys and the union line up instead of silently
+    # string/date-coercing (or erroring) per column.
+    want_types = dict(updates.dtypes)
+    for c, t in old.dtypes:
+        if c in want_types and want_types[c] != t:
+            old = old.withColumn(c, F.col(c).cast(want_types[c]))
+    old = old.where(F.col(partition_col).isin(parts))
     merged = old.join(
         updates.select(*keys).distinct(), list(keys), "left_anti"
     ).unionByName(updates)

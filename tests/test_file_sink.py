@@ -40,3 +40,89 @@ def test_stream_ingest_exactly_once(spark, sf_dir, tmp_path):
     again = read_file_sink(spark, out)
     assert again.count() == n_want
     assert again.select("doc_id").distinct().count() == n_want
+
+
+def test_stream_rollup_maintenance_incremental(spark, sf_dir, tmp_path):
+    """Rollup maintenance: initial drain builds the summary; a replayed
+    drain with nothing new changes nothing; a new source file merges
+    only its days. The rollup must always equal the batch aggregate over
+    everything ingested so far."""
+    import glob
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.catalog import normalize_event_ts
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_rollup_maintenance,
+    )
+
+    src_dir = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "rckpt")
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+
+    def agg_of(paths):
+        out = {}
+        for p in paths:
+            df = normalize_event_ts(spark.read.parquet(p))
+            for r in (
+                df.groupBy(
+                    F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(30,10)"))
+                    .cast("double")
+                    .alias("v"),
+                )
+                .collect()
+            ):
+                k = (r.day, r.event_type)
+                n0, v0 = out.get(k, (0, 0.0))
+                out[k] = (n0 + r.n, v0 + float(r.v))
+        return out
+
+    def rollup_state():
+        return {
+            (str(r.day), r.event_type): (r.n_events, float(r.value_d))
+            for r in spark.read.parquet(rollup).collect()
+        }
+
+    def assert_matches(paths):
+        got, want = rollup_state(), agg_of(paths)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+    # 1. initial build
+    stream_rollup_maintenance(spark, src_dir, rollup, ckpt)
+    assert_matches([f"{src_dir}/events.parquet"])
+
+    # 2. replay with no new data: unchanged
+    before = rollup_state()
+    stream_rollup_maintenance(spark, src_dir, rollup, ckpt)
+    assert rollup_state() == before
+
+    # 3. incremental: a NEW file lands (shifted ids, doubled values);
+    # the next drain merges only its days. Built from the RAW read so
+    # the new file keeps the seed's ts encoding — the stream reads every
+    # file with the schema probed from the seed (ts encodings have
+    # changed between rounds; a normalized-ts file would diverge).
+    base = spark.read.parquet(f"{src_dir}/events.parquet")
+    extra = base.limit(500).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") * 2).alias("value"),
+        "props",
+    )
+    tmp_extra = str(tmp_path / "extra")
+    extra.coalesce(1).write.parquet(tmp_extra)
+    part = glob.glob(f"{tmp_extra}/part-*.parquet")[0]
+    os.replace(part, f"{src_dir}/events_2.parquet")
+
+    stream_rollup_maintenance(spark, src_dir, rollup, ckpt)
+    assert_matches([f"{src_dir}/events.parquet", f"{src_dir}/events_2.parquet"])
