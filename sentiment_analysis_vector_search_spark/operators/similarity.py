@@ -747,3 +747,41 @@ def ann_ivf_index_query(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def ivf_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    rebuild: assign the new batch against the stored codebook (broadcast)
+    and append into the cell partitions. Because the codebook is frozen,
+    the resulting index is IDENTICAL to one built from the full corpus —
+    pinned by pytest — and the maintenance cost is proportional to the
+    batch, not the index (the real-world ingest path for a vector store;
+    re-train the codebook only when drift warrants a rebuild)."""
+    cents_n = spark.read.parquet(f"{index_dir}/codebook")
+    vecs = new_vectors.select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+    sim = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    ) / (F.col("nrm") * F.col("cn"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents_n))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
+    )
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/assignments")
+    )

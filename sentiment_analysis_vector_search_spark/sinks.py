@@ -364,3 +364,92 @@ def zorder_by(
     else:
         withz = withz.orderBy("_z")
     return withz.drop("_z", *[f"_r_{c}" for c in cols])
+
+
+def apply_cdc(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    op_col: str = "_op",
+) -> list[str]:
+    """Apply a change-data-capture batch (upserts + deletes) to a
+    hive-partitioned table: rows with ``op_col`` in (``I``, ``U``) are
+    upserted, ``D`` rows are deleted. Like ``merge_upsert``, only the
+    partitions present in the change batch are rewritten. When a key
+    appears multiple times in one batch the LAST change wins by the
+    batch's ``_seq`` column if present, else arbitrarily-deterministic
+    by the op ordering D < I < U (emit _seq from your log position for
+    real CDC streams). Returns the rewritten partition values.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    base = path.rstrip("/")
+    order = F.col("_seq") if "_seq" in changes.columns else F.col(op_col)
+    w = Window.partitionBy(*keys).orderBy(F.desc(order))
+    last = (
+        changes.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk", *(["_seq"] if "_seq" in changes.columns else []))
+    )
+    parts = sorted(
+        str(r[0]) for r in last.select(partition_col).distinct().collect()
+    )
+    old = spark.read.parquet(base)
+    want_types = dict(last.dtypes)
+    for c, t in old.dtypes:
+        if c in want_types and want_types[c] != t:
+            old = old.withColumn(c, F.col(c).cast(want_types[c]))
+    old = old.where(F.col(partition_col).isin(parts))
+    survivors = old.join(last.select(*keys).distinct(), list(keys), "left_anti")
+    upserts = last.where(F.col(op_col) != "D").drop(op_col)
+    merged = survivors.unionByName(upserts)
+    token = _uuid.uuid4().hex[:8]
+    tmp = f"{base}__cdc_{token}"
+    (
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    for v in parts:
+        sub = f"{partition_col}={v}"
+        new_dir = os.path.join(tmp, sub)
+        dst = os.path.join(base, sub)
+        old_dir = f"{dst}__old_{token}"
+        had_old = os.path.isdir(dst)
+        # a partition whose rows were ALL deleted has no dir in tmp
+        has_new = os.path.isdir(new_dir)
+        if had_old:
+            os.rename(dst, old_dir)
+        if has_new:
+            try:
+                os.rename(new_dir, dst)
+            except OSError:
+                if had_old:
+                    os.rename(old_dir, dst)
+                raise
+        if had_old:
+            shutil.rmtree(old_dir)
+    shutil.rmtree(tmp)
+    return parts
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str = "doc_id",
+) -> None:
+    """Training shards as JSON-lines text (the common LLM-training feed
+    format): same deterministic range-sharded layout as
+    ``write_training_shards``, one JSON object per line."""
+    (
+        df.repartitionByRange(n_shards, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .json(path)
+    )

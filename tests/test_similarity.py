@@ -96,3 +96,40 @@ def test_ivf_index_build_query_matches_inmemory(spark, sf_dir, tmp_path):
 
     n_all = sum(1 for d in os.listdir(f"{index_dir}/assignments") if d.startswith("cell="))
     assert n_probed < n_all, (n_probed, n_all)
+
+
+def test_ivf_index_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """Index built from half the corpus + ivf_index_add of the other half
+    must answer queries identically to an index over the full corpus
+    (the codebook is frozen, so assignments are reproducible)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+        ivf_index_add,
+    )
+
+    full_dir = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, sf_dir, full_dir)
+
+    # incremental index: same codebook, assignments seeded from the even
+    # vec_ids, odd vec_ids added as a second batch
+    inc_dir = str(tmp_path / "ivf_inc")
+    shutil.copytree(f"{full_dir}/codebook", f"{inc_dir}/codebook")
+    vecs = _vectors(spark, sf_dir)
+    ivf_index_add(spark, inc_dir, vecs.where(F.col("vec_id") % 2 == 0).select("vec_id", "v"))
+    ivf_index_add(spark, inc_dir, vecs.where(F.col("vec_id") % 2 == 1).select("vec_id", "v"))
+
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, inc_dir, queries)
+    want = ann_ivf_index_query(spark, full_dir, queries)
+    g = sorted(tuple(r) for r in got.select("query_id", "rk", "vec_id", "cosine").collect())
+    w = sorted(tuple(r) for r in want.select("query_id", "rk", "vec_id", "cosine").collect())
+    assert g == w

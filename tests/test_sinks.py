@@ -289,3 +289,70 @@ def test_zorder_manifest_prunes_on_both_columns(spark, sf_dir, tmp_path):
         got = read_pruned(spark, path, col, lo, hi)
         want = orders.where(F.col(col).between(lo, hi)).count()
         assert got.count() == want
+
+
+def test_apply_cdc_upserts_and_deletes(spark, sf_dir, tmp_path):
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        apply_cdc,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "docs_cdc")
+    write_partitioned(docs, path, partition_by=("lang",), sort_within=("doc_id",))
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    tgt, other = langs[0], langs[1]
+    ids = sorted(
+        r.doc_id for r in docs.where(F.col("lang") == tgt).select("doc_id").collect()
+    )
+    upd_id, del_id, new_id = ids[0], ids[1], 10**9
+    before_other = set(os.listdir(f"{path}/lang={other}"))
+
+    changes = spark.createDataFrame(
+        [
+            (upd_id, "UPDATED", tgt, "U", 1),
+            (del_id, None, tgt, "D", 2),
+            (new_id, "INSERTED", tgt, "I", 3),
+            # same key changed twice: last _seq wins
+            (new_id, "INSERTED_V2", tgt, "U", 4),
+        ],
+        "doc_id bigint, text string, lang string, _op string, _seq int",
+    )
+    rewritten = apply_cdc(
+        spark, path, changes, keys=["doc_id"], partition_col="lang", op_col="_op"
+    )
+    assert rewritten == [tgt]
+
+    after = spark.read.parquet(path)
+    assert after.where(F.col("doc_id") == upd_id).collect()[0].text == "UPDATED"
+    assert after.where(F.col("doc_id") == del_id).count() == 0
+    assert after.where(F.col("doc_id") == new_id).collect()[0].text == "INSERTED_V2"
+    assert after.count() == docs.count() + 1 - 1  # +insert -delete
+    assert set(os.listdir(f"{path}/lang={other}")) == before_other
+
+
+def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    import glob
+    import json
+
+    from sentiment_analysis_vector_search_spark.sinks import write_jsonl_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(docs, out, n_shards=4)
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) == 4
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows.extend(json.loads(ln) for ln in fh if ln.strip())
+    assert len(rows) == docs.count()
+    assert {r["doc_id"] for r in rows} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
