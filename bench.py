@@ -125,6 +125,11 @@ HEADLINE = [
     "pack_sequences",
     "corpus_vocab_stats",
     "emb_quality_audit",
+    # rag/training prep
+    "chunk_documents",
+    "contrastive_pairs",
+    "split_train_holdout",
+    "rag_chunk_retrieve",
     # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",

@@ -70,12 +70,19 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     relational_tpch2 8 (Q2/Q8/Q9/Q11/Q12/Q15/Q20/Q21 shapes),
 #     curation2 3 (pack_sequences, corpus_vocab_stats, emb_quality_audit),
 #     dedup_keep_canonical 1
+#   never graded (new in r5, second batch) —
+#     rag_prep 4 (chunk_documents, contrastive_pairs,
+#       split_train_holdout, rag_chunk_retrieve) — must-grade beats
+#       aging, so these took the last four aging analytics_ext slots
+#       (q_order_deciles, q_events_seasonality, q_nation_segment_pivot,
+#       q_churned_buyers defer to r6 — still value-identical to their
+#       r2 green by diff audit)
 #   aging (unchanged, last graded r2) —
-#     text_ops 9, analytics_ext r2-tail 11 (q_events_asof_attribution
-#       and q_value_percentiles were graded r4 and stay out)
-# r6 plan: pipeline_ops 8 + grouped_ml 1 (r3), relational_ext rest 11
-#   (r3), plus whatever r5 touches; relational/sentiment_ops/
-#   curation_ext/stream_ops/multimodal (r4) rotate r6/r7.
+#     text_ops 9, analytics_ext r2-tail 7 of 11
+# r6 plan: analytics_ext deferred 5 (r2!), pipeline_ops 8 + grouped_ml 1
+#   (r3), relational_ext rest 11 (r3), plus whatever r5 touches;
+#   relational/sentiment_ops/curation_ext/stream_ops/multimodal (r4)
+#   rotate r6/r7.
 #   Deferred-to-r6 perf work (would change out-of-window operators, which
 #   the rotation rule forbids mid-round): text_char_trigram_score
 #   (pipeline_ops.py) recomputes its 1.5M-row gram explode twice and
@@ -142,10 +149,11 @@ GRADED_WINDOW: list[str] = [
     "q_events_gapfill",
     "q_events_anomaly",
     "q_user_overlap",
-    "q_order_deciles",
-    "q_events_seasonality",
-    "q_nation_segment_pivot",
-    "q_churned_buyers",
+    # new in r5 (second batch): RAG/training-prep suite
+    "chunk_documents",
+    "contrastive_pairs",
+    "split_train_holdout",
+    "rag_chunk_retrieve",
 ]
 
 
@@ -158,6 +166,7 @@ def load_all_modules() -> None:
     from .operators import representatives  # noqa: F401
     from .operators import relational_tpch2  # noqa: F401
     from .operators import curation2  # noqa: F401
+    from .operators import rag_prep  # noqa: F401
     from .operators import relational_ext  # noqa: F401
     from .operators import text_ops  # noqa: F401
     from .operators import analytics_ext  # noqa: F401

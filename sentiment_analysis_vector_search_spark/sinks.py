@@ -453,3 +453,136 @@ def write_jsonl_shards(
         .write.mode("overwrite")
         .json(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot commits + time travel (Iceberg/Delta snapshot-isolation mechanic)
+# ---------------------------------------------------------------------------
+
+
+def _versions_dir(root: str) -> str:
+    import os
+
+    return os.path.join(root.rstrip("/"), "_versions")
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Committed snapshot versions, ascending (uncommitted data dirs —
+    crash leftovers — are invisible: only a manifest makes data live)."""
+    import os
+
+    vdir = _versions_dir(root)
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(n[1:-5])
+        for n in os.listdir(vdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def commit_snapshot(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new table snapshot; returns the version number.
+
+    The Iceberg mechanic reproduced on a filesystem: data files are
+    immutable and write-once under ``data/commit-N/``; what makes them
+    part of the table is the version manifest (``_versions/vN.json``)
+    listing every file in the snapshot, finalized with an atomic rename.
+    ``append`` reuses the previous snapshot's files by reference (an O(1)
+    metadata commit — no data rewrite, the property that makes commits
+    cheap at 100 TB); ``overwrite`` starts the file list fresh. Readers
+    resolve a manifest, never a directory listing, so concurrent commits
+    and crashed half-written data dirs are invisible (snapshot isolation)
+    and historical versions stay readable until expired.
+    """
+    import json
+    import os
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    base = root.rstrip("/")
+    vdir = _versions_dir(base)
+    os.makedirs(vdir, exist_ok=True)
+    versions = snapshot_versions(base)
+    new_v = (versions[-1] + 1) if versions else 1
+
+    commit_dir = os.path.join(base, "data", f"commit-{new_v:05d}")
+    df.write.mode("error").parquet(commit_dir)
+    new_files = [
+        os.path.join("data", f"commit-{new_v:05d}", n)
+        for n in sorted(os.listdir(commit_dir))
+        if n.endswith(".parquet")
+    ]
+
+    prev_files: list[str] = []
+    if mode == "append" and versions:
+        with open(os.path.join(vdir, f"v{versions[-1]:05d}.json")) as f:
+            prev_files = json.load(f)["files"]
+
+    manifest = {"version": new_v, "mode": mode, "files": prev_files + new_files}
+    tmp = os.path.join(vdir, f".v{new_v:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(vdir, f"v{new_v:05d}.json"))  # atomic commit
+    return new_v
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Time travel: read the table as of ``version`` (default: latest)."""
+    import json
+    import os
+
+    base = root.rstrip("/")
+    versions = snapshot_versions(base)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed under {base}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_versions_dir(base), f"v{v:05d}.json")) as f:
+        files = json.load(f)["files"]
+    return spark.read.parquet(*(os.path.join(base, p) for p in files))
+
+
+def expire_snapshots(root: str, keep_last: int) -> list[str]:
+    """Vacuum: drop all but the newest ``keep_last`` versions and delete
+    data files no surviving snapshot references. Returns deleted paths.
+    Time travel contracts shrink; the latest snapshot is never touched."""
+    import json
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    base = root.rstrip("/")
+    versions = snapshot_versions(base)
+    kept, dropped = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in kept:
+        with open(os.path.join(_versions_dir(base), f"v{v:05d}.json")) as f:
+            referenced.update(json.load(f)["files"])
+    deleted: list[str] = []
+    for v in dropped:
+        os.remove(os.path.join(_versions_dir(base), f"v{v:05d}.json"))
+        deleted.append(f"_versions/v{v:05d}.json")
+    data_root = os.path.join(base, "data")
+    if os.path.isdir(data_root):
+        for commit in sorted(os.listdir(data_root)):
+            cdir = os.path.join(data_root, commit)
+            rel_files = {
+                os.path.join("data", commit, n)
+                for n in os.listdir(cdir)
+                if n.endswith(".parquet")
+            }
+            if rel_files and not (rel_files & referenced):
+                shutil.rmtree(cdir)
+                deleted.extend(sorted(rel_files))
+    return deleted

@@ -356,3 +356,57 @@ def test_write_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in rows} == {
         r.doc_id for r in docs.select("doc_id").collect()
     }
+
+
+def test_snapshot_commit_time_travel_and_expiry(spark, sf_dir, tmp_path):
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        commit_snapshot,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    first = docs.where(F.col("doc_id") < 50)
+    second = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    root = str(tmp_path / "snap_table")
+
+    v1 = commit_snapshot(first, root)
+    v2 = commit_snapshot(second, root, mode="append")
+    assert (v1, v2) == (1, 2)
+
+    # append was a metadata-only commit: v1's files are referenced, not
+    # rewritten — v2 lists them plus exactly the new commit's files
+    import json
+
+    with open(os.path.join(root, "_versions", "v00002.json")) as f:
+        m2 = json.load(f)
+    assert any(p.startswith("data/commit-00001") for p in m2["files"])
+
+    assert read_snapshot(spark, root, v1).count() == 50
+    assert read_snapshot(spark, root, v2).count() == 80
+    assert read_snapshot(spark, root).count() == 80  # latest
+
+    # overwrite starts fresh; old versions stay time-travelable
+    v3 = commit_snapshot(first.limit(10), root, mode="overwrite")
+    assert read_snapshot(spark, root, v3).count() == 10
+    assert read_snapshot(spark, root, v1).count() == 50
+
+    # a crashed half-commit (data dir, no manifest) is invisible
+    os.makedirs(os.path.join(root, "data", "commit-00099"))
+    assert snapshot_versions(root) == [1, 2, 3]
+    assert read_snapshot(spark, root).count() == 10
+
+    # expiry keeps the latest, drops v1/v2, and vacuums data referenced
+    # by no surviving snapshot (v3 overwrote, so commit-00001/2 both go)
+    deleted = expire_snapshots(root, keep_last=1)
+    assert snapshot_versions(root) == [3]
+    assert any("commit-00001" in p for p in deleted)
+    assert any("commit-00002" in p for p in deleted)
+    assert read_snapshot(spark, root, v3).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, root, v1)
