@@ -185,6 +185,8 @@ def _final_line(
     spread: dict[str, float],
     sf: float | None,
     scale: dict | None,
+    calib: float | None = None,
+    detail_name: str = "bench_detail.json",
 ) -> str:
     """Most informative encoding of the result that fits _MAX_LINE chars.
 
@@ -211,6 +213,10 @@ def _final_line(
             "unit": "sec",
             "queries": {n: round(v, q_nd) for n, v in kept.items()},
         }
+        if calib is not None:
+            # canonical fixed-job median: divide totals by this before
+            # comparing rounds (hosts differ round-to-round)
+            obj["calib"] = calib
         if omitted:
             obj["fast_omitted"] = {
                 "n": len(omitted),
@@ -222,7 +228,7 @@ def _final_line(
         if sc is not None:
             obj["sf10_equiv"] = sc
         obj["sf"] = sf
-        obj["detail"] = "bench_detail.json"
+        obj["detail"] = detail_name
         return json.dumps(obj, separators=(",", ":"))
 
     # Preference order: keep the scale-smoke summary (it exists nowhere
@@ -254,6 +260,28 @@ def main() -> None:
     # Warm the JVM + parquet footers outside the timed region.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Machine-calibration probe: a FIXED canonical job (scan + shuffle agg
+    # over synthetic rows, fully repo-independent) timed like a query.
+    # Round-over-round totals are only comparable after normalizing by
+    # this — r4's host ran the identical suite ~3x faster than r5's
+    # (same code, same flags: fixed per-stage cost differs per round's
+    # hardware), so absolute seconds across rounds mislead without it.
+    def _calib(spark_):
+        return (
+            spark_.range(0, 2_000_000, 1, 32)
+            .selectExpr("id % 1000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+        )
+
+    _calib(spark).write.format("noop").mode("overwrite").save()
+    calib_runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _calib(spark).write.format("noop").mode("overwrite").save()
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(statistics.median(calib_runs), 3)
+
     timings, spread, raw = _time_queries(spark, queries, HEADLINE, sf_dir, reps)
     total = round(sum(timings.values()), 3)
 
@@ -278,6 +306,7 @@ def main() -> None:
     detail = {
         "metric": "headline_suite_total",
         "value": total,
+        "calib": calib,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
@@ -299,7 +328,7 @@ def main() -> None:
     with open(os.path.join(here, fname), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    print(_final_line(total, timings, spread, sf, scale_summary))
+    print(_final_line(total, timings, spread, sf, scale_summary, calib, fname))
 
 
 if __name__ == "__main__":

@@ -179,3 +179,67 @@ def stream_rollup_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuously-maintained vector index: streaming embeddings →
+    ``foreachBatch`` → ``ivf_index_add`` against the frozen codebook.
+
+    The serving-side complement of the batch index: the reference rebuilds
+    its embedding matrix whenever reviews change (Context_analyzer fits in
+    one process); at scale a vector store instead ingests embedding
+    batches as they arrive, and because the codebook is frozen each
+    batch's cell assignments are reproducible — the streamed index stays
+    IDENTICAL to a full rebuild (pinned by pytest), while maintenance
+    cost tracks the batch, not the corpus. Bootstrap the codebook first
+    (``build_ivf_index`` over the seed corpus, or copy one in); re-train
+    it only when drift warrants — the classic IVF operating procedure.
+
+    Exactly-once: the source checkpoint replays whole micro-batches, and
+    since ``ivf_index_add`` APPENDS into cell partitions a replay would
+    duplicate vectors — the recorded-batch-id guard (same pattern as
+    ``stream_rollup_maintenance``) makes the append idempotent.
+    """
+    import json
+    import os
+
+    from ..operators.similarity import ivf_index_add
+
+    src_schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_ivf_commits.json")
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch is already in the index
+        ivf_index_add(
+            spark,
+            index_dir,
+            batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+        )
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_shuffle(spark):
+        q = (
+            src.writeStream.foreachBatch(add_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

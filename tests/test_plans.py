@@ -249,3 +249,37 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
 def test_keep_canonical_no_cartesian(spark, sf_dir):
     df = QUERIES["dedup_keep_canonical"](spark, sf_dir)
     assert count_in_plan(df, "CartesianProduct") == 0, plan_str(df)
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    # Chunk generation is scan + generate: any Exchange would mean the
+    # per-row explode got shuffled, which has no reason to happen.
+    df = QUERIES["chunk_documents"](spark, sf_dir)
+    assert count_in_plan(df, "Exchange") == 0, plan_str(df)
+    assert_in_plan(df, "Generate")
+    # only the needed columns reach the scan
+    schemas = scan_read_schemas(df)
+    assert schemas and all("lang" not in s for s in schemas), schemas
+
+
+def test_contrastive_pairs_window_keyed_by_doc(spark, sf_dir):
+    # The lead() window must be partitioned by doc_id (scales with docs),
+    # not a global window.
+    plan = plan_str(QUERIES["contrastive_pairs"](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "doc_id" in plan[plan.index("Window") : plan.index("Window") + 400], plan
+
+
+def test_split_assign_is_map_only(spark, sf_dir):
+    df = QUERIES["split_train_holdout"](spark, sf_dir)
+    assert count_in_plan(df, "Exchange") == 0, plan_str(df)
+
+
+def test_rag_chunk_retrieve_broadcast_query_topk(spark, sf_dir):
+    # One-row query relation joins by broadcast (never a shuffled cross),
+    # and the global top-k compiles to TakeOrderedAndProject.
+    df = QUERIES["rag_chunk_retrieve"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -133,3 +133,73 @@ def test_ivf_index_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
     g = sorted(tuple(r) for r in got.select("query_id", "rk", "vec_id", "cosine").collect())
     w = sorted(tuple(r) for r in want.select("query_id", "rk", "vec_id", "cosine").collect())
     assert g == w
+
+
+def test_stream_ivf_ingest_equals_rebuild(spark, sf_dir, tmp_path):
+    """Embedding batches arriving on a stream, applied via foreachBatch
+    ivf_index_add, must produce an index identical to a full rebuild —
+    and a second drain (no new files) must not change it (checkpoint +
+    batch-id guard idempotence)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_ivf_ingest,
+    )
+
+    full_dir = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, sf_dir, full_dir)
+
+    stream_idx = str(tmp_path / "ivf_stream")
+    shutil.copytree(f"{full_dir}/codebook", f"{stream_idx}/codebook")
+
+    src_dir = str(tmp_path / "emb_src")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "_a")
+    )
+    os.makedirs(src_dir)
+    part = next(
+        n for n in os.listdir(str(tmp_path / "_a")) if n.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(str(tmp_path / "_a"), part),
+        os.path.join(src_dir, "embeddings_a.parquet"),
+    )
+    stream_ivf_ingest(spark, src_dir, stream_idx, ckpt)
+
+    # second batch lands later; only the new file is processed
+    emb.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "_b")
+    )
+    part = next(
+        n for n in os.listdir(str(tmp_path / "_b")) if n.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(str(tmp_path / "_b"), part),
+        os.path.join(src_dir, "embeddings_b.parquet"),
+    )
+    stream_ivf_ingest(spark, src_dir, stream_idx, ckpt)
+
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, stream_idx, queries)
+    want = ann_ivf_index_query(spark, full_dir, queries)
+    g = sorted(tuple(r) for r in got.select("query_id", "rk", "vec_id", "cosine").collect())
+    w = sorted(tuple(r) for r in want.select("query_id", "rk", "vec_id", "cosine").collect())
+    assert g == w
+
+    # idempotent re-drain: no new files → index unchanged
+    n_before = spark.read.parquet(f"{stream_idx}/assignments").count()
+    stream_ivf_ingest(spark, src_dir, stream_idx, ckpt)
+    assert spark.read.parquet(f"{stream_idx}/assignments").count() == n_before
