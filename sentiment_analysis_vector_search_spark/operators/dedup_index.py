@@ -1,0 +1,187 @@
+"""Incremental corpus dedup: a persisted MinHash/LSH signature index.
+
+The batch operators (dedup.py) answer "which pairs in THIS corpus are
+near-dups" — but a production ingest asks a different question every
+hour: "is this NEW batch a near-dup of anything already in the 100 TB
+corpus?" Recomputing corpus shingles per batch is a full corpus scan;
+this module persists what the batch pipeline derives once —
+
+- ``shingles/``  (doc_id, sh)           the exact-verify relation
+- ``sizes/``     (doc_id, sz)           per-doc distinct-shingle counts
+- ``bands/``     (band, bh, doc_id)     LSH band buckets, partitioned
+                                        by band so a probe prunes to
+                                        its band's partition
+
+— so checking a batch costs O(batch + collisions), never O(corpus):
+the batch's band signatures equi-join the persisted buckets, and only
+colliding docs' shingles are read back for exact-Jaccard verification.
+
+Because a doc's MinHash signature depends only on its own shingles
+(min over a fixed seeded hash family, dedup.py:210), the streamed /
+incremental index is IDENTICAL to one derived from the union corpus —
+``dedup_index_check`` returns exactly the cross-batch pairs the batch
+``dedup_minhash_lsh`` would find on the union (pinned by pytest), the
+same frozen-derivation property the IVF index relies on.
+
+Operating procedure at scale: ``build_dedup_index`` seeds from the
+existing corpus; per ingest batch run ``dedup_index_check`` (gate or
+tag the duplicates) then ``dedup_index_add`` for the survivors;
+compact the appended band/shingle partitions on a schedule
+(sinks.compact_dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD31, md5_int31
+from .dedup import _JACCARD_T, _MH_PARAMS, _N_BANDS, _ROWS_PER_BAND
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sh) word-trigram shingles of a docs frame
+    (same derivation as dedup.shingle_sets, which is sf_dir-bound)."""
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2),"
+                        " p -> concat(t[p - 1], ' ', t[p], ' ', t[p + 1]))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _band_rows(sh: DataFrame) -> DataFrame:
+    """(band, bh, doc_id) LSH band buckets from a shingle relation."""
+    base = md5_int31(F.col("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        F.col("b.band").alias("band"), F.col("b.bh").alias("bh"), "doc_id"
+    )
+
+
+def _write(sh: DataFrame, index_dir: str, mode: str) -> None:
+    sh = sh.localCheckpoint(eager=True)  # one shingle derivation, 3 consumers
+    sh.write.mode(mode).parquet(f"{index_dir}/shingles")
+    (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .write.mode(mode)
+        .parquet(f"{index_dir}/sizes")
+    )
+    (
+        _band_rows(sh)
+        .repartition(F.col("band"))
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+
+
+def build_dedup_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
+    """Seed the index from an existing corpus (overwrites)."""
+    _write(_doc_shingles(docs), index_dir, "overwrite")
+
+
+def dedup_index_add(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
+    """Append a batch's signatures: cost tracks the batch, not the index."""
+    _write(_doc_shingles(docs), index_dir, "append")
+
+
+def dedup_index_check(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Near-dup pairs between a new batch and the indexed corpus:
+    (doc_a, doc_b, jaccard, is_duplicate) with doc_a < doc_b, exactly the
+    cross-batch rows batch ``dedup_minhash_lsh`` would emit on the union.
+
+    Plan shape: batch bands (small) broadcast against the band-partitioned
+    bucket table — the corpus-side scan is an equi-join probe, and the
+    verify reads only colliding docs' shingles (semi-joined by the
+    broadcast candidate ids). Self-pairs within the new batch are the
+    batch operator's job; this is the ingest gate against history.
+    """
+    new_sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    new_bands = _band_rows(new_sh)
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    cand = (
+        idx_bands.join(
+            F.broadcast(
+                new_bands.withColumnsRenamed({"doc_id": "new_id", "bh": "bh"})
+            ),
+            ["band", "bh"],
+        )
+        .select(F.col("doc_id").alias("idx_id"), "new_id")
+        .where(F.col("idx_id") != F.col("new_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    idx_sh = spark.read.parquet(f"{index_dir}/shingles").join(
+        F.broadcast(cand.select(F.col("idx_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    )
+    shared = (
+        cand.join(idx_sh.withColumnsRenamed({"doc_id": "idx_id"}), "idx_id")
+        .join(
+            new_sh.withColumnsRenamed({"doc_id": "new_id"}),
+            ["new_id", "sh"],
+        )
+        .groupBy("idx_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    idx_sz = spark.read.parquet(f"{index_dir}/sizes").withColumnsRenamed(
+        {"doc_id": "idx_id", "sz": "sz_i"}
+    )
+    new_sz = (
+        new_sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz_n"))
+        .withColumnsRenamed({"doc_id": "new_id"})
+    )
+    jc = F.round(
+        F.col("shared")
+        * F.lit(1.0)
+        / (F.col("sz_i") + F.col("sz_n") - F.col("shared")),
+        6,
+    )
+    return (
+        shared.join(idx_sz, "idx_id")
+        .join(new_sz, "new_id")
+        .select(
+            F.least("idx_id", "new_id").alias("doc_a"),
+            F.greatest("idx_id", "new_id").alias("doc_b"),
+            jc.alias("jaccard"),
+            (jc >= _JACCARD_T).alias("is_duplicate"),
+        )
+    )

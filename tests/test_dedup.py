@@ -92,3 +92,52 @@ def test_emb_band_width_knob_keeps_parity():
         cwd=repo,
     )
     assert "BAND_KNOB_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_dedup_index_check_equals_batch_cross_pairs(spark, sf_dir, tmp_path):
+    """Index seeded from the even-doc_id half; checking the odd half
+    against it must return exactly the cross-half pairs the batch
+    minhash operator finds on the full corpus (frozen derivation:
+    signatures depend only on a doc's own shingles)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_index_add,
+        dedup_index_check,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    index_dir = str(tmp_path / "dedup_idx")
+    build_dedup_index(spark, old, index_dir)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_index_check(spark, new, index_dir).collect()
+    }
+    full = entrymod.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert want, "fixture must contain cross-half near-dup pairs"
+    assert got == want
+
+    # after adding the new batch, re-checking it returns the same pairs
+    # plus nothing new from its own docs (self-pairs are excluded), and
+    # a doc present in the index is not paired with itself
+    dedup_index_add(spark, new, index_dir)
+    again = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_index_check(spark, new, index_dir).collect()
+    }
+    intra_new = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full
+        if (r.doc_a % 2) == 1 and (r.doc_b % 2) == 1
+    }
+    assert again == want | intra_new
