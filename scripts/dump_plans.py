@@ -32,6 +32,9 @@ SHOW = [
     ("q11_important_stock", "global scalar threshold as broadcast single row"),
     ("pack_sequences", "shard-partitioned packing window; no global sort"),
     ("dedup_keep_canonical", "minhash candidates -> components -> canonical; no cartesian"),
+    ("chunk_documents", "map-only chunking: scan -> generate, zero Exchange"),
+    ("contrastive_pairs", "doc_id-keyed lead window; one keyed shuffle"),
+    ("rag_chunk_retrieve", "broadcast 1-row query; TakeOrderedAndProject top-k"),
 ]
 
 
