@@ -183,5 +183,8 @@ def dedup_index_check(
             F.greatest("idx_id", "new_id").alias("doc_b"),
             jc.alias("jaccard"),
             (jc >= _JACCARD_T).alias("is_duplicate"),
+            # which side is the incoming doc (doc_a/doc_b are canonically
+            # ordered, so an ingest gate can't infer it from position)
+            F.col("new_id").alias("new_doc_id"),
         )
     )

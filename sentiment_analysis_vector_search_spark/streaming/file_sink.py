@@ -243,3 +243,88 @@ def stream_ivf_ingest(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    jaccard_t: float | None = None,
+) -> None:
+    """Continuous ingest with near-dup gating against corpus history:
+    each micro-batch of documents is checked against the persisted
+    MinHash/LSH index (``dedup_index_check`` — O(batch + collisions),
+    never a corpus rescan), survivors land in the parquet table AND
+    join the index, so later batches are checked against them too.
+
+    This is the full production shape of LLM-corpus ingest: the batch
+    dedup operators answer "clean this corpus once"; this loop keeps a
+    growing corpus clean forever, with per-batch cost independent of
+    corpus size. Within-batch duplicates are resolved first (exact
+    min-doc_id per content hash), then history decides.
+
+    Exactly-once: foreachBatch with a recorded-batch-id guard (as the
+    rollup/IVF loops) — a replayed batch neither re-appends survivors
+    nor re-inserts signatures.
+    """
+    import json
+    import os
+
+    from ..functions.hashing import md5_long
+    from ..operators.dedup_index import dedup_index_add, dedup_index_check
+
+    if jaccard_t is None:
+        from ..operators.dedup import _JACCARD_T as jaccard_t
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_ingest_commits.json")
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return
+        # within-batch exact dedup: keep min doc_id per content hash
+        h = batch_df.withColumn("_h", md5_long(F.col("text")))
+        keep_ids = h.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        batch = h.join(keep_ids, ["_h", "doc_id"], "left_semi").drop("_h")
+        batch = batch.localCheckpoint(eager=True)  # feeds check, gate, add
+        # history gate: anything near-duplicating the indexed corpus drops
+        if os.path.isdir(f"{index_dir}/bands"):
+            hits = (
+                dedup_index_check(spark, batch, index_dir)
+                .where(F.col("jaccard") >= jaccard_t)
+                .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = batch.join(hits, "doc_id", "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_dir)
+        if os.path.isdir(f"{index_dir}/bands"):
+            dedup_index_add(spark, survivors, index_dir)
+        else:
+            from ..operators.dedup_index import build_dedup_index
+
+            build_dedup_index(spark, survivors, index_dir)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_shuffle(spark):
+        q = (
+            src.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .option("maxFilesPerTrigger", "1")  # one source file per batch
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -126,3 +126,72 @@ def test_stream_rollup_maintenance_incremental(spark, sf_dir, tmp_path):
 
     stream_rollup_maintenance(spark, src_dir, rollup, ckpt)
     assert_matches([f"{src_dir}/events.parquet", f"{src_dir}/events_2.parquet"])
+
+
+def test_stream_ingest_dedup_gates_against_history(spark, sf_dir, tmp_path):
+    """Two document files drained in order: the second batch's docs that
+    near-duplicate the already-ingested corpus are dropped; survivors
+    join the index; re-drain is a no-op."""
+    import os
+    import shutil
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_ingest_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half1 = docs.where(F.col("doc_id") < 250)
+    half2 = docs.where(F.col("doc_id") >= 250)
+
+    src_dir = str(tmp_path / "doc_src")
+    os.makedirs(src_dir)
+
+    def land(df, name):
+        stage = str(tmp_path / f"_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), os.path.join(src_dir, name))
+
+    out = str(tmp_path / "clean_corpus")
+    idx = str(tmp_path / "hist_idx")
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    land(half1, "documents_a.parquet")
+    stream_ingest_dedup(spark, src_dir, idx, out, ckpt)
+    land(half2, "documents_b.parquet")
+    stream_ingest_dedup(spark, src_dir, idx, out, ckpt)
+
+    got_ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+
+    # expectations from the BATCH operators (ground truth on the union):
+    # within-batch exact dedup keeps min doc_id per text hash ...
+    exact = entrymod.queries()["dedup_exact"](spark, sf_dir).collect()
+    kept_exact = set()
+    by_hash: dict = {}
+    for r in exact:
+        half = r.doc_id < 250
+        key = (r.text_hash, half)
+        if key not in by_hash or r.doc_id < by_hash[key]:
+            by_hash[key] = r.doc_id
+    kept_exact = set(by_hash.values())
+    # ... then batch-2 docs near-duplicating ANY half-1 doc are gated
+    # (exact dups of a kept half-1 doc share its shingles, so pairs
+    # against dropped docs gate identically)
+    pairs = entrymod.queries()["dedup_minhash_lsh"](spark, sf_dir).collect()
+    gated_b2 = set()
+    for r in pairs:
+        if r.jaccard < 0.5:
+            continue
+        lo, hi = r.doc_a, r.doc_b
+        if lo < 250 <= hi:
+            gated_b2.add(hi)
+    want = {d for d in kept_exact if not (d >= 250 and d in gated_b2)}
+    assert got_ids == want
+    assert gated_b2 & kept_exact, "fixture must actually gate something"
+
+    # idempotent re-drain: no new files, no index growth
+    n_sh = spark.read.parquet(f"{idx}/shingles").count()
+    stream_ingest_dedup(spark, src_dir, idx, out, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == want
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
