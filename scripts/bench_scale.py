@@ -40,6 +40,9 @@ import time
 SCALE_QUERIES = {
     "dedup_minhash_lsh": "doc",
     "rag_retrieve": "doc",
+    # map-only chunking: the zero-Exchange claim's 100x check (expected
+    # well under linear — scan throughput amortizes the fixed costs)
+    "chunk_documents": "doc",
     "stream_stateful_user_stats": "doc",
     "ann_lsh_topk": "emb",
     "dedup_components": "emb",

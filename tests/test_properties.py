@@ -82,3 +82,53 @@ def test_minhash_signature_range(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     out = df.select(md5_int31(F.col("t")).alias("h")).collect()
     assert all(0 <= r.h < MOD31 for r in out)
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_arbitrary_unicode(spark, texts):
+    """Chunk windows are character-exact on arbitrary unicode (CJK,
+    combining marks, symbols): stride prefixes + last chunk rebuild the
+    text, and chunk counts match the closed form."""
+    from sentiment_analysis_vector_search_spark.operators.rag_prep import (
+        _CHUNK,
+        _STRIDE,
+        _chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = _chunks(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        grp = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        n_expected = 1 + max(0, (max(len(t) - _CHUNK, 0) + _STRIDE - 1) // _STRIDE)
+        assert len(grp) == n_expected, (t, len(grp), n_expected)
+        rebuilt = "".join(r.chunk_text[:_STRIDE] for r in grp[:-1]) + grp[-1].chunk_text
+        assert rebuilt == t
+        for r in grp:
+            assert r.chunk_text == t[r.chunk_start : r.chunk_start + _CHUNK]
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_split_assignment_stable_under_growth(spark, texts):
+    """Appending docs never changes existing split assignments (the
+    bucket is a pure doc_id hash, not rank- or count-dependent)."""
+    from sentiment_analysis_vector_search_spark.functions.hashing import md5_long
+
+    bucket = (
+        md5_long(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    ).cast("int")
+    small = spark.createDataFrame(
+        [(i,) for i in range(len(texts))], "doc_id long"
+    ).select("doc_id", bucket.alias("b"))
+    grown = spark.createDataFrame(
+        [(i,) for i in range(len(texts) * 2 + 5)], "doc_id long"
+    ).select("doc_id", bucket.alias("b"))
+    a = {r.doc_id: r.b for r in small.collect()}
+    g = {r.doc_id: r.b for r in grown.collect()}
+    assert all(g[k] == v for k, v in a.items())
