@@ -195,3 +195,109 @@ def emb_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(dsum(F.col("nrm")) / F.count(F.lit(1)), 6).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — chars-per-token / tokens-per-doc per language, the
+# audit run before committing to a tokenizer for a multilingual corpus
+# (languages whose fertility is far off the corpus mean get over- or
+# under-weighted in a fixed token budget).
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''))
+           AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS n_tokens,
+       cast(sum(n_chars) as bigint) AS n_chars,
+       round(sum(n_chars) * 1.0 / sum(n_tokens), 6) AS chars_per_token,
+       round(sum(n_tokens) * 1.0 / count(*), 6) AS tokens_per_doc
+FROM toks
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_char_diversity — gibberish/boilerplate signal WITHOUT logs: Shannon
+# entropy needs log2 (not correctly rounded on either engine → parity
+# hazard, the same reason text_char_trigram_score is log-free), so the
+# collision index Σ(c_i/N)² — the Simpson/Rényi-2 diversity — serves the
+# same screening purpose in exact integer arithmetic: high collision =
+# few characters dominate (aaaa..., base64 padding runs); distinct-char
+# count and top-char share complete the picture. Map-side explode +
+# two small groupBys; the per-doc char distribution never leaves the
+# executor unaggregated.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+  FROM documents WHERE length(text) > 0
+), cc AS (
+  SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id,
+         cast(sum(n) as bigint) AS n_chars,
+         count(*) AS distinct_chars,
+         round(sum(n * n) * 1.0 / (sum(n) * sum(n)), 6) AS collision_index,
+         round(max(n) * 1.0 / sum(n), 6) AS top_char_share
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars, collision_index, top_char_share,
+       collision_index <= 0.25 AND distinct_chars >= 8 AS keep
+FROM per_doc
+"""
+
+
+@register("text_char_diversity", oracle=_DIVERSITY_ORACLE)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ch = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower("text"), "")).alias("c"),
+    ).where(F.col("c").isNotNull() & (F.col("c") != ""))
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = cc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(
+            F.sum(F.col("n") * F.col("n")) * F.lit(1.0) / (F.sum("n") * F.sum("n")),
+            6,
+        ).alias("collision_index"),
+        F.round(F.max("n") * F.lit(1.0) / F.sum("n"), 6).alias("top_char_share"),
+    )
+    return per_doc.select(
+        "*",
+        (
+            (F.col("collision_index") <= 0.25) & (F.col("distinct_chars") >= 8)
+        ).alias("keep"),
+    )

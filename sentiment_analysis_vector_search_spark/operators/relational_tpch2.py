@@ -464,3 +464,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets: discounted revenue across ALL 2^2 combinations of
+# (returnflag, linestatus) — the full-lattice complement of
+# q_revenue_rollup's hierarchy. The 4 grouping sets still combine
+# map-side (decimal sums are partial-agg composable); no extra scan per
+# set. Subtotal NULL markers are coalesced to 'ALL' on both engines.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       count(*) AS n_items
+FROM lineitem
+WHERE l_quantity >= 5
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_cube_revenue", oracle=_CUBE_ORACLE)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 5)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )

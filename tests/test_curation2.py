@@ -2,7 +2,13 @@ import pytest
 
 from tests.parity import assert_parity
 
-CURATION2 = ["pack_sequences", "corpus_vocab_stats", "emb_quality_audit"]
+CURATION2 = [
+    "pack_sequences",
+    "corpus_vocab_stats",
+    "emb_quality_audit",
+    "tokenizer_fertility",
+    "text_char_diversity",
+]
 
 
 @pytest.mark.parametrize("name", CURATION2)

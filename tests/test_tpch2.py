@@ -11,6 +11,7 @@ TPCH2 = [
     "q15_top_supplier",
     "q20_part_promotion",
     "q21_waiting_suppliers",
+    "q_cube_revenue",
 ]
 
 
