@@ -63,6 +63,7 @@ HEADLINE = [
     "q15_top_supplier",
     "q20_part_promotion",
     "q21_waiting_suppliers",
+    "q_cube_revenue",
     # relational_ext
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -125,6 +126,8 @@ HEADLINE = [
     "pack_sequences",
     "corpus_vocab_stats",
     "emb_quality_audit",
+    "tokenizer_fertility",
+    "text_char_diversity",
     # rag/training prep
     "chunk_documents",
     "contrastive_pairs",
