@@ -1,0 +1,89 @@
+"""Command-line entry point: run/explain any registered operator.
+
+    python -m sentiment_analysis_vector_search_spark list [prefix]
+    python -m sentiment_analysis_vector_search_spark run <query> [--sf-dir D] [--limit N] [--json]
+    python -m sentiment_analysis_vector_search_spark explain <query> [--sf-dir D]
+    python -m sentiment_analysis_vector_search_spark oracle <query>
+
+`run` executes the operator end-to-end and prints rows (tabular, or one
+JSON object per line with --json — the shape a shell pipeline wants);
+`explain` prints the formatted physical plan (the artifact to audit for
+broadcasts/pushdown before running at scale); `oracle` prints the
+DuckDB-executable SQL contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sentiment_analysis_vector_search_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("prefix", nargs="?", default="")
+
+    for name in ("run", "explain"):
+        sp = sub.add_parser(name)
+        sp.add_argument("query")
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        if name == "run":
+            sp.add_argument("--limit", type=int, default=20)
+            sp.add_argument("--json", action="store_true")
+
+    p_oracle = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
+    p_oracle.add_argument("query")
+
+    args = p.parse_args(argv)
+
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+
+    if args.cmd == "list":
+        for name in queries:
+            if name.startswith(args.prefix):
+                print(name)
+        return 0
+
+    if args.query not in queries:
+        close = [n for n in queries if args.query in n]
+        hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
+        print(f"unknown query {args.query!r}{hint}", file=sys.stderr)
+        return 2
+
+    if args.cmd == "oracle":
+        oracles = entry.oracle_sql()
+        if args.query not in oracles:
+            print(f"{args.query} has no SQL oracle (rows-only)", file=sys.stderr)
+            return 1
+        print(oracles[args.query].strip())
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = queries[args.query](spark, args.sf_dir)
+
+    if args.cmd == "explain":
+        from .plans import plan_str
+
+        print(plan_str(df, mode="formatted"))
+        return 0
+
+    if args.json:
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    else:
+        df.show(args.limit, truncate=40)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

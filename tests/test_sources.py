@@ -71,3 +71,41 @@ def test_fetch_page_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         fetch_page("https://example.com")
+
+
+def test_cli_list_run_oracle(sf_dir):
+    """The __main__ CLI surface: list filters by prefix, run executes an
+    operator end-to-end as JSON lines, oracle prints the SQL contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "sentiment_analysis_vector_search_spark", *args],
+            capture_output=True,
+            text=True,
+            cwd=root,
+            env=env,
+            timeout=300,
+        )
+
+    r = cli("list", "dedup")
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "dedup_exact" in names and all(n.startswith("dedup") for n in names)
+
+    r = cli("oracle", "dedup_exact")
+    assert r.returncode == 0 and "md5(text)" in r.stdout
+
+    r = cli("run", "dedup_exact", "--sf-dir", sf_dir, "--limit", "3", "--json")
+    assert r.returncode == 0, r.stderr[-800:]
+    rows = [json.loads(ln) for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+    assert len(rows) == 3 and all("doc_id" in row for row in rows)
+
+    r = cli("run", "no_such_query")
+    assert r.returncode == 2
