@@ -188,3 +188,30 @@ def dedup_index_check(
             F.col("new_id").alias("new_doc_id"),
         )
     )
+
+
+def dedup_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Index-health audit: per-band bucket occupancy and the candidate-pair
+    volume it implies (Σ n·(n−1)/2 over buckets). THE number to watch at
+    scale: when max/avg occupancy grows with the corpus, the band hash is
+    too narrow and check cost goes super-linear — the same occupancy
+    economics SCALING.md documents for the embedding-LSH knob. Run it on a
+    schedule; when expected_pairs trends quadratic, re-band (more hashes
+    per band) and rebuild."""
+    bands = spark.read.parquet(f"{index_dir}/bands")
+    per_bucket = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_docs"),
+            F.max("n").alias("max_occupancy"),
+            F.round(F.sum("n") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "avg_occupancy"
+            ),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("expected_pairs"),
+        )
+        .orderBy("band")
+    )

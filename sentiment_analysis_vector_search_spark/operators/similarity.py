@@ -837,3 +837,41 @@ def ivf_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
     )
+
+
+# ---------------------------------------------------------------------------
+# range (radius) search: ALL neighbors with cosine >= tau, not a fixed k —
+# the vector-store verb dedup and recall-audit workloads use (top-k bounds
+# work; range search bounds quality). Same broadcast-queries scan shape as
+# ann_bruteforce_topk: one corpus pass, no shuffle for ranking since there
+# is no rank — the predicate filters map-side.
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.35
+
+_RANGE_ORACLE = f"""
+WITH {_SQL_VECS_CTE}
+SELECT query_id, vec_id,
+       round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cosine
+FROM queries, vecs
+WHERE vec_id <> query_id
+  AND round(list_dot_product(qv, v) / (qnrm * nrm), 6) >= {_RANGE_TAU}
+"""
+
+
+@register("ann_range_search", oracle=_RANGE_ORACLE)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cosine = F.round(
+        F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6
+    )
+    return (
+        vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .where(F.col("cosine") >= _RANGE_TAU)
+    )

@@ -141,3 +141,28 @@ def test_dedup_index_check_equals_batch_cross_pairs(spark, sf_dir, tmp_path):
         if (r.doc_a % 2) == 1 and (r.doc_b % 2) == 1
     }
     assert again == want | intra_new
+
+
+def test_dedup_index_stats_consistent(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_index_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "stats_idx")
+    build_dedup_index(spark, docs, idx)
+    stats = dedup_index_stats(spark, idx).collect()
+    n_sig_docs = (
+        spark.read.parquet(f"{idx}/bands").select("doc_id").distinct().count()
+    )
+    assert {r.band for r in stats} == {0, 1, 2, 3}
+    for r in stats:
+        # every signed doc appears exactly once per band
+        assert r.n_docs == n_sig_docs
+        assert 1 <= r.max_occupancy <= r.n_docs
+        assert r.n_buckets <= r.n_docs
+        # pair volume is at least what the duplicate groups imply
+        assert r.expected_pairs >= 0
