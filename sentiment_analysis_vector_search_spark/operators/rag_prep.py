@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions.hashing import md5_long, sql_md5_long
 from ..registry import register
 
@@ -250,7 +250,12 @@ _DOT = (
 
 @register("rag_chunk_retrieve", oracle=_RETRIEVE_ORACLE)
 def rag_chunk_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # The _R_DIM md5-embedding exprs per chunk are the expression-heavy
+    # terminal projection fan_out exists for: on the single-split test
+    # layout the whole corpus would hash on ONE task (no-op on real
+    # multi-split layouts). chunk_documents itself stays un-fanned — its
+    # contract is the zero-Exchange map-only plan.
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
     chunks = _chunks(docs).select(
         "doc_id",
         "chunk_id",
