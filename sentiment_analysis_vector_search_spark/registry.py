@@ -88,7 +88,11 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #   relational/sentiment_ops/curation_ext/stream_ops/multimodal (r4)
 #   rotate r6/r7.
 #   Deferred-to-r6 perf work (would change out-of-window operators, which
-#   the rotation rule forbids mid-round): text_char_trigram_score
+#   the rotation rule forbids mid-round): q_revenue_rollup
+#   (relational_ext.py) should get the same base-groups-before-Expand
+#   rewrite q_cube_revenue got (ROLLUP replicates fact rows once per
+#   grouping set; pre-aggregate (region, nation, year) first);
+#   text_char_trigram_score
 #   (pipeline_ops.py) recomputes its 1.5M-row gram explode twice and
 #   shuffles it into the corpus-count join — materialize grams once and
 #   broadcast the (charset^3-bounded) corpus relation when pipeline_ops

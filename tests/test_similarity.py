@@ -203,3 +203,29 @@ def test_stream_ivf_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     n_before = spark.read.parquet(f"{stream_idx}/assignments").count()
     stream_ivf_ingest(spark, src_dir, stream_idx, ckpt)
     assert spark.read.parquet(f"{stream_idx}/assignments").count() == n_before
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Quantified approximation contract: the ANN variants must hold a
+    recall@10 floor against exact brute force. Measured headroom (sf0.001
+    / 0.01 / 0.1): LSH 0.84/0.88/0.80 — 4 OR-bands of 2 bits; IVF
+    0.46/0.48/0.40 — nprobe=4 of 16 cells probes 25% of the space, so
+    ~0.4 is the honest expectation, raise nprobe to buy recall; trained
+    IVF 0.28-0.38 — label-derived codebook, coarser cells. The floors sit
+    below the worst measurement so a band-hash or assignment regression
+    trips them, while honest variance does not."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    brute = {
+        (r.query_id, r.vec_id) for r in qs["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    floors = {
+        "ann_lsh_topk": 0.7,
+        "ann_ivf_topk": 0.3,
+        "ann_ivf_trained_topk": 0.2,
+    }
+    for name, floor in floors.items():
+        approx = {(r.query_id, r.vec_id) for r in qs[name](spark, sf_dir).collect()}
+        recall = len(brute & approx) / len(brute)
+        assert recall >= floor, f"{name}: recall@10 {recall:.2f} < {floor}"
