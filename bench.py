@@ -138,6 +138,7 @@ HEADLINE = [
     "ann_bruteforce_topk_arrow",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "rag_retrieve",
     # multimodal plumbing
     "mm_decode_stub",

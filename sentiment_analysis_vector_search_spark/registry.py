@@ -79,9 +79,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #       r2 green by diff audit)
 #   aging (unchanged, last graded r2) —
 #     text_ops 9, analytics_ext r2-tail 7 of 11
-# r6 plan (window already owed 25+): never-graded r5 tail additions 4
+# r6 plan (window already owed 25+): never-graded r5 tail additions 5
 #   (q_cube_revenue, tokenizer_fertility, text_char_diversity,
-#   ann_range_search — added
+#   ann_range_search, ann_pq_adc_topk — added
 #   after the r5 window filled; green in-session vs driver_sim at
 #   sf0.01 AND sf0.1 but must-grade r6), analytics_ext deferred 5 (r2!),
 #   pipeline_ops 8 + grouped_ml 1 (r3), relational_ext rest 11 (r3);
@@ -185,6 +185,7 @@ def load_all_modules() -> None:
     from . import multimodal  # noqa: F401
     from .operators import pipeline_ops  # noqa: F401
     from .operators import grouped_ml  # noqa: F401
+    from .operators import similarity2  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]
