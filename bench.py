@@ -128,6 +128,7 @@ HEADLINE = [
     "emb_quality_audit",
     "tokenizer_fertility",
     "text_char_diversity",
+    "cap_per_source",
     # rag/training prep
     "chunk_documents",
     "contrastive_pairs",

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
 from ..functions.stable import dsum, sql_dec2double, sql_vardec
 from ..registry import register
 
@@ -301,3 +302,49 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("collision_index") <= 0.25) & (F.col("distinct_chars") >= 8)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cap_per_source — per-domain document cap, the crawl-curation step that
+# stops a single prolific domain from dominating the training mix (the
+# complement of domain_mix_plan's rate-based downsampling: a hard count
+# cap with an unbiased, deterministic pick of WHICH documents survive).
+# Selection order is md5(doc_id) — a uniform pseudo-random permutation
+# that is identical on every engine/run and (near-)append-stable: new
+# docs land at random rank positions instead of displacing the whole
+# selection the way doc_id order would.
+#
+# Scale: one window keyed by source. At 100 TB a hot domain makes the
+# per-source sort the bottleneck; the exact-N scale path is two-phase —
+# per-source counts (broadcast-sized) give an approximate md5 threshold
+# keeping ~1.2x the cap, and only those survivors are exactly ranked, so
+# the sort touches O(cap) rows per source, not O(domain). The semantics
+# here are that plan's final output.
+# ---------------------------------------------------------------------------
+
+_CAP_N = 20  # max documents kept per source
+
+_CAP_ORACLE = f"""
+SELECT source, doc_id, cap_rank, cap_rank <= {_CAP_N} AS kept
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sql_md5_long('cast(doc_id as varchar)')}, doc_id
+         ) AS cap_rank
+  FROM documents
+)
+"""
+
+
+@register("cap_per_source", oracle=_CAP_ORACLE)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("cap_rank"),
+    ).withColumn("kept", F.col("cap_rank") <= _CAP_N)

@@ -121,3 +121,43 @@ def test_pack_sequences_matches_python_reference(spark, tmp_path):
             want[(source, bin_id)] = (n + 1, t + n_tok)
             offset += n_tok
     assert got == want
+
+
+def test_cap_per_source_counts_and_determinism(spark, sf_dir):
+    """Each source keeps exactly min(cap, |source|) docs; ranks are a
+    dense permutation per source; and the selection is run-stable."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.curation2 import (
+        _CAP_N,
+        cap_per_source,
+    )
+
+    df = cap_per_source(spark, sf_dir)
+    per_src = (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.max("cap_rank").alias("mx"),
+            F.min("cap_rank").alias("mn"),
+        )
+        .collect()
+    )
+    assert per_src
+    for r in per_src:
+        assert r["n_kept"] == min(_CAP_N, r["n"])
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+    kept_a = {(r.source, r.doc_id) for r in df.where("kept").collect()}
+    kept_b = {
+        (r.source, r.doc_id)
+        for r in cap_per_source(spark, sf_dir).where("kept").collect()
+    }
+    assert kept_a == kept_b
+
+
+def test_cap_per_source_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "cap_per_source", sf_dir)
