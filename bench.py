@@ -121,6 +121,7 @@ HEADLINE = [
     # materializes the identical LSH candidate subplan as its input, so its
     # cost is already measured there once.
     "dedup_components",
+    "dedup_minhash_quality_audit",
     "dedup_keep_canonical",
     # curation2
     "pack_sequences",

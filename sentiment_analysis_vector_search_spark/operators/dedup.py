@@ -39,6 +39,7 @@ from ..functions.hashing import (
     sql_md5_int31,
     sql_md5_long,
 )
+from ..functions.stable import davg, sql_davg
 from ..functions.vectors import hyperplanes, spark_plane_dot, sql_plane_dot
 from ..registry import register
 
@@ -928,4 +929,167 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("canonical_doc_id"),
         F.count(F.lit(1)).over(Window.partitionBy("component")).alias("group_size"),
         (F.col("id") != F.col("component")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_quality_audit — "measure, don't guess" applied to the
+# sketch itself: for every banded candidate pair, the MinHash-estimated
+# Jaccard (matching signature components / _N_HASHES) against the exact
+# shingle Jaccard, bucketed by exact similarity. The output is the
+# calibration table you read before trusting the sketch at 100 TB: a
+# mean absolute error drifting up in the high-similarity buckets means
+# the hash family or band layout needs more rows; a heavy 0.0-0.1 bucket
+# means the bands are over-generating candidates and the verify stage is
+# carrying the load. Complements dedup_index_stats (bucket occupancy) —
+# that audits the *cost* side, this audits the *accuracy* side.
+#
+# Scale: identical bounded machinery as dedup_minhash_lsh (one shingle
+# materialization, banded candidate join, candidate-semi-joined verify);
+# the estimate join adds one broadcast-amenable signature lookup per
+# pair side. Output is O(10) rows.
+# ---------------------------------------------------------------------------
+
+
+def _sql_mh_match_count() -> str:
+    return " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_N_HASHES)
+    )
+
+
+_MH_AUDIT_ORACLE = f"""
+WITH {_SQL_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs()}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  {_sql_band_selects()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cand c
+  JOIN shingles sha ON sha.doc_id = c.doc_a
+  JOIN shingles shb ON shb.doc_id = c.doc_b AND shb.sh = sha.sh
+  GROUP BY 1, 2
+), scored AS (
+  SELECT v.doc_a, v.doc_b,
+         round(v.shared * 1.0 / (sza.sz + szb.sz - v.shared), 6) AS exact_j,
+         ({_sql_mh_match_count()}) * 1.0 / {_N_HASHES} AS est_j
+  FROM ver v
+  JOIN sizes sza ON sza.doc_id = v.doc_a
+  JOIN sizes szb ON szb.doc_id = v.doc_b
+  JOIN sigs sa ON sa.doc_id = v.doc_a
+  JOIN sigs sb ON sb.doc_id = v.doc_b
+)
+SELECT cast(least(floor(exact_j * 10), 9) as int) AS bucket,
+       count(*) AS n_pairs,
+       {sql_davg('est_j', 'est_mean')},
+       {sql_davg('exact_j', 'exact_mean')},
+       {sql_davg('abs(est_j - exact_j)', 'abs_err_mean')}
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("dedup_minhash_quality_audit", oracle=_MH_AUDIT_ORACLE)
+def dedup_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(spark, sf_dir, materialize=True)
+    sizes = _sizes(sh)
+    base = md5_int31(F.col("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    ).localCheckpoint(eager=True)  # feeds bands AND both estimate join sides
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode_outer(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sha = sh_cand.withColumnsRenamed({"doc_id": "doc_a"})
+    shb = sh_cand.withColumnsRenamed({"doc_id": "doc_b"})
+    ver = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sza = sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"})
+    szb = sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"})
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_HASHES)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_HASHES)],
+    )
+    match_n = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    scored = (
+        ver.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            F.round(
+                F.col("shared")
+                * F.lit(1.0)
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+                6,
+            ).alias("exact_j"),
+            (match_n * F.lit(1.0) / F.lit(_N_HASHES)).alias("est_j"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("exact_j") * 10), F.lit(9)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg(F.col("est_j")).alias("est_mean"),
+            davg(F.col("exact_j")).alias("exact_mean"),
+            davg(F.abs(F.col("est_j") - F.col("exact_j"))).alias("abs_err_mean"),
+        )
     )

@@ -166,3 +166,23 @@ def test_dedup_index_stats_consistent(spark, sf_dir, tmp_path):
         assert r.n_buckets <= r.n_docs
         # pair volume is at least what the duplicate groups imply
         assert r.expected_pairs >= 0
+
+
+def test_minhash_quality_audit(spark, sf_dir):
+    """Calibration-table contract: buckets in [0, 9], estimates in [0, 1],
+    counts positive, and per-bucket exact means must sit inside the
+    bucket's nominal range (the bucketing is by exact_j itself)."""
+    from tests.parity import assert_parity
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["dedup_minhash_quality_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert r.n_pairs > 0
+        assert 0.0 <= r.est_mean <= 1.0
+        assert 0.0 <= r.abs_err_mean <= 1.0
+        lo, hi = r.bucket / 10.0, (r.bucket + 1) / 10.0
+        assert lo <= r.exact_mean <= (1.0 if r.bucket == 9 else hi)
+    assert_parity(spark, "dedup_minhash_quality_audit", sf_dir)
