@@ -45,6 +45,10 @@ SCALE_QUERIES = {
     "chunk_documents": "doc",
     "stream_stateful_user_stats": "doc",
     "ann_lsh_topk": "emb",
+    # PQ's whole claim is the compressed-domain scan: encode is one
+    # broadcast-join pass, ADC cost is per-vector constant — near-linear
+    # or better is the expectation.
+    "ann_pq_adc_topk": "emb",
     "dedup_components": "emb",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:

@@ -180,20 +180,17 @@ SELECT query_id, vec_id, cosine, rk FROM (
 """
 
 
-@register("ann_pq_adc_topk", oracle=_PQ_ORACLE)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC shortlist + exact rerank top-k. Returns
-    (query_id, vec_id, cosine, rk) with exact cosines."""
-    cb = _pq_codebook(spark, sf_dir)
-    vecs = _vectors(spark, sf_dir)
+def _pq_encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode (vec_id, v, nrm) rows to PQ codes (vec_id, nrm, s, code).
 
-    # Encode: argmin_{code} ||sv - sc||^2. ||sv||^2 is constant per
-    # (vec, s), so the comparison key is sc2 - 2<sv, sc> — fewer float ops
-    # and the identical expression tree in the oracle. min_by keeps the
-    # argmin a partial-aggregating groupBy (map-side combine), not a
-    # window sort over the n x M x k candidate relation.
+    argmin_{code} ||sv - sc||^2: ||sv||^2 is constant per (vec, s), so
+    the comparison key is sc2 - 2<sv, sc> — fewer float ops and the
+    identical expression tree in the oracle. min_by keeps the argmin a
+    partial-aggregating groupBy (map-side combine), not a window sort
+    over the n x M x k candidate relation.
+    """
     vsub = _sub_rows(vecs, "v", ["vec_id", "nrm"])
-    enc = (
+    return (
         vsub.join(F.broadcast(cb), "s")
         .withColumn("dist_key", F.col("sc2") - F.lit(2.0) * _dot("sv", "sc"))
         .groupBy("vec_id", "s")
@@ -203,18 +200,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # LUT: |Q| x M x k rows — broadcast-sized by construction.
-    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
+
+def _pq_lut(queries: DataFrame, cb: DataFrame) -> DataFrame:
+    """ADC lookup table (query_id, qnrm, s, label, lutv) from
+    (query_id, qv, qnrm) rows — |Q| x M x k, broadcast-sized."""
     qsub = _sub_rows(queries, "qv", ["query_id", "qnrm"])
-    lut = qsub.join(F.broadcast(cb), "s").select(
+    return qsub.join(F.broadcast(cb), "s").select(
         "query_id", "qnrm", "s", "label", _dot("sv", "sc").alias("lutv")
     )
 
-    # ADC: 8 lookups + an order-independent exact sum per (query, vector).
+
+def _adc_shortlist(enc: DataFrame, lut: DataFrame, rerank_n: int) -> DataFrame:
+    """Compressed-domain scoring — 8 lookups + an order-independent
+    exact sum per (query, vector) — then the per-query shortlist."""
     adc = (
         enc.join(
             F.broadcast(lut),
@@ -233,15 +231,18 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), F.asc("vec_id"))
-    shortlist = (
+    return (
         adc.withColumn("rk", F.row_number().over(wa))
-        .where(F.col("rk") <= _PQ_RERANK)
+        .where(F.col("rk") <= rerank_n)
         .select("query_id", "vec_id")
     )
 
-    # Exact rerank over the shortlist only: a semi-bounded slice of the
-    # corpus (RERANK rows per query) joined back to the original vectors.
-    # The query side is broadcast; the vector-side join is keyed on vec_id.
+
+def _exact_rerank(
+    shortlist: DataFrame, vecs: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact cosine over the shortlist only: a RERANK-bounded slice of
+    the corpus joined back to the original vectors; query side broadcast."""
     rerank = (
         shortlist.join(vecs, "vec_id")
         .join(
@@ -260,6 +261,89 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         rerank.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _TOP_K)
+        .where(F.col("rk") <= k)
         .select("query_id", "vec_id", "cosine", "rk")
     )
+
+
+@register("ann_pq_adc_topk", oracle=_PQ_ORACLE)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist + exact rerank top-k. Returns
+    (query_id, vec_id, cosine, rk) with exact cosines."""
+    cb = _pq_codebook(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    enc = _pq_encode(vecs, cb)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    lut = _pq_lut(queries, cb)
+    shortlist = _adc_shortlist(enc, lut, _PQ_RERANK)
+    return _exact_rerank(shortlist, vecs, queries, _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Persistent PQ index — the compressed half of a production IVFADC+R
+# store. The build writes the codebook and the CODES table (vec_id, nrm,
+# s, code); the raw vectors are deliberately NOT copied into the index:
+# at 10^9 vectors the codes are the ~8-64 bytes/vector representation
+# that fits executor memory, while the exact-rerank pass reads the
+# primary vector store only for the RERANK-bounded shortlist. Query
+# results for the same (queries, k, rerank) are IDENTICAL to
+# ann_pq_adc_topk — pinned by pytest — because both paths share
+# _pq_encode/_pq_lut/_adc_shortlist/_exact_rerank.
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the PQ index: codebook + codes (no raw vectors)."""
+    cb = _pq_codebook(spark, sf_dir)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    vecs = _vectors(spark, sf_dir)
+    (
+        _pq_encode(vecs, cb)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ann_pq_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = _TOP_K,
+    rerank_n: int = _PQ_RERANK,
+) -> DataFrame:
+    """Top-k search against a persisted PQ index.
+
+    ``queries``: (query_id bigint, qv array<double>); ``vectors`` is the
+    PRIMARY vector store (vec_id, v array<double>) read only for the
+    shortlist rerank — the compressed-domain scan touches codes alone.
+    """
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    enc = spark.read.parquet(f"{index_dir}/codes")
+    q = queries.select(
+        "query_id",
+        "qv",
+        F.sqrt(_dot("qv", "qv")).alias("qnrm"),
+    )
+    lut = _pq_lut(q, cb)
+    shortlist = _adc_shortlist(enc, lut, rerank_n)
+    vecs = vectors.select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    return _exact_rerank(shortlist, vecs, q, k)
+
+
+def pq_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+    """Incrementally encode a batch against the FROZEN codebook and
+    append its codes — cost proportional to the batch, not the index,
+    and the result is identical to a full rebuild (pinned by pytest).
+    Re-train the codebook only when drift warrants a rebuild."""
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    vecs = new_vectors.select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    _pq_encode(vecs, cb).write.mode("append").parquet(f"{index_dir}/codes")

@@ -74,3 +74,84 @@ def test_pq_codebook_shape(spark, sf_dir):
     for r in cb:
         assert len(r.sc) == _PQ_SUBDIM
         assert 0 <= r.s < _PQ_M
+
+
+def test_pq_index_build_query_matches_inmemory(spark, sf_dir, tmp_path):
+    """Persisted-index query must be byte-identical to the in-memory
+    operator for the same (queries, k, rerank); the index must NOT
+    contain raw vectors (codes are the compressed representation)."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+    )
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _PQ_M,
+        ann_pq_adc_topk,
+        ann_pq_index_query,
+        build_pq_index,
+    )
+
+    idx = str(tmp_path / "pq_idx")
+    build_pq_index(spark, sf_dir, idx)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert set(codes.columns) == {"vec_id", "nrm", "s", "code"}  # no raw vectors
+    n_vecs = _vectors(spark, sf_dir).count()
+    assert codes.count() == n_vecs * _PQ_M
+
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rk)
+        for r in ann_pq_index_query(
+            spark, idx, queries, vecs.select("vec_id", "v")
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rk)
+        for r in ann_pq_adc_topk(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_pq_index_incremental_add_matches_rebuild(spark, sf_dir, tmp_path):
+    """Half-corpus build + frozen-codebook add of the other half must
+    equal the full build exactly (codes are codebook-deterministic)."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import _vectors
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _pq_codebook,
+        _pq_encode,
+        build_pq_index,
+        pq_index_add,
+    )
+
+    full_idx = str(tmp_path / "full")
+    build_pq_index(spark, sf_dir, full_idx)
+
+    # Incremental: codebook from the full corpus (frozen), codes seeded
+    # with the first half, second half appended.
+    inc_idx = str(tmp_path / "inc")
+    cb = _pq_codebook(spark, sf_dir)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{inc_idx}/codebook")
+    vecs = _vectors(spark, sf_dir)
+    mid = vecs.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    first = vecs.where(F.col("vec_id") <= mid)
+    second = vecs.where(F.col("vec_id") > mid)
+    _pq_encode(first, cb).write.mode("overwrite").parquet(f"{inc_idx}/codes")
+    pq_index_add(spark, inc_idx, second.select("vec_id", "v"))
+
+    full = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{full_idx}/codes").collect()
+    )
+    inc = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{inc_idx}/codes").collect()
+    )
+    assert full == inc
