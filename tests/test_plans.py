@@ -283,3 +283,24 @@ def test_rag_chunk_retrieve_broadcast_query_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_no_cartesian_and_broadcast_stages(spark, sf_dir):
+    # PQ's three fan-ins — codebook (encode), LUT (ADC), query vectors
+    # (rerank) — must all be broadcast, and nothing may fall back to a
+    # cartesian product: the corpus side is only ever scanned, equi-joined
+    # on bucket-like keys, and window-ranked per query.
+    df = QUERIES["ann_pq_adc_topk"](spark, sf_dir)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "BroadcastHashJoin") >= 3, plan
+
+
+def test_cap_per_source_single_shuffle(spark, sf_dir):
+    # One window keyed by source: exactly one exchange (hash by source),
+    # no join, no extra sort beyond the window's.
+    df = QUERIES["cap_per_source"](spark, sf_dir)
+    plan = plan_str(df)
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan, plan
