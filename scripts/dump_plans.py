@@ -35,6 +35,9 @@ SHOW = [
     ("chunk_documents", "map-only chunking: scan -> generate, zero Exchange"),
     ("contrastive_pairs", "doc_id-keyed lead window; one keyed shuffle"),
     ("rag_chunk_retrieve", "broadcast 1-row query; TakeOrderedAndProject top-k"),
+    ("ann_pq_adc_topk", "broadcast codebook/LUT; min_by encode; decimal ADC sums; bounded rerank"),
+    ("cap_per_source", "single source-keyed window shuffle; no join"),
+    ("dedup_minhash_quality_audit", "banded candidates; signature lookups; O(10)-row calibration output"),
 ]
 
 

@@ -245,6 +245,65 @@ def stream_ivf_ingest(
         q.awaitTermination()
 
 
+def stream_pq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuously-maintained COMPRESSED vector index: streaming
+    embedding batches → ``foreachBatch`` → ``pq_index_add`` against the
+    frozen per-subspace codebooks.
+
+    The PQ twin of ``stream_ivf_ingest``: the store being maintained here
+    is the codes table (no raw vectors — the 8-64 bytes/vector
+    representation that keeps a 10^9-vector index in executor memory),
+    so ingest cost is one broadcast-codebook encode pass per batch.
+    Frozen codebooks make each batch's codes reproducible → the streamed
+    index stays IDENTICAL to a full rebuild (pinned by pytest).
+    Exactly-once via the same recorded-batch-id guard as the IVF loop
+    (appends into codes would otherwise duplicate on replay).
+    """
+    import json
+    import os
+
+    from ..operators.similarity2 import pq_index_add
+
+    src_schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_pq_commits.json")
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch is already in the index
+        pq_index_add(
+            spark,
+            index_dir,
+            batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+        )
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_shuffle(spark):
+        q = (
+            src.writeStream.foreachBatch(add_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_ingest_dedup(
     spark: SparkSession,
     src_dir: str,

@@ -155,3 +155,55 @@ def test_pq_index_incremental_add_matches_rebuild(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{inc_idx}/codes").collect()
     )
     assert full == inc
+
+
+def test_stream_pq_ingest_equals_rebuild(spark, sf_dir, tmp_path):
+    """Embedding batches arriving on a stream, applied via foreachBatch
+    pq_index_add, must produce a codes table identical to a full rebuild;
+    a second drain with no new files must not change it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        build_pq_index,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_pq_ingest,
+    )
+
+    full_dir = str(tmp_path / "pq_full")
+    build_pq_index(spark, sf_dir, full_dir)
+
+    stream_idx = str(tmp_path / "pq_stream")
+    shutil.copytree(f"{full_dir}/codebook", f"{stream_idx}/codebook")
+
+    src_dir = str(tmp_path / "emb_src")
+    ckpt = str(tmp_path / "pq_ckpt")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    os.makedirs(src_dir)
+    for tag, pred in (("a", F.col("vec_id") % 2 == 0), ("b", F.col("vec_id") % 2 == 1)):
+        staging = str(tmp_path / f"_{tag}")
+        emb.where(pred).coalesce(1).write.parquet(staging)
+        part = next(n for n in os.listdir(staging) if n.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(staging, part),
+            os.path.join(src_dir, f"embeddings_{tag}.parquet"),
+        )
+        stream_pq_ingest(spark, src_dir, stream_idx, ckpt)
+
+    full = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{full_dir}/codes").collect()
+    )
+    streamed = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{stream_idx}/codes").collect()
+    )
+    assert full == streamed
+
+    # idempotent re-drain: no new files -> codes unchanged
+    n_before = spark.read.parquet(f"{stream_idx}/codes").count()
+    stream_pq_ingest(spark, src_dir, stream_idx, ckpt)
+    assert spark.read.parquet(f"{stream_idx}/codes").count() == n_before
