@@ -24,6 +24,7 @@ number is reported, not hidden.
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -91,6 +92,14 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         detail["queries"][name] = secs
         total += secs
         print(f"  [scale] {name}: {secs}s", file=sys.stderr)
+        # Same isolation as the headline loop (bench.py): drop plan refs so
+        # the ContextCleaner unpersists localCheckpoint blocks before the
+        # next query — at sf10 the minhash shingle checkpoint is ~100x the
+        # sf0.1 one, and leaving it resident inflated the NEXT queries'
+        # measurements (r5: dedup_components read 65s behind minhash vs
+        # ~26s isolated — a 2.5x measurement artifact, not a regression).
+        del fn
+        gc.collect()
 
     # Band-width knob demonstration: dedup_components is the one query
     # whose 10x ratio is super-linear by DESIGN at the default 5-bit
