@@ -1,0 +1,61 @@
+"""Per-job orchestration (jobs.py): main_api.run_analysis_pipeline parity —
+stage artifacts committed per job dir, manifest as the atomic success
+marker, incomplete jobs surfaced, old jobs expirable."""
+
+import os
+
+import pytest
+
+from sentiment_analysis_vector_search_spark.jobs import (
+    list_jobs,
+    read_job_artifact,
+    run_analysis_job,
+)
+
+
+def test_job_artifacts_match_operators(spark, sf_dir, tmp_path):
+    import __spark_entry__ as entrymod
+
+    jobs_root = str(tmp_path / "jobs")
+    manifest = run_analysis_job(spark, sf_dir, jobs_root, "job-001")
+    assert manifest["status"] == "succeeded"
+    assert os.path.exists(os.path.join(jobs_root, "job-001", "manifest.json"))
+
+    qs = entrymod.queries()
+    for stage, n in manifest["stages"].items():
+        art = read_job_artifact(spark, jobs_root, "job-001", stage)
+        assert art.count() == n
+        live = qs[stage](spark, sf_dir)
+        # artifact values = the (driver/oracle-verified) operator's output
+        a = sorted(map(tuple, art.collect()))
+        b = sorted(map(tuple, live.collect()))
+        assert a == b, stage
+
+
+def test_job_manifest_is_success_marker(spark, sf_dir, tmp_path):
+    jobs_root = str(tmp_path / "jobs")
+    run_analysis_job(spark, sf_dir, jobs_root, "done", stages=("sent_distribution",))
+    # simulate a crashed job: stage dir exists, no manifest
+    os.makedirs(os.path.join(jobs_root, "crashed", "sent_distribution"))
+
+    listed = {j["job_id"]: j["status"] for j in list_jobs(jobs_root)}
+    assert listed == {"done": "succeeded", "crashed": "incomplete"}
+
+    with pytest.raises(FileNotFoundError):
+        read_job_artifact(spark, jobs_root, "crashed", "sent_distribution")
+
+
+def test_old_jobs_expirable_via_sinks(spark, sf_dir, tmp_path):
+    """cleanup_old_jobs.py parity end-to-end: job dirs are plain
+    directories, so retention is directory removal of everything not in
+    the keep-set — here driven by the jobs listing."""
+    import shutil
+
+    jobs_root = str(tmp_path / "jobs")
+    for jid in ("job-20240101", "job-20260101"):
+        run_analysis_job(spark, sf_dir, jobs_root, jid, stages=("sent_distribution",))
+    keep_from = "job-20250000"
+    for j in list_jobs(jobs_root):
+        if j["job_id"] < keep_from:
+            shutil.rmtree(os.path.join(jobs_root, j["job_id"]))
+    assert [j["job_id"] for j in list_jobs(jobs_root)] == ["job-20260101"]
