@@ -161,3 +161,34 @@ def test_representative_is_argmax_cosine_member(spark, sf_dir):
         .collect()
     }
     assert reps == {cid: doc for cid, (_, doc) in best.items()}
+
+
+def test_every_query_has_valid_oracle():
+    """Registry meta-contract: every registered query carries an oracle
+    whose SQL at least PLANS in DuckDB over the real table schemas (the
+    cheap tripwire for oracle-text drift between full parity runs).
+    Queries without an oracle must be none — representatives_kmeans was
+    the last, closed in r5 by the in-engine deterministic fit."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.catalog import TABLES
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"queries without oracle_sql: {missing}"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001 — collect every failure
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, f"oracle SQL fails to plan: {bad}"
