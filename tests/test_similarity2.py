@@ -207,3 +207,27 @@ def test_stream_pq_ingest_equals_rebuild(spark, sf_dir, tmp_path):
     n_before = spark.read.parquet(f"{stream_idx}/codes").count()
     stream_pq_ingest(spark, src_dir, stream_idx, ckpt)
     assert spark.read.parquet(f"{stream_idx}/codes").count() == n_before
+
+
+def test_pq_encode_is_layout_invariant(spark, sf_dir):
+    """Codes must be a pure function of (vector, codebook) — identical
+    under any partitioning/row order, or a 1000-executor run would
+    produce a different index than a 10-executor one. The min_by argmin
+    key (dist_key, label) is a total order, which is what guarantees it."""
+    from sentiment_analysis_vector_search_spark.operators.similarity import _vectors
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _pq_codebook,
+        _pq_encode,
+    )
+
+    cb = _pq_codebook(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    a = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in _pq_encode(vecs.repartition(3), cb).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in _pq_encode(vecs.repartition(17, "vec_id"), cb).collect()
+    )
+    assert a == b
