@@ -291,6 +291,13 @@ def main() -> None:
     timings, spread, raw = _time_queries(spark, queries, HEADLINE, sf_dir, reps)
     total = round(sum(timings.values()), 3)
 
+    # Crash insurance (r4 advice #5): emit a headline-only line BEFORE the
+    # multi-minute scale smoke. If the run is killed mid-smoke, this is the
+    # last complete stdout line and still parses; on a full run the final
+    # line (with sf10_equiv) supersedes it in the driver's tail capture.
+    print(_final_line(total, timings, spread, sf, None, calib))
+    sys.stdout.flush()
+
     scale_summary = None
     scale_detail = None
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
