@@ -4,12 +4,16 @@
     python -m sentiment_analysis_vector_search_spark run <query> [--sf-dir D] [--limit N] [--json]
     python -m sentiment_analysis_vector_search_spark explain <query> [--sf-dir D]
     python -m sentiment_analysis_vector_search_spark oracle <query>
+    python -m sentiment_analysis_vector_search_spark index <kind> <out-dir> [--sf-dir D]
 
 `run` executes the operator end-to-end and prints rows (tabular, or one
 JSON object per line with --json — the shape a shell pipeline wants);
 `explain` prints the formatted physical plan (the artifact to audit for
 broadcasts/pushdown before running at scale); `oracle` prints the
-DuckDB-executable SQL contract.
+DuckDB-executable SQL contract; `index` materializes a persisted serving
+index (the BASELINE north star's "batch index build"): `ivf` (codebook +
+cell-partitioned assignments), `pq` (codebook + compressed codes), or
+`dedup` (MinHash/LSH signature index for incremental ingest dedup).
 """
 
 from __future__ import annotations
@@ -36,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     p_oracle = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     p_oracle.add_argument("query")
 
+    p_idx = sub.add_parser("index", help="build a persisted serving index")
+    p_idx.add_argument("kind", choices=("ivf", "pq", "dedup"))
+    p_idx.add_argument("out_dir")
+    p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = p.parse_args(argv)
 
     import os
@@ -44,6 +53,29 @@ def main(argv: list[str] | None = None) -> int:
     import __spark_entry__ as entry
 
     queries = entry.queries()
+
+    if args.cmd == "index":
+        from .session import get_spark
+
+        spark = get_spark("cli-index")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.kind == "ivf":
+            from .operators.similarity import build_ivf_index
+
+            build_ivf_index(spark, args.sf_dir, args.out_dir)
+        elif args.kind == "pq":
+            from .operators.similarity2 import build_pq_index
+
+            build_pq_index(spark, args.sf_dir, args.out_dir)
+        else:
+            from .catalog import table
+            from .operators.dedup_index import build_dedup_index
+
+            build_dedup_index(
+                spark, table(spark, args.sf_dir, "documents"), args.out_dir
+            )
+        print(f"built {args.kind} index at {args.out_dir}")
+        return 0
 
     if args.cmd == "list":
         for name in queries:

@@ -59,3 +59,20 @@ def test_old_jobs_expirable_via_sinks(spark, sf_dir, tmp_path):
         if j["job_id"] < keep_from:
             shutil.rmtree(os.path.join(jobs_root, j["job_id"]))
     assert [j["job_id"] for j in list_jobs(jobs_root)] == ["job-20260101"]
+
+
+def test_cli_index_build(spark, sf_dir, tmp_path):
+    """`python -m … index <kind> <dir>` must materialize each persisted
+    index layout (the north star's batch index build as one command)."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    for kind, parts in (
+        ("ivf", {"codebook", "assignments"}),
+        ("pq", {"codebook", "codes"}),
+        ("dedup", {"bands", "shingles", "sizes"}),
+    ):
+        out = str(tmp_path / kind)
+        assert main(["index", kind, out, "--sf-dir", sf_dir]) == 0
+        assert set(os.listdir(out)) >= parts, kind
