@@ -92,6 +92,8 @@ HEADLINE = [
     "q_events_seasonality",
     "q_nation_segment_pivot",
     "q_churned_buyers",
+    "q_customer_rfm",
+    "q_events_transitions",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

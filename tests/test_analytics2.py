@@ -1,0 +1,49 @@
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_parity
+
+ANALYTICS2 = ["q_customer_rfm", "q_events_transitions"]
+
+
+@pytest.mark.parametrize("name", ANALYTICS2)
+def test_analytics2_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    """Each score column must be an exact ntile: bucket sizes differ by
+    at most one, all five buckets present, scores in [1, 5]."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_customer_rfm"](spark, sf_dir)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = {
+            r[col]: r["n"]
+            for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert set(sizes) == {1, 2, 3, 4, 5}, (col, sizes)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
+def test_rfm_no_global_single_partition_window(spark, sf_dir):
+    """The scale contract: no one-partition global ntile window — the
+    plan must range-partition for the rank instead."""
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    plan = plan_str(entrymod.queries()["q_customer_rfm"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "ntile" not in plan.lower(), plan
+
+
+def test_transitions_probabilities_sum_to_one(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_events_transitions"](spark, sf_dir)
+    sums = (
+        df.groupBy("prev_type").agg(F.round(F.sum("p"), 2).alias("s")).collect()
+    )
+    assert sums
+    for r in sums:
+        assert abs(r["s"] - 1.0) <= 0.02, r
