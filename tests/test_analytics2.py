@@ -47,3 +47,30 @@ def test_transitions_probabilities_sum_to_one(spark, sf_dir):
     assert sums
     for r in sums:
         assert abs(r["s"] - 1.0) <= 0.02, r
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 5, 6, 23, 100])
+def test_dist_ntile_matches_ntile_semantics(spark, n):
+    """_dist_ntile must reproduce exact ntile(k) bucketing (first n%k
+    buckets one row larger) for awkward n, including n < k."""
+    from sentiment_analysis_vector_search_spark.operators.analytics2 import (
+        _dist_ntile,
+    )
+
+    df = spark.range(n).select(
+        (F.col("id") * 7 % 13).alias("v"), F.col("id").alias("tid")
+    )
+    got = {
+        r.tid: r.b for r in _dist_ntile(df, "v", "tid", 5, "b").collect()
+    }
+    rows = sorted(((r.v, r.tid) for r in df.collect()))
+    want = {}
+    base, extra = divmod(n, 5)
+    idx = 0
+    for b in range(1, 6):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            if idx < n:
+                want[rows[idx][1]] = b
+                idx += 1
+    assert got == want
