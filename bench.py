@@ -94,6 +94,7 @@ HEADLINE = [
     "q_churned_buyers",
     "q_customer_rfm",
     "q_events_transitions",
+    "q_cohort_ltv",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

@@ -167,3 +167,77 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — quarterly-cohort lifetime value: customers cohorted by
+# first-order quarter, revenue tracked by cohort age. The money-side
+# complement of q_events_retention's activity matrix. The cumulative sum
+# runs over the (cohorts x ages)-bounded rollup, never the fact table,
+# and stays an UNROUNDED ordered-window fold over decimal-exact partials
+# (cumulative revenue crosses the 2^53 round() hazard — see
+# .claude/skills/verify).
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH firsts AS (
+  SELECT o_custkey AS custkey,
+         date_trunc('quarter', min(o_orderdate)) AS cohort_q
+  FROM orders GROUP BY o_custkey
+), cohort_sizes AS (
+  SELECT cohort_q, count(*) AS cohort_customers FROM firsts GROUP BY cohort_q
+), aged AS (
+  SELECT f.cohort_q,
+         (date_part('year', o.o_orderdate) * 4 + date_part('quarter', o.o_orderdate))
+         - (date_part('year', f.cohort_q) * 4 + date_part('quarter', f.cohort_q))
+           AS age_q,
+         o.o_totalprice
+  FROM orders o JOIN firsts f ON f.custkey = o.o_custkey
+), rolled AS (
+  SELECT cohort_q, cast(age_q as int) AS age_q, {sql_dsum('o_totalprice', 'rev')}
+  FROM aged GROUP BY cohort_q, cast(age_q as int)
+)
+SELECT r.cohort_q, r.age_q, s.cohort_customers, r.rev,
+       sum(r.rev) OVER (PARTITION BY r.cohort_q ORDER BY r.age_q
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_rev
+FROM rolled r JOIN cohort_sizes s ON s.cohort_q = r.cohort_q
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.date_trunc("quarter", F.min("o_orderdate")).alias("cohort_q")
+    )
+    sizes = firsts.groupBy("cohort_q").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    qidx = lambda c: F.year(c) * 4 + F.quarter(c)  # noqa: E731
+    aged = orders.join(firsts, orders.o_custkey == firsts.custkey).select(
+        "cohort_q",
+        (qidx(F.col("o_orderdate")) - qidx(F.col("cohort_q"))).cast("int").alias("age_q"),
+        "o_totalprice",
+    )
+    rolled = aged.groupBy("cohort_q", "age_q").agg(
+        dsum(F.col("o_totalprice")).alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rolled.join(sizes, "cohort_q")
+        .select(
+            # timestamp, not date: Spark DateType surfaces as datetime.date
+            # while DuckDB DATE becomes a midnight datetime64 — the value
+            # hash sees different strings (same convention as sent_trends).
+            F.col("cohort_q").cast("timestamp").alias("cohort_q"),
+            "age_q",
+            "cohort_customers",
+            "rev",
+            F.sum("rev").over(w).alias("cum_rev"),
+        )
+    )

@@ -74,3 +74,19 @@ def test_dist_ntile_matches_ntile_semantics(spark, n):
                 want[rows[idx][1]] = b
                 idx += 1
     assert got == want
+
+
+def test_cohort_ltv_parity_and_monotone(spark, sf_dir):
+    assert_parity(spark, "q_cohort_ltv", sf_dir)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_q, []).append((r.age_q, r.rev, r.cum_rev))
+    for cohort, seq in by_cohort.items():
+        seq.sort()
+        run = 0.0
+        for age, rev, cum in seq:
+            run += rev
+            assert cum == pytest.approx(run, rel=1e-12), (cohort, age)
