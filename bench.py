@@ -95,6 +95,7 @@ HEADLINE = [
     "q_customer_rfm",
     "q_events_transitions",
     "q_cohort_ltv",
+    "q_events_chi2",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

@@ -241,3 +241,63 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").over(w).alias("cum_rev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_chi2 — in-database statistical testing: Pearson chi-square
+# independence statistic for event_type x day-of-week (is behavior
+# day-dependent?). The statistic sum((obs - exp)^2 / exp) is pure
+# rational arithmetic — no transcendentals, so cross-engine parity is
+# exact under 6dp rounding (the engine's standing no-log rule). The
+# contingency table is |types| x 7 — the two margin relations and the
+# final sum are all bounded; the only corpus-sized stage is one groupBy.
+# p-value lookup is a client-side table concern (needs the incomplete
+# gamma function), deliberately out of engine scope; dof ships with the
+# statistic.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT event_type, cast(dayofweek(ts) as int) AS dow, count(*) AS o
+  FROM events GROUP BY event_type, cast(dayofweek(ts) as int)
+), margins AS (
+  SELECT event_type, dow, o,
+         sum(o) OVER (PARTITION BY event_type) AS row_tot,
+         sum(o) OVER (PARTITION BY dow) AS col_tot,
+         sum(o) OVER () AS n
+  FROM obs
+)
+SELECT count(*) AS n_cells,
+       cast((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) as bigint)
+         AS dof,
+       round(sum((o - row_tot * col_tot * 1.0 / n)
+                 * (o - row_tot * col_tot * 1.0 / n)
+                 / (row_tot * col_tot * 1.0 / n)), 6) AS chi2
+FROM margins
+"""
+
+
+@register("q_events_chi2", oracle=_CHI2_ORACLE)
+def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 6).alias(
+            "chi2"
+        ),
+    )

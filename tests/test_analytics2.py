@@ -90,3 +90,29 @@ def test_cohort_ltv_parity_and_monotone(spark, sf_dir):
         for age, rev, cum in seq:
             run += rev
             assert cum == pytest.approx(run, rel=1e-12), (cohort, age)
+
+
+def test_chi2_parity_and_python_reference(spark, sf_dir):
+    assert_parity(spark, "q_events_chi2", sf_dir)
+    import collections
+
+    import __spark_entry__ as entrymod
+    from sentiment_analysis_vector_search_spark.catalog import table
+
+    got = entrymod.queries()["q_events_chi2"](spark, sf_dir).collect()[0]
+
+    rows = table(spark, sf_dir, "events").select("event_type", "ts").collect()
+    obs = collections.Counter((r.event_type, r.ts.weekday()) for r in rows)
+    row_tot = collections.Counter()
+    col_tot = collections.Counter()
+    for (t, d), o in obs.items():
+        row_tot[t] += o
+        col_tot[d] += o
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - row_tot[t] * col_tot[d] / n) ** 2 / (row_tot[t] * col_tot[d] / n)
+        for (t, d), o in obs.items()
+    )
+    assert got.chi2 == pytest.approx(chi2, abs=1e-6)  # engine rounds to 6dp
+    assert got.dof == (len(row_tot) - 1) * (len(col_tot) - 1)
+    assert got.n_cells == len(obs)
