@@ -96,6 +96,7 @@ HEADLINE = [
     "q_events_transitions",
     "q_cohort_ltv",
     "q_events_chi2",
+    "dq_expectations",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

@@ -116,3 +116,22 @@ def test_chi2_parity_and_python_reference(spark, sf_dir):
     assert got.chi2 == pytest.approx(chi2, abs=1e-6)  # engine rounds to 6dp
     assert got.dof == (len(row_tot) - 1) * (len(col_tot) - 1)
     assert got.n_cells == len(obs)
+
+
+def test_dq_expectations_report(spark, sf_dir):
+    """The DQ report must cover every declared check once, hash-match its
+    oracle, and surface the KNOWN synthetic-data finding (duplicate
+    lineitem composite keys) as a failed row — a failing check row is
+    the operator working, not an error."""
+    assert_parity(spark, "dq_expectations", sf_dir)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["dq_expectations"](spark, sf_dir).collect()
+    by_key = {(r.table_name, r.check_name): r for r in rows}
+    assert len(rows) == len(by_key) == 11
+    li_pk = by_key[("lineitem", "pk_unique")]
+    assert not li_pk.passed and li_pk.metric > 0
+    for key, r in by_key.items():
+        if key == ("lineitem", "pk_unique"):
+            continue
+        assert r.passed, key
