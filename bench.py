@@ -97,6 +97,7 @@ HEADLINE = [
     "q_cohort_ltv",
     "q_events_chi2",
     "dq_expectations",
+    "q_forecast_backtest",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

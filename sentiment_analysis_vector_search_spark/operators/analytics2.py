@@ -301,3 +301,88 @@ def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest — forecast evaluation in-engine: a seasonal-naive
+# day-of-week forecast trained on the first three weeks (Jan 1-21, which
+# is exactly 3 occurrences of each weekday) and backtested on the fourth
+# (Jan 22-28), reporting per-event-type MAE. This is the evaluation
+# HARNESS a forecasting pipeline needs regardless of model — swap the
+# fc expression for a model UDF and the spine/join/MAE plumbing stands.
+# All arithmetic is rational (counts / 3, / 7) — exact cross-engine.
+# The spine is |types| x 7 (a bounded broadcast cross join), the only
+# corpus-sized stage is one daily-count groupBy.
+# ---------------------------------------------------------------------------
+
+_FC_TRAIN_END = "2024-01-22"
+_FC_TEST_END = "2024-01-29"
+
+_FC_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, cast(ts as date) AS d, dayofweek(ts) AS dow, count(*) AS n
+  FROM events
+  GROUP BY event_type, cast(ts as date), dayofweek(ts)
+), spine AS (
+  SELECT t.event_type, w.dow
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN (SELECT DISTINCT dayofweek(ts) AS dow FROM events) w
+), fc AS (
+  SELECT s.event_type, s.dow,
+         coalesce(sum(d.n), 0) / 3.0 AS predicted
+  FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.dow = s.dow
+                    AND d.d < date '{_FC_TRAIN_END}'
+  GROUP BY s.event_type, s.dow
+), actual AS (
+  SELECT s.event_type, s.dow, coalesce(sum(d.n), 0) AS n
+  FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.dow = s.dow
+                    AND d.d >= date '{_FC_TRAIN_END}' AND d.d < date '{_FC_TEST_END}'
+  GROUP BY s.event_type, s.dow
+)
+SELECT f.event_type,
+       round(sum(abs(a.n - f.predicted)) / 7.0, 6) AS mae,
+       cast(sum(a.n) as bigint) AS actual_total,
+       round(sum(f.predicted), 6) AS forecast_total
+FROM fc f JOIN actual a ON a.event_type = f.event_type AND a.dow = f.dow
+GROUP BY f.event_type
+"""
+
+
+@register("q_forecast_backtest", oracle=_FC_ORACLE)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    types = daily.select("event_type").distinct()
+    dows = ev.select(F.dayofweek("ts").alias("dow")).distinct()
+    spine = types.crossJoin(F.broadcast(dows))
+
+    train = daily.where(F.col("d") < F.lit(_FC_TRAIN_END).cast("date"))
+    fc = (
+        spine.join(train, ["event_type", "dow"], "left")
+        .groupBy("event_type", "dow")
+        .agg((F.coalesce(F.sum("n"), F.lit(0)) / F.lit(3.0)).alias("predicted"))
+    )
+    test = daily.where(
+        (F.col("d") >= F.lit(_FC_TRAIN_END).cast("date"))
+        & (F.col("d") < F.lit(_FC_TEST_END).cast("date"))
+    )
+    actual = (
+        spine.join(test, ["event_type", "dow"], "left")
+        .groupBy("event_type", "dow")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+    )
+    return (
+        fc.join(actual, ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.abs(F.col("n") - F.col("predicted"))) / F.lit(7.0), 6).alias("mae"),
+            F.sum("n").cast("bigint").alias("actual_total"),
+            F.round(F.sum("predicted"), 6).alias("forecast_total"),
+        )
+    )

@@ -135,3 +135,17 @@ def test_dq_expectations_report(spark, sf_dir):
         if key == ("lineitem", "pk_unique"):
             continue
         assert r.passed, key
+
+
+def test_forecast_backtest_parity_and_sanity(spark, sf_dir):
+    assert_parity(spark, "q_forecast_backtest", sf_dir)
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_forecast_backtest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mae >= 0
+        assert r.actual_total >= 0 and r.forecast_total >= 0
+        # MAE can never exceed (actual + forecast) / 7 summed — loose but
+        # catches sign/join errors
+        assert r.mae <= (r.actual_total + r.forecast_total)
