@@ -98,6 +98,7 @@ HEADLINE = [
     "q_events_chi2",
     "dq_expectations",
     "q_forecast_backtest",
+    "ab_test_lift",
     # sentiment pipeline
     "sent_classify",
     "sent_distribution",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashing import sql_md5_long
 from ..functions.stable import dsum, sql_dsum
 from ..registry import register
 
@@ -385,4 +386,102 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("actual_total"),
             F.round(F.sum("predicted"), 6).alias("forecast_total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_lift — experimentation analytics: deterministic md5 arm
+# assignment over users (the same engine-portable hash device as
+# split_train_holdout), per-arm conversion, lift, and the
+# two-proportion z-statistic. "Converted" = the user's purchase count
+# exceeds the global per-user average (crossed in as a broadcast scalar,
+# the q11 device) — an interior rate at ANY scale factor, where a plain
+# "ever purchased" flag saturates to 1.0 on this corpus and the pooled
+# variance (and z denominator) degenerates to zero. sqrt is IEEE-754 CORRECTLY ROUNDED
+# on both engines (unlike ln/exp, which the engine bans — see
+# functions/stable.py), so the z-score is parity-exact under 6dp
+# rounding; the p-value lookup (needs erf) stays a client-side table
+# concern, like q_events_chi2's. One events scan → per-user flags →
+# bounded two-row arm rollup.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = f"""
+WITH pc AS (
+  SELECT user_id,
+         {sql_md5_long('cast(user_id as varchar)')} % 2 AS arm,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+  FROM events
+  GROUP BY user_id
+), users AS (
+  SELECT user_id, arm,
+         CASE WHEN purchases > (SELECT sum(purchases) * 1.0 / count(*) FROM pc)
+              THEN 1 ELSE 0 END AS converted
+  FROM pc
+), arms AS (
+  SELECT arm, count(*) AS n, cast(sum(converted) as bigint) AS conv,
+         round(sum(converted) * 1.0 / count(*), 6) AS rate
+  FROM users GROUP BY arm
+), wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0,
+    max(CASE WHEN arm = 0 THEN conv END) AS c0,
+    max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM arms
+)
+SELECT n0, c0, round(c0 * 1.0 / n0, 6) AS rate0,
+       n1, c1, round(c1 * 1.0 / n1, 6) AS rate1,
+       round(c1 * 1.0 / n1 - c0 * 1.0 / n0, 6) AS lift,
+       round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+             / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                    * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM wide
+"""
+
+
+@register("ab_test_lift", oracle=_AB_ORACLE)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        )
+    )
+    avg_row = pc.agg(
+        (F.sum("purchases") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_p")
+    )
+    users = pc.crossJoin(F.broadcast(avg_row)).select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("arm"),
+        F.when(F.col("purchases") > F.col("avg_p"), 1).otherwise(0).alias("converted"),
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0") * F.lit(1.0) / F.col("n0")
+    r1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    pool = (F.col("c0") + F.col("c1")) * F.lit(1.0) / (F.col("n0") + F.col("n1"))
+    return wide.select(
+        "n0",
+        "c0",
+        F.round(r0, 6).alias("rate0"),
+        "n1",
+        "c1",
+        F.round(r1, 6).alias("rate1"),
+        F.round(r1 - r0, 6).alias("lift"),
+        F.round(
+            (r1 - r0)
+            / F.sqrt(
+                pool * (F.lit(1) - pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            ),
+            6,
+        ).alias("z_score"),
     )

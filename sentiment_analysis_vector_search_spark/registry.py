@@ -79,11 +79,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #       r2 green by diff audit)
 #   aging (unchanged, last graded r2) —
 #     text_ops 9, analytics_ext r2-tail 7 of 11
-# r6 plan (window already owed 25+): never-graded r5 tail additions 13
+# r6 plan (window already owed 25+): never-graded r5 tail additions 14
 #   (q_cube_revenue, tokenizer_fertility, text_char_diversity,
 #   ann_range_search, ann_pq_adc_topk, cap_per_source,
 #   dedup_minhash_quality_audit, q_customer_rfm, q_events_transitions,
-#   q_cohort_ltv, q_events_chi2, dq_expectations, q_forecast_backtest
+#   q_cohort_ltv, q_events_chi2, dq_expectations, q_forecast_backtest,
+#   ab_test_lift
 #   — added
 #   after the r5 window filled; green in-session vs driver_sim at
 #   sf0.01 AND sf0.1 but must-grade r6), analytics_ext deferred 5 (r2!),

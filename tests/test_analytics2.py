@@ -149,3 +149,15 @@ def test_forecast_backtest_parity_and_sanity(spark, sf_dir):
         # MAE can never exceed (actual + forecast) / 7 summed — loose but
         # catches sign/join errors
         assert r.mae <= (r.actual_total + r.forecast_total)
+
+
+def test_ab_test_lift_parity_and_invariants(spark, sf_dir):
+    assert_parity(spark, "ab_test_lift", sf_dir)
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["ab_test_lift"](spark, sf_dir).collect()[0]
+    assert r.n0 > 0 and r.n1 > 0
+    assert 0 < r.rate0 < 1 and 0 < r.rate1 < 1  # interior rates by design
+    assert r.lift == pytest.approx(r.rate1 - r.rate0, abs=2e-6)
+    # z sign must agree with lift sign
+    assert (r.z_score >= 0) == (r.lift >= 0)
