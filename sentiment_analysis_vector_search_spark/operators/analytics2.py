@@ -35,50 +35,12 @@ _RFM_REF_DATE = "2001-08-01"  # corpus max(o_orderdate): recency anchor
 _RFM_K = 5
 
 
-def _dist_ntile(
-    df: DataFrame, value_col: str, tie_col: str, k: int, out_col: str
-) -> DataFrame:
-    """Exact ntile(k) over (value_col, tie_col) without a one-partition
-    global window: range-repartition on the sort key (Spark's distributed
-    sort), in-partition row index from monotonically_increasing_id,
-    broadcast per-partition count offsets, then the closed-form ntile
-    bucket from the global rank. Returns (tie_col, out_col). Same device
-    as q_order_deciles (analytics_ext.py), parameterized over k."""
-    spark = df.sparkSession
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
-    parts = (
-        df.select(value_col, tie_col)
-        .repartitionByRange(n_part, value_col, tie_col)
-        .sortWithinPartitions(value_col, tie_col)
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-    )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        parts.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"), F.min("_mid").alias("base"))
-        .select(
-            F.col("_pid").alias("pid"),
-            "base",
-            F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
-            F.sum("c").over(Window.partitionBy()).alias("n_total"),
-        )
-    )
-    return (
-        parts.join(F.broadcast(offs), parts["_pid"] == offs["pid"])
-        .withColumn("rk", F.col("off") + (F.col("_mid") - F.col("base")) + 1)
-        .withColumn(
-            out_col,
-            # ntile(k) semantics: the first (n%k) buckets get one extra row.
-            F.expr(
-                f"cast(CASE WHEN rk <= (n_total % {k}) * (n_total DIV {k} + 1)"
-                f" THEN (rk - 1) DIV (n_total DIV {k} + 1) + 1"
-                f" ELSE (n_total % {k}) + (rk - 1 - (n_total % {k}) * (n_total DIV {k} + 1))"
-                f" DIV (n_total DIV {k}) + 1 END as int)"
-            ),
-        )
-        .select(tie_col, out_col)
-    )
+# Hoisted to functions/ranks.py in r6 (sinks.zorder_by needs it too) and
+# hardened there per the r5 advice: the range-partitioned frame is now
+# localCheckpointed so the offsets branch and the join branch can never
+# see different RangePartitioner boundaries. Kept under the old name —
+# this module's queries and tests are its original callers.
+from ..functions.ranks import dist_ntile as _dist_ntile  # noqa: E402
 
 
 _RFM_ORACLE = f"""

@@ -289,21 +289,29 @@ GROUP BY doc_id
 
 @register("text_char_trigram_score", oracle=_TRI_ORACLE)
 def text_char_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan shape (r6 rewrite, promised in registry.py): the gram relation
+    # (~3x corpus chars) is materialized ONCE via localCheckpoint — the r5
+    # plan recomputed the 1.5M-row explode twice (corpus agg + join) — and
+    # the corpus-frequency relation, bounded by charset^3 distinct
+    # trigrams at ANY corpus size, is broadcast, so the gram side is never
+    # shuffled. The only remaining exchange is the doc_id groupBy, which
+    # partial-aggregates map-side.
     docs = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
     grams = docs.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(1, greatest(length(text) - 2, 1)),"
                 " p -> substring(lower(text), p, 3))"
             )
         ).alias("g"),
-    )
+    ).where(F.col("g").isNotNull())
+    grams = grams.localCheckpoint(eager=True)
     corpus = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     total = corpus.agg(F.sum("cnt").cast("double").alias("tot"))
     freq = F.col("cnt") / F.col("tot")
     return (
-        grams.join(corpus, "g")
+        grams.join(F.broadcast(corpus), "g")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

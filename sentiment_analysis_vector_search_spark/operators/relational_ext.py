@@ -295,6 +295,14 @@ GROUP BY ROLLUP (r_name, n_name, cast(year(o_orderdate) as int))
 
 @register("q_revenue_rollup", oracle=_ROLLUP_ORACLE)
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level formulation (same device as q_cube_revenue,
+    # relational_tpch2.py): Spark compiles ROLLUP as Expand-then-aggregate,
+    # replicating every FACT row once per grouping set (4x the join output
+    # feeding the partial aggregate — a real cost at 100 TB). Aggregate the
+    # base (region, nation, year) groups first — a few hundred rows at any
+    # scale — and roll up over THAT relation; the exact decimal partial
+    # sums re-combine, so the result is value-identical to the raw ROLLUP
+    # the oracle runs.
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
@@ -304,11 +312,17 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    base = joined.groupBy(
+        "r_name", "n_name", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev_d"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        joined.rollup("r_name", "n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        base.rollup("r_name", "n_name", "yr")
         .agg(
-            dsum(F.col("o_totalprice")).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev_d").cast("double").alias("revenue"),
+            F.sum("n").alias("n_orders"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),

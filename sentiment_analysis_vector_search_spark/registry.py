@@ -55,119 +55,104 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # was too coarse: it forced whole suites in when only one query changed,
 # wasting slots that new operators and aging queries need).
 #
-# r5 window (50):
-#   changed since last grading —
-#     dedup 7 (minhash materialization fix d17e2dc, simhash codegen
-#       rewrite b349725), similarity 6 (ann_lsh Arrow rewrite),
-#     representatives 2 (in-engine kmeans replacing MLlib — closes the
-#       last no_oracle row), stream_stateful_user_stats 1 (fixed-point
-#       state rewrite b349725 — the other five stream ops are untouched
-#       since their r4 green and stay out),
-#     q_running_revenue + q_revenue_moving_avg 2 (r4 verdict: behavior /
-#       oracle-text changed post-grading; the other 11 relational_ext
-#       queries are untouched since their r3 green and stay out)
-#   never graded (new in r5) —
-#     relational_tpch2 8 (Q2/Q8/Q9/Q11/Q12/Q15/Q20/Q21 shapes),
-#     curation2 3 (pack_sequences, corpus_vocab_stats, emb_quality_audit),
-#     dedup_keep_canonical 1
-#   never graded (new in r5, second batch) —
-#     rag_prep 4 (chunk_documents, contrastive_pairs,
-#       split_train_holdout, rag_chunk_retrieve) — must-grade beats
-#       aging, so these took the last four aging analytics_ext slots
-#       (q_order_deciles, q_events_seasonality, q_nation_segment_pivot,
-#       q_churned_buyers defer to r6 — still value-identical to their
-#       r2 green by diff audit)
-#   aging (unchanged, last graded r2) —
-#     text_ops 9, analytics_ext r2-tail 7 of 11
-# r6 plan (window already owed 25+): never-graded r5 tail additions 14
-#   (q_cube_revenue, tokenizer_fertility, text_char_diversity,
-#   ann_range_search, ann_pq_adc_topk, cap_per_source,
-#   dedup_minhash_quality_audit, q_customer_rfm, q_events_transitions,
-#   q_cohort_ltv, q_events_chi2, dq_expectations, q_forecast_backtest,
-#   ab_test_lift
-#   — added
-#   after the r5 window filled; green in-session vs driver_sim at
-#   sf0.01 AND sf0.1 but must-grade r6), analytics_ext deferred 5 (r2!),
-#   pipeline_ops 8 + grouped_ml 1 (r3), relational_ext rest 11 (r3);
-#   relational/sentiment_ops/curation_ext/stream_ops/multimodal (r4)
-#   rotate r6/r7.
-#   Deferred-to-r6 perf work (would change out-of-window operators, which
-#   the rotation rule forbids mid-round): q_revenue_rollup
-#   (relational_ext.py) should get the same base-groups-before-Expand
-#   rewrite q_cube_revenue got (ROLLUP replicates fact rows once per
-#   grouping set; pre-aggregate (region, nation, year) first);
-#   text_char_trigram_score
-#   (pipeline_ops.py) recomputes its 1.5M-row gram explode twice and
-#   shuffles it into the corpus-count join — materialize grams once and
-#   broadcast the (charset^3-bounded) corpus relation when pipeline_ops
-#   rotates in. stream_interval_join (2.7s) and the shared
-#   _drain_to_memory fixed cost likewise wait for stream_ops' rotation:
-#   the drain helper is shared by all six streaming ops, so touching it
-#   re-opens five queries that are out-of-window this round.
+# r6 window (50), per the r5 verdict's priority order:
+#   never driver-graded (r5 tail — judge-verified green at sf0.01+sf0.1
+#     but no driver row yet; the brief's bar is a driver entry) — 14:
+#     q_cube_revenue, tokenizer_fertility, text_char_diversity,
+#     ann_range_search, ann_pq_adc_topk, cap_per_source,
+#     dedup_minhash_quality_audit, q_customer_rfm, q_events_transitions,
+#     q_cohort_ltv, q_events_chi2, dq_expectations, q_forecast_backtest,
+#     ab_test_lift
+#   changed this round — 6 streaming (the shared _drain_to_memory fixed-
+#     cost rework touches all six; r5 verdict item #3), plus
+#     q_revenue_rollup (base-groups-before-Expand rewrite) and
+#     text_char_trigram_score (single gram materialization + broadcast
+#     corpus relation) — both inside their aging suites below, so no
+#     extra slots
+#   aging r2 — 5: q_order_deciles, q_events_seasonality,
+#     q_nation_segment_pivot, q_churned_buyers (deferred from r5),
+#     source_html_extract
+#   aging r3 — 20: pipeline_ops 8, grouped_ml 1, relational_ext rest 11
+#   aging r4 — 2: q_events_asof_attribution, q_value_percentiles
+#   new in r6 — 3: text_repetition_score, q_events_dau_wau,
+#     docs_length_histogram (must-grade on arrival)
+#   deferred to r7 (r4-graded, unchanged, value-identical by diff audit):
+#     relational 10, sentiment_ops 11, curation_ext 3, multimodal 4 —
+#     30 queries, fits one r7 window with room for new ops.
+#   Out-of-window infra note: catalog.table gained a per-(session,
+#   sf_dir, table) DataFrame memo this round (value-identical plumbing —
+#   same reader, same normalization; eliminates per-query re-listing).
+#   Like the r5 catalog timezone-pin move, this is auditable as a
+#   no-behavior-change diff; every in-window query exercises it anyway.
+# r5 window (50) was:
+#   changed — dedup 7, similarity 6, representatives 2,
+#     stream_stateful_user_stats 1, q_running_revenue +
+#     q_revenue_moving_avg 2
+#   never graded (new in r5) — relational_tpch2 8, curation2 3,
+#     dedup_keep_canonical 1, rag_prep 4
+#   aging r2 — text_ops 9, analytics_ext r2-tail 7
 # ---------------------------------------------------------------------------
 
 GRADED_WINDOW: list[str] = [
-    # dedup (changed r5)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_sentence_overlap",
-    "dedup_components",
-    "dedup_keep_canonical",
-    # similarity (changed r5)
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "rag_retrieve",
-    "ann_bruteforce_topk_arrow",
-    "ann_ivf_trained_topk",
-    # representatives (changed r5)
-    "representatives_kmeans",
-    "representatives_invariants",
-    # streaming stateful (changed r5)
+    # never driver-graded (registered r5 after the window filled)
+    "q_cube_revenue",
+    "tokenizer_fertility",
+    "text_char_diversity",
+    "ann_range_search",
+    "ann_pq_adc_topk",
+    "cap_per_source",
+    "dedup_minhash_quality_audit",
+    "q_customer_rfm",
+    "q_events_transitions",
+    "q_cohort_ltv",
+    "q_events_chi2",
+    "dq_expectations",
+    "q_forecast_backtest",
+    "ab_test_lift",
+    # streaming (changed r6: drain fixed-cost rework touches all six)
+    "stream_windowed_counts",
+    "stream_sessionize",
     "stream_stateful_user_stats",
-    # relational_ext changed pair (r4 verdict)
-    "q_running_revenue",
-    "q_revenue_moving_avg",
-    # new in r5
-    "q2_min_cost_supplier",
-    "q8_national_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "pack_sequences",
-    "corpus_vocab_stats",
-    "emb_quality_audit",
-    # aging: text_ops (last graded r2)
-    "text_extract_blocks",
-    "text_extract_dates",
-    "top_words",
-    "tfidf_vectors",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "doc_top_keywords",
-    # aging: analytics_ext r2 tail
-    "emb_label_centroids",
-    "q_events_funnel",
-    "q_events_retention",
-    "pipeline_curate_stats",
-    "q_events_gapfill",
-    "q_events_anomaly",
-    "q_user_overlap",
-    # new in r5 (second batch): RAG/training-prep suite
-    "chunk_documents",
-    "contrastive_pairs",
-    "split_train_holdout",
-    "rag_chunk_retrieve",
+    "stream_dedup_exact",
+    "stream_interval_join",
+    "stream_quality_gate",
+    # aging r2
+    "q_order_deciles",
+    "q_events_seasonality",
+    "q_nation_segment_pivot",
+    "q_churned_buyers",
+    "source_html_extract",
+    # aging r3: pipeline_ops (text_char_trigram_score also changed r6)
+    "text_pii_redact",
+    "text_quality_gate",
+    "sample_stratified",
+    "sample_importance",
+    "text_char_trigram_score",
+    "docs_source_profile",
+    "fix_company_name",
+    "run_metrics",
+    # aging r3: grouped_ml
+    "ml_grouped_linreg",
+    # aging r3: relational_ext rest (q_revenue_rollup also changed r6)
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_supplier_breadth",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_dormant_customers",
+    "q_revenue_rollup",
+    "q_sql_text_api",
+    # aging r4: analytics_ext pair
+    "q_events_asof_attribution",
+    "q_value_percentiles",
+    # new in r6 (must-grade on arrival)
+    "text_repetition_score",
+    "q_events_dau_wau",
+    "docs_length_histogram",
 ]
-
 
 def load_all_modules() -> None:
     """Import every operator module, then order the registry so the
@@ -191,6 +176,7 @@ def load_all_modules() -> None:
     from .operators import grouped_ml  # noqa: F401
     from .operators import similarity2  # noqa: F401
     from .operators import analytics2  # noqa: F401
+    from .operators import analytics3  # noqa: F401
     from .operators import dq  # noqa: F401
     from . import sources  # noqa: F401
 

@@ -33,8 +33,13 @@ def test_rfm_no_global_single_partition_window(spark, sf_dir):
     from sentiment_analysis_vector_search_spark.plans import plan_str
 
     plan = plan_str(entrymod.queries()["q_customer_rfm"](spark, sf_dir))
-    assert "rangepartitioning" in plan.lower(), plan
-    assert "ntile" not in plan.lower(), plan
+    low = plan.lower()
+    assert "ntile" not in low, plan
+    # Since r6, dist_ntile localCheckpoints its range-partitioned frame
+    # (exchange-reuse hardening): the range shuffle runs inside the eager
+    # checkpoint job, so the final plan reads the materialized blocks
+    # (Scan ExistingRDD) instead of showing the RangePartitioning node.
+    assert "rangepartitioning" in low or "existingrdd" in low, plan
 
 
 def test_transitions_probabilities_sum_to_one(spark, sf_dir):
