@@ -7,6 +7,8 @@ gets column pruning + predicate pushdown into the scan for free.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -75,12 +77,40 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session table memo (r6): `spark.read.parquet` re-lists the directory
+# and re-reads footers on EVERY call — a fixed ~50-100 ms tax per table per
+# query invocation that the r5 cross-round bench surfaced as a uniform
+# +0.3-0.5 s floor on trivial queries. The memoized DataFrame is a lazy,
+# immutable logical plan over a static testdata dir, so reuse is
+# value-identical; the session key is weak so a stopped session's entries
+# drop. (At cluster scale the equivalent is a real metastore table —
+# resolved once, not per query.)
+_TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        return normalize_event_ts(read_events_raw(spark, sf_dir))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Re-apply the UTC session pin on every access (not only on memo
+        # miss) so the memo does not weaken read_events_raw's documented
+        # session-state contract.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        per = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable: skip memoization
+        per = {}
+    key = (sf_dir, name)
+    df = per.get(key)
+    if df is None:
+        if name == "events":
+            df = normalize_event_ts(read_events_raw(spark, sf_dir))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per[key] = df
+    return df
 
 
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .stream_ops import _DOC_SCHEMA, _stream_shuffle
+from .stream_ops import _DOC_SCHEMA, _stream_confs
 
 
 def stream_ingest_documents(
@@ -56,7 +56,7 @@ def stream_ingest_documents(
         "n_chars",
         gate_columns()["keep"].alias("keep"),
     ).where(F.col("keep"))
-    with _stream_shuffle(spark):
+    with _stream_confs(spark):
         q = (
             gated.drop("keep")
             .writeStream.format("parquet")
@@ -171,7 +171,7 @@ def stream_rollup_maintenance(
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
 
-    with _stream_shuffle(spark):
+    with _stream_confs(spark):
         q = (
             ev.writeStream.foreachBatch(upsert_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -235,7 +235,7 @@ def stream_ivf_ingest(
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
 
-    with _stream_shuffle(spark):
+    with _stream_confs(spark):
         q = (
             src.writeStream.foreachBatch(add_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -294,7 +294,7 @@ def stream_pq_ingest(
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
 
-    with _stream_shuffle(spark):
+    with _stream_confs(spark):
         q = (
             src.writeStream.foreachBatch(add_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -378,7 +378,7 @@ def stream_ingest_dedup(
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
 
-    with _stream_shuffle(spark):
+    with _stream_confs(spark):
         q = (
             src.writeStream.foreachBatch(gate_batch)
             .option("checkpointLocation", checkpoint_dir)

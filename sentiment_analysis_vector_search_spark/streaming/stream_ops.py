@@ -15,8 +15,11 @@ real trigger; the watermark bounds state for late data.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 import uuid
 from contextlib import contextmanager
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -35,46 +38,101 @@ from ..registry import register
 # spark.sql.shuffle.partitions; a vanilla session's 200 means 200 state
 # commits per micro-batch — pure overhead at test scale. On a real cluster
 # size this to key cardinality / executor count via the env knob.
-_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+# Lowered 8 → 4 in r6: each HDFS-backed state commit is a handful of
+# fsynced files PER partition PER store (a stream-stream join keeps four
+# stores), and the r5 bench showed the per-partition commit fan-out, not
+# compute, dominating drain cost at test scale (8→4 ≈ −0.5 s on
+# stream_interval_join).
+_STATE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+
+_NO_DATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+# Session-scoped checkpoint root (r5 verdict #3: stop paying per-drain
+# checkpoint setup in scattered temp dirs). Prefer a RAM-backed tmpfs —
+# an availableNow drain's checkpoint is ephemeral by construction (the
+# query is never resumed; the subdir is deleted right after the drain),
+# so durability buys nothing here and the fsync traffic of the HDFS-backed
+# state store is the measured cost (−0.3-0.4 s per stateful drain). A
+# production deployment points checkpointLocation at durable shared
+# storage instead — that is a deploy knob, not this helper's contract.
+_CK_ROOTS: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
+
+
+def _session_ck_root(spark: SparkSession) -> str:
+    root = _CK_ROOTS.get(spark)
+    if root is None or not os.path.isdir(root):
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+        root = tempfile.mkdtemp(prefix="sg_stream_ck_", dir=base)
+        _CK_ROOTS[spark] = root
+    return root
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
-    """Pin shuffle partitions while a streaming query starts; restore after."""
-    try:
-        old = spark.conf.get("spark.sql.shuffle.partitions")
-    except Exception:  # noqa: BLE001
-        old = None
-    spark.conf.set("spark.sql.shuffle.partitions", _STATE_PARTITIONS)
+def _stream_confs(spark: SparkSession, state_partitions: str | None = None):
+    """Pin drain-scoped streaming confs while a query starts; restore after.
+
+    - shuffle partitions → _STATE_PARTITIONS (state partitioning is fixed
+      at first start).
+    - no-data micro-batches OFF: availableNow otherwise appends one final
+      empty batch purely to advance the watermark and re-commit every
+      state partition (~0.9 s on the stream-stream join). Safe for every
+      drain in this module BY CONSTRUCTION: the complete/update-mode aggs
+      re-emit per batch and the inner interval join emits eagerly — no
+      operator here holds rows that only a final watermark tick would
+      release. An append-mode AGGREGATION drain would need that tick;
+      don't add one to this helper without flipping this conf back on.
+    """
+    olds = {}
+    for conf, new in (
+        ("spark.sql.shuffle.partitions", state_partitions or _STATE_PARTITIONS),
+        (_NO_DATA_CONF, "false"),
+    ):
+        try:
+            olds[conf] = spark.conf.get(conf)
+        except Exception:  # noqa: BLE001
+            olds[conf] = None
+        spark.conf.set(conf, new)
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+        for conf, old in olds.items():
+            if old is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, old)
 
 
-def _drain_to_memory(spark: SparkSession, df: DataFrame, prefix: str, mode: str) -> DataFrame:
+def _drain_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    mode: str,
+    state_partitions: str | None = None,
+) -> DataFrame:
     """availableNow drain to a memory sink, returning the result DETACHED
     from the sink: the drained rows are checkpointed and the temp view is
     dropped immediately. Without the drop, every invocation leaves its full
     result set pinned in the session catalog — repeated calls (driver rows
     pass + hash pass, bench warmup + reps) accumulate into real memory
     pressure (measured: stream_interval_join 2.5s → 6.4s over a bench run).
+    The checkpoint lives under the session-scoped RAM-backed root (see
+    _session_ck_root) and is deleted as soon as the drain finishes.
     """
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
+    ck = os.path.join(_session_ck_root(spark), sink)
+    with _stream_confs(spark, state_partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(sink)
             .outputMode(mode)
+            .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
+    shutil.rmtree(ck, ignore_errors=True)
     return out
 
 
@@ -252,7 +310,13 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # update-mode sink may hold one row per (user, micro-batch): keep the
     # final state per user (max n_events is monotone in batches).
-    snap = _drain_to_memory(spark, out, "stream_ustats", "update")
+    # Wider state partitioning than the drain default: this stage runs
+    # PYTHON workers (applyInPandasWithState), so partitions = concurrent
+    # interpreters; the commit fan-out that argues for few partitions on
+    # JVM-stateful drains is dwarfed here by Python-side parallelism.
+    snap = _drain_to_memory(
+        spark, out, "stream_ustats", "update", state_partitions="16"
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         snap.withColumn("_rk", F.row_number().over(w))
@@ -323,10 +387,16 @@ FROM events p JOIN events c
 
 @register("stream_interval_join", oracle=_SJOIN_ORACLE)
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def src(kind: str, alias: str) -> DataFrame:
+    # ONE streaming source, self-joined (r6): two _event_stream calls
+    # register two FileStreamSources that each probe the footer, list the
+    # dir, and track offsets — pure duplication for a same-table interval
+    # join. Structured Streaming supports stream self-joins; both sides
+    # below share this single source.
+    ev = _event_stream(spark, sf_dir)
+
+    def side(kind: str, alias: str) -> DataFrame:
         return (
-            _event_stream(spark, sf_dir)
-            .where(F.col("event_type") == kind)
+            ev.where(F.col("event_type") == kind)
             .select(
                 F.col("event_id").alias(f"{alias}_id"),
                 F.col("user_id").alias(f"{alias}_user"),
@@ -335,8 +405,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark(f"{alias}_ts", "1 hour")
         )
 
-    purchases = src("purchase", "p")
-    clicks = src("click", "c")
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
     joined = purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
