@@ -66,6 +66,10 @@ def run_analysis_job(
 
     load_all_modules()
     job_dir = os.path.join(jobs_root, job_id)
+    # Stage writes create job_dir as a side effect, but an empty-stages
+    # job (or a future stage that writes elsewhere) must still be able to
+    # commit its manifest.
+    os.makedirs(job_dir, exist_ok=True)
     counts: dict[str, int] = {}
     for stage in stages:
         df: DataFrame = QUERIES[stage](spark, sf_dir)
@@ -109,8 +113,14 @@ def list_jobs(jobs_root: str) -> list[dict]:
     for name in sorted(os.listdir(jobs_root)):
         mpath = os.path.join(jobs_root, name, "manifest.json")
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                out.append(json.load(f))
+            # A truncated/corrupt manifest means the job did NOT complete
+            # its atomic commit protocol (or the file was damaged after) —
+            # report it as incomplete rather than crashing the listing.
+            try:
+                with open(mpath) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                out.append({"job_id": name, "status": "incomplete"})
         elif os.path.isdir(os.path.join(jobs_root, name)):
             out.append({"job_id": name, "status": "incomplete"})
     return out

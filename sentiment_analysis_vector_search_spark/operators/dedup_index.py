@@ -120,26 +120,38 @@ def dedup_index_add(spark: SparkSession, docs: DataFrame, index_dir: str) -> Non
 
 
 def dedup_index_check(
-    spark: SparkSession, docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    broadcast_rows_max: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and the indexed corpus:
     (doc_a, doc_b, jaccard, is_duplicate) with doc_a < doc_b, exactly the
     cross-batch rows batch ``dedup_minhash_lsh`` would emit on the union.
 
-    Plan shape: batch bands (small) broadcast against the band-partitioned
-    bucket table — the corpus-side scan is an equi-join probe, and the
-    verify reads only colliding docs' shingles (semi-joined by the
-    broadcast candidate ids). Self-pairs within the new batch are the
-    batch operator's job; this is the ingest gate against history.
+    Plan shape: batch bands broadcast against the band-partitioned bucket
+    table — the corpus-side scan is an equi-join probe, and the verify
+    reads only colliding docs' shingles (semi-joined by the candidate
+    ids). Self-pairs within the new batch are the batch operator's job;
+    this is the ingest gate against history.
+
+    The broadcast is GATED on batch size (r5 verdict #7): the hourly-
+    ingest shape broadcasts, but a backfill-sized batch would OOM the
+    executors with an unconditional hint, so past ``broadcast_rows_max``
+    shingle rows (~2M rows ≈ low-hundreds MB serialized — inside a
+    default 1 GiB broadcast limit with headroom) the probe falls back to
+    keyed shuffle joins on the same equi keys. The shingle-row count is
+    already on the driver for free: the batch is localCheckpointed for
+    the multi-branch probe, so count() reads materialized block sizes.
     """
     new_sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    small = new_sh.count() <= broadcast_rows_max
+    hint = F.broadcast if small else (lambda df: df)
     new_bands = _band_rows(new_sh)
     idx_bands = spark.read.parquet(f"{index_dir}/bands")
     cand = (
         idx_bands.join(
-            F.broadcast(
-                new_bands.withColumnsRenamed({"doc_id": "new_id", "bh": "bh"})
-            ),
+            hint(new_bands.withColumnsRenamed({"doc_id": "new_id", "bh": "bh"})),
             ["band", "bh"],
         )
         .select(F.col("doc_id").alias("idx_id"), "new_id")
@@ -148,7 +160,7 @@ def dedup_index_check(
         .localCheckpoint(eager=True)
     )
     idx_sh = spark.read.parquet(f"{index_dir}/shingles").join(
-        F.broadcast(cand.select(F.col("idx_id").alias("doc_id")).distinct()),
+        hint(cand.select(F.col("idx_id").alias("doc_id")).distinct()),
         "doc_id",
         "left_semi",
     )

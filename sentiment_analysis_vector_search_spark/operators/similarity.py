@@ -801,14 +801,24 @@ def ann_ivf_index_query(
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
 
 
-def ivf_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+def ivf_index_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    stage_dir: str | None = None,
+) -> None:
     """Incrementally add vectors to a persisted IVF index WITHOUT a
     rebuild: assign the new batch against the stored codebook (broadcast)
     and append into the cell partitions. Because the codebook is frozen,
     the resulting index is IDENTICAL to one built from the full corpus —
     pinned by pytest — and the maintenance cost is proportional to the
     batch, not the index (the real-world ingest path for a vector store;
-    re-train the codebook only when drift warrants a rebuild)."""
+    re-train the codebook only when drift warrants a rebuild).
+
+    ``stage_dir``: write the assigned batch THERE (overwrite, still
+    cell-partitioned) instead of appending into the index — the hook
+    streaming ingest uses to make the append idempotent (stage, then
+    atomic batch-stamped renames; see file_sink._idempotent_append_dir)."""
     cents_n = spark.read.parquet(f"{index_dir}/codebook")
     vecs = new_vectors.select(
         "vec_id", F.col("v").cast("array<double>").alias("v")
@@ -831,12 +841,11 @@ def ivf_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -
         .where(F.col("rk") == 1)
         .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
     )
-    (
-        assigned.repartition(F.col("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{index_dir}/assignments")
-    )
+    writer = assigned.repartition(F.col("cell")).write.partitionBy("cell")
+    if stage_dir is None:
+        writer.mode("append").parquet(f"{index_dir}/assignments")
+    else:
+        writer.mode("overwrite").parquet(stage_dir)
 
 
 # ---------------------------------------------------------------------------

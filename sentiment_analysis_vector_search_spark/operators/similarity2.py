@@ -210,16 +210,23 @@ def _pq_lut(queries: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _adc_shortlist(enc: DataFrame, lut: DataFrame, rerank_n: int) -> DataFrame:
+def _adc_shortlist(
+    enc: DataFrame, lut: DataFrame, rerank_n: int, exclude_self: bool = False
+) -> DataFrame:
     """Compressed-domain scoring — 8 lookups + an order-independent
-    exact sum per (query, vector) — then the per-query shortlist."""
+    exact sum per (query, vector) — then the per-query shortlist.
+
+    ``exclude_self`` drops corpus vectors whose vec_id equals the
+    query_id. Only valid when the queries ARE corpus vectors sharing the
+    id space (ann_pq_adc_topk); for external queries the two id spaces
+    are unrelated and a coincidental collision would silently hide a
+    legitimate neighbor (r5 advice), so it defaults off.
+    """
+    cond = (enc.s == lut.s) & (enc.code == lut.label)
+    if exclude_self:
+        cond = cond & (enc.vec_id != lut.query_id)
     adc = (
-        enc.join(
-            F.broadcast(lut),
-            (enc.s == lut.s)
-            & (enc.code == lut.label)
-            & (enc.vec_id != lut.query_id),
-        )
+        enc.join(F.broadcast(lut), cond)
         .groupBy("query_id", "vec_id")
         .agg(
             dsum(F.col("lutv")).alias("adc_sum"),
@@ -279,7 +286,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     lut = _pq_lut(queries, cb)
-    shortlist = _adc_shortlist(enc, lut, _PQ_RERANK)
+    # queries are corpus vectors here: self-matches are excluded by id.
+    shortlist = _adc_shortlist(enc, lut, _PQ_RERANK, exclude_self=True)
     return _exact_rerank(shortlist, vecs, queries, _TOP_K)
 
 
@@ -315,12 +323,18 @@ def ann_pq_index_query(
     vectors: DataFrame,
     k: int = _TOP_K,
     rerank_n: int = _PQ_RERANK,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k search against a persisted PQ index.
 
     ``queries``: (query_id bigint, qv array<double>); ``vectors`` is the
     PRIMARY vector store (vec_id, v array<double>) read only for the
     shortlist rerank — the compressed-domain scan touches codes alone.
+
+    ``exclude_self`` (default OFF): set True ONLY when the query ids
+    live in the corpus vec_id space (e.g. querying the index with its
+    own vectors) — for external queries, an id that coincidentally
+    equals a vec_id must NOT hide that corpus vector (r5 advice).
     """
     cb = spark.read.parquet(f"{index_dir}/codebook")
     enc = spark.read.parquet(f"{index_dir}/codes")
@@ -330,20 +344,34 @@ def ann_pq_index_query(
         F.sqrt(_dot("qv", "qv")).alias("qnrm"),
     )
     lut = _pq_lut(q, cb)
-    shortlist = _adc_shortlist(enc, lut, rerank_n)
+    shortlist = _adc_shortlist(enc, lut, rerank_n, exclude_self=exclude_self)
     vecs = vectors.select(
         "vec_id", F.col("v").cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(_dot("v", "v")))
     return _exact_rerank(shortlist, vecs, q, k)
 
 
-def pq_index_add(spark: SparkSession, index_dir: str, new_vectors: DataFrame) -> None:
+def pq_index_add(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    stage_dir: str | None = None,
+) -> None:
     """Incrementally encode a batch against the FROZEN codebook and
     append its codes — cost proportional to the batch, not the index,
     and the result is identical to a full rebuild (pinned by pytest).
-    Re-train the codebook only when drift warrants a rebuild."""
+    Re-train the codebook only when drift warrants a rebuild.
+
+    ``stage_dir``: write the batch's codes THERE (overwrite) instead of
+    appending into the index — the hook streaming ingest uses to make
+    the append idempotent (stage, then atomic batch-stamped renames;
+    see file_sink._idempotent_append_dir)."""
     cb = spark.read.parquet(f"{index_dir}/codebook")
     vecs = new_vectors.select(
         "vec_id", F.col("v").cast("array<double>").alias("v")
     ).withColumn("nrm", F.sqrt(_dot("v", "v")))
-    _pq_encode(vecs, cb).write.mode("append").parquet(f"{index_dir}/codes")
+    enc = _pq_encode(vecs, cb)
+    if stage_dir is None:
+        enc.write.mode("append").parquet(f"{index_dir}/codes")
+    else:
+        enc.write.mode("overwrite").parquet(stage_dir)

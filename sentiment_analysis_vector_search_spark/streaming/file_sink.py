@@ -181,6 +181,35 @@ def stream_rollup_maintenance(
         q.awaitTermination()
 
 
+def _idempotent_append_dir(stage_dir: str, target_dir: str, batch_id: int) -> None:
+    """Promote a STAGED parquet write into ``target_dir`` with
+    batch-stamped deterministic file names (atomic ``os.replace`` each).
+
+    This is what upgrades the ingest loops' recorded-batch-id guard from
+    at-least-once to exactly-once (r5 advice): a crash can no longer leave
+    half-appended data that a replay would duplicate, because a replay
+    re-stages the SAME batch (frozen codebook + pinned stream shuffle
+    partitions → deterministic file count and contents) and re-replaces
+    the SAME destination names. Hive-partition subdirs (cell=N/...) are
+    preserved; only after every rename succeeds does the caller record
+    the batch id.
+    """
+    import os
+
+    for root, _dirs, files in os.walk(stage_dir):
+        parts = sorted(f for f in files if f.endswith(".parquet"))
+        if not parts:
+            continue
+        rel = os.path.relpath(root, stage_dir)
+        dest = target_dir if rel == "." else os.path.join(target_dir, rel)
+        os.makedirs(dest, exist_ok=True)
+        for i, fn in enumerate(parts):
+            os.replace(
+                os.path.join(root, fn),
+                os.path.join(dest, f"batch{batch_id}_part{i:05d}.parquet"),
+            )
+
+
 def stream_ivf_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -203,7 +232,9 @@ def stream_ivf_ingest(
     Exactly-once: the source checkpoint replays whole micro-batches, and
     since ``ivf_index_add`` APPENDS into cell partitions a replay would
     duplicate vectors — the recorded-batch-id guard (same pattern as
-    ``stream_rollup_maintenance``) makes the append idempotent.
+    ``stream_rollup_maintenance``) skips replayed batches, and (r6) the
+    staged batch-stamped-rename append closes the remaining crash window
+    between the append and the commit record.
     """
     import json
     import os
@@ -219,21 +250,29 @@ def stream_ivf_ingest(
     commits_path = os.path.join(checkpoint_dir, "_ivf_commits.json")
 
     def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         applied: list[int] = []
         if os.path.exists(commits_path):
             with open(commits_path) as f:
                 applied = json.load(f)
         if batch_id in applied:
             return  # replayed batch is already in the index
+        # stage → batch-stamped atomic renames → record: exactly-once
+        # even across a crash mid-append (see _idempotent_append_dir).
+        stage = os.path.join(checkpoint_dir, f"_ivf_stage_{batch_id}")
         ivf_index_add(
             spark,
             index_dir,
             batch_df.select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             ),
+            stage_dir=stage,
         )
+        _idempotent_append_dir(stage, f"{index_dir}/assignments", batch_id)
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
+        shutil.rmtree(stage, ignore_errors=True)
 
     with _stream_confs(spark):
         q = (
@@ -261,8 +300,10 @@ def stream_pq_ingest(
     so ingest cost is one broadcast-codebook encode pass per batch.
     Frozen codebooks make each batch's codes reproducible → the streamed
     index stays IDENTICAL to a full rebuild (pinned by pytest).
-    Exactly-once via the same recorded-batch-id guard as the IVF loop
-    (appends into codes would otherwise duplicate on replay).
+    Exactly-once (r6): recorded-batch-id guard PLUS the staged
+    idempotent append — codes land via batch-stamped atomic renames, so
+    a crash between the append and the commit record no longer leaves
+    duplicates for the replay to compound (pytest-pinned replay test).
     """
     import json
     import os
@@ -278,21 +319,29 @@ def stream_pq_ingest(
     commits_path = os.path.join(checkpoint_dir, "_pq_commits.json")
 
     def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         applied: list[int] = []
         if os.path.exists(commits_path):
             with open(commits_path) as f:
                 applied = json.load(f)
         if batch_id in applied:
             return  # replayed batch is already in the index
+        # stage → batch-stamped atomic renames → record: exactly-once
+        # even across a crash mid-append (see _idempotent_append_dir).
+        stage = os.path.join(checkpoint_dir, f"_pq_stage_{batch_id}")
         pq_index_add(
             spark,
             index_dir,
             batch_df.select(
                 "vec_id", F.col("embedding").cast("array<double>").alias("v")
             ),
+            stage_dir=stage,
         )
+        _idempotent_append_dir(stage, f"{index_dir}/codes", batch_id)
         with open(commits_path, "w") as f:
             json.dump(applied + [batch_id], f)
+        shutil.rmtree(stage, ignore_errors=True)
 
     with _stream_confs(spark):
         q = (

@@ -76,3 +76,26 @@ def test_cli_index_build(spark, sf_dir, tmp_path):
         out = str(tmp_path / kind)
         assert main(["index", kind, out, "--sf-dir", sf_dir]) == 0
         assert set(os.listdir(out)) >= parts, kind
+
+
+def test_empty_stages_job_still_commits_manifest(spark, sf_dir, tmp_path):
+    """stages=() must produce an empty-success manifest, not crash on a
+    missing job dir (r5 advice)."""
+    jobs_root = str(tmp_path / "jobs")
+    manifest = run_analysis_job(spark, sf_dir, jobs_root, "job-empty", stages=())
+    assert manifest["status"] == "succeeded"
+    assert manifest["stages"] == {}
+    assert list_jobs(jobs_root) == [manifest]
+
+
+def test_corrupt_manifest_reported_incomplete(spark, sf_dir, tmp_path):
+    """A truncated manifest.json (crash mid-damage) downgrades the job to
+    'incomplete' in the listing instead of raising (r5 advice)."""
+    jobs_root = str(tmp_path / "jobs")
+    run_analysis_job(spark, sf_dir, jobs_root, "job-ok", stages=("run_metrics",))
+    bad_dir = os.path.join(jobs_root, "job-bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "manifest.json"), "w") as f:
+        f.write('{"job_id": "job-bad", "status": "succ')  # truncated
+    listed = {m["job_id"]: m["status"] for m in list_jobs(jobs_root)}
+    assert listed == {"job-ok": "succeeded", "job-bad": "incomplete"}

@@ -108,7 +108,9 @@ def test_pq_index_build_query_matches_inmemory(spark, sf_dir, tmp_path):
     got = sorted(
         (r.query_id, r.vec_id, r.cosine, r.rk)
         for r in ann_pq_index_query(
-            spark, idx, queries, vecs.select("vec_id", "v")
+            # corpus vectors AS queries: the one case where excluding
+            # vec_id == query_id is meaningful, so opt in explicitly
+            spark, idx, queries, vecs.select("vec_id", "v"), exclude_self=True
         ).collect()
     )
     want = sorted(
@@ -116,6 +118,33 @@ def test_pq_index_build_query_matches_inmemory(spark, sf_dir, tmp_path):
         for r in ann_pq_adc_topk(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_pq_index_external_query_id_collision_not_excluded(spark, sf_dir, tmp_path):
+    """An EXTERNAL query whose query_id happens to equal a corpus vec_id
+    must still be able to retrieve that vector (default exclude_self=False;
+    r5 advice). Query with vector 0's own embedding under its colliding id:
+    vec 0 itself must come back as the top hit."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import _vectors
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        ann_pq_index_query,
+        build_pq_index,
+    )
+
+    idx = str(tmp_path / "pq_idx_ext")
+    build_pq_index(spark, sf_dir, idx)
+    vecs = _vectors(spark, sf_dir)
+    ext = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    top = (
+        ann_pq_index_query(spark, idx, ext, vecs.select("vec_id", "v"), k=1)
+        .collect()
+    )
+    assert len(top) == 1
+    assert top[0].vec_id == 0 and top[0].cosine == 1.0
 
 
 def test_pq_index_incremental_add_matches_rebuild(spark, sf_dir, tmp_path):
@@ -231,3 +260,45 @@ def test_pq_encode_is_layout_invariant(spark, sf_dir):
         for r in _pq_encode(vecs.repartition(17, "vec_id"), cb).collect()
     )
     assert a == b
+
+
+def test_pq_staged_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The exactly-once protocol (r5 advice): stage → batch-stamped
+    atomic renames → record. A crash after the renames but BEFORE the
+    batch id is recorded makes the stream replay the batch; re-staging
+    and re-renaming must overwrite the same destination files, leaving
+    the codes table identical to a single application."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        build_pq_index,
+        pq_index_add,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        _idempotent_append_dir,
+    )
+
+    idx = str(tmp_path / "pq_idx")
+    build_pq_index(spark, sf_dir, idx)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    def apply_batch():
+        stage = str(tmp_path / "stage_b1")
+        pq_index_add(spark, idx, batch, stage_dir=stage)
+        _idempotent_append_dir(stage, f"{idx}/codes", batch_id=1)
+
+    apply_batch()
+    once = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    apply_batch()  # replay: crash happened before the commit record
+    twice = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    assert once == twice
