@@ -30,14 +30,15 @@ import sys
 import time
 
 # query -> which tile multiplier its input tables got (for the ratio):
-# "doc" = documents/events tiling, "emb" = embeddings tiling.
-# The r4 verdict's top-5 by sf0.1 cost. dedup_simhash sits out on
-# wall-clock grounds only: since the codegen rewrite its 100x run is
-# linear (the old higher-order-function form measured >8 min), but
-# linear from a 2.2s sf0.1 base is still ~1-2 min — more than the whole
-# smoke budget buys for a query whose scale behavior is already proven.
-# Same for dedup_keep_canonical, whose dominant stage IS the minhash
-# already measured here.
+# "doc" = documents/events tiling, "emb" = embeddings tiling,
+# "li" = lineitem/orders tiling.
+# The r4 verdict's top-5 by sf0.1 cost + the r5 verdict's additions
+# (dq_expectations, q_customer_rfm, dedup_keep_canonical end-to-end).
+# dedup_simhash still sits out on wall-clock grounds only: since the
+# codegen rewrite its 100x run is linear (the old higher-order-function
+# form measured >8 min), but linear from a 2.2s sf0.1 base is still
+# ~1-2 min — more than the smoke budget buys for a query whose scale
+# behavior is already proven.
 SCALE_QUERIES = {
     "dedup_minhash_lsh": "doc",
     "rag_retrieve": "doc",
@@ -51,6 +52,16 @@ SCALE_QUERIES = {
     # or better is the expectation.
     "ann_pq_adc_topk": "emb",
     "dedup_components": "emb",
+    # r6 additions (r5 verdict #6):
+    # end-to-end dedup endpoint: LSH candidates -> verify -> components
+    # -> canonical survivor; its dominant stage is the minhash already
+    # measured above, so expect ~minhash + a components tail
+    "dedup_keep_canonical": "doc",
+    # the 3x range-repartition distributed ntile over 100x orders
+    "q_customer_rfm": "li",
+    # multi-table DQ gate: one multi-aggregate scan per table — linearity
+    # here is the whole claim of the O(#checks)-row report design
+    "dq_expectations": "doc",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan
@@ -74,7 +85,7 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # it are SKIPPED AND NAMED (no silent truncation) — the smoke is an
     # order-of-magnitude ratio check, not a completeness gate, and it must
     # not starve the main bench of its capture window.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "480"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "720"))
     out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
 
     detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}
