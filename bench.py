@@ -159,6 +159,13 @@ HEADLINE = [
     "stream_dedup_exact",
     "stream_interval_join",
     "stream_quality_gate",
+    # r6 additions: the three new operators + the rewritten trigram score
+    # (its r6 plan — single gram materialization + broadcast corpus — is a
+    # perf claim the bench should witness)
+    "text_repetition_score",
+    "q_events_dau_wau",
+    "docs_length_histogram",
+    "text_char_trigram_score",
 ]
 
 

@@ -127,6 +127,19 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     ):
         import subprocess
 
+        # The knob subprocess runs CONCURRENTLY with this (idle) parent
+        # JVM; after a full smoke the parent's heap holds GBs of garbage
+        # from the checkpointed relations, and the memory pressure
+        # contaminated the subprocess measurement 3-4x (r6: 57.6s in-bench
+        # vs 15.4s standalone). Force a parent full GC first — Java 17's
+        # G1 returns freed regions to the OS — so the child measures the
+        # query, not the neighbor.
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2.0)
+        except Exception:  # noqa: BLE001 — measurement hygiene only
+            pass
+
         code = (
             "import sys, time; sys.path.insert(0, %r)\n"
             "import __spark_entry__ as e\n"

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import fan_out, table
 from ..functions import sentiment as S
 from ..functions.hashing import md5_long, sql_md5_long
 from ..registry import register
@@ -289,14 +289,22 @@ GROUP BY doc_id
 
 @register("text_char_trigram_score", oracle=_TRI_ORACLE)
 def text_char_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Plan shape (r6 rewrite, promised in registry.py): the gram relation
-    # (~3x corpus chars) is materialized ONCE via localCheckpoint — the r5
-    # plan recomputed the 1.5M-row explode twice (corpus agg + join) — and
-    # the corpus-frequency relation, bounded by charset^3 distinct
-    # trigrams at ANY corpus size, is broadcast, so the gram side is never
-    # shuffled. The only remaining exchange is the doc_id groupBy, which
-    # partial-aggregates map-side.
-    docs = table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    # Plan shape (r6 rewrite of the r5-flagged double-explode): the real
+    # costs were (a) the gram relation shuffling into the corpus-count
+    # join and (b) the explode running on ONE core (the test corpus scans
+    # as a single split — fan_out fixes that; no-op on real multi-split
+    # layouts). The corpus-frequency relation, bounded by charset^3
+    # distinct trigrams at ANY corpus size, is broadcast, so the gram
+    # side is never shuffled; the only exchange left is the doc_id
+    # groupBy (map-side partial agg). The gram explode IS still computed
+    # in both passes — measured A/B vs a localCheckpoint materialization:
+    # recompute 1.66s vs checkpoint 2.09s at sf0.1 (checkpoint write+read
+    # of 1.5M rows costs more than a second parallel scan), and at 100 TB
+    # the choice is starker: persisting a ~3x gram expansion of the
+    # corpus is storage-prohibitive while a second columnar scan is not.
+    docs = fan_out(spark, table(spark, sf_dir, "documents")).where(
+        F.length("text") >= 3
+    )
     grams = docs.select(
         "doc_id",
         F.explode_outer(
@@ -306,7 +314,6 @@ def text_char_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).where(F.col("g").isNotNull())
-    grams = grams.localCheckpoint(eager=True)
     corpus = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     total = corpus.agg(F.sum("cnt").cast("double").alias("tot"))
     freq = F.col("cnt") / F.col("tot")

@@ -66,9 +66,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #   changed this round — 6 streaming (the shared _drain_to_memory fixed-
 #     cost rework touches all six; r5 verdict item #3), plus
 #     q_revenue_rollup (base-groups-before-Expand rewrite) and
-#     text_char_trigram_score (single gram materialization + broadcast
-#     corpus relation) — both inside their aging suites below, so no
-#     extra slots
+#     text_char_trigram_score (broadcast corpus relation + fan_out
+#     parallel explode; measured A/B chose recompute over gram
+#     materialization — see the operator's plan note) — both inside
+#     their aging suites below, so no extra slots
 #   aging r2 — 5: q_order_deciles, q_events_seasonality,
 #     q_nation_segment_pivot, q_churned_buyers (deferred from r5),
 #     source_html_extract
