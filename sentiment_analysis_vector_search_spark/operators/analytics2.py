@@ -73,6 +73,11 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("o_totalprice")).alias("monetary"),
     )
+    # base feeds FOUR plan branches (three rank passes + the final join);
+    # without a checkpoint each would rescan orders and redo the groupBy.
+    # The customer-grain aggregate is small at any corpus size — this is
+    # the materialize-once rule (SCALING.md #6), not a local-only trick.
+    base = base.localCheckpoint(eager=False)
     r = _dist_ntile(
         base.withColumn("_neg_rec", -F.col("recency_days")),
         "_neg_rec",
