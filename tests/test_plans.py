@@ -304,3 +304,54 @@ def test_cap_per_source_single_shuffle(spark, sf_dir):
     # formatted mode prints each node twice (tree + detail section)
     assert plan.count("+- Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_trigram_gram_side_not_shuffled(spark, sf_dir):
+    """r6 plan claim: the gram relation reaches the corpus-frequency join
+    via BROADCAST (charset^3-bounded build side) — the only exchanges are
+    the doc_id aggregation, the bounded corpus aggregation, and fan_out's
+    input spread. No gram-keyed (hashpartitioning on g) exchange."""
+    df = QUERIES["text_char_trigram_score"](spark, sf_dir)
+    plan = plan_str(df).lower()
+    assert "broadcasthashjoin" in plan, plan
+    # the gram-INSTANCE side must never be shuffle-joined; the only
+    # g-keyed exchanges allowed are the bounded corpus aggregation's
+    # (partial_count -> final agg over <= charset^3 rows)
+    assert "sortmergejoin" not in plan, plan
+    assert "shuffledhashjoin" not in plan, plan
+
+
+def test_dau_wau_no_event_grain_self_join(spark, sf_dir):
+    """r6 plan claim: the rolling distinct is a x7 fan-out of distinct
+    (user, day) pairs — the events scan appears ONCE per side of the
+    final day join at most, never joined to itself at event grain."""
+    df = QUERIES["q_events_dau_wau"](spark, sf_dir)
+    plan = plan_str(df).lower()
+    # two scans of events (dau side + votes side) are fine; what must NOT
+    # appear is a join keyed on user_id at event grain (the O(n^2)-ish
+    # range self-join the oracle uses)
+    assert "sortmergejoin" not in plan or "user_id" not in plan.split("sortmergejoin")[1][:200], plan
+    assert plan.count("generate explode") <= 1, plan
+
+
+def test_zorder_no_global_ntile_window(spark, sf_dir):
+    """r5 verdict #2 done-criterion: no single-partition ntile window in
+    zorder_by's plan (the ranks come from dist_ntile's checkpointed
+    range-partitioned blocks)."""
+    from sentiment_analysis_vector_search_spark.sinks import zorder_by
+
+    import re
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    z = zorder_by(orders, ["o_custkey", "o_orderkey"], bits=8, n_files=4)
+    plan = plan_str(z).lower()
+    assert "ntile" not in plan, plan
+    # window nodes may remain ONLY for dist_ntile's per-partition-count
+    # offsets (ordered by _pid over <= shuffle-partitions rows, inside a
+    # broadcast); any other global window would be a data-sized sort onto
+    # one partition.
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        spec = m.group(1)
+        assert "_pid#" in spec or spec.startswith("specifiedwindowframe"), plan[
+            max(0, m.start() - 200) : m.end() + 100
+        ]
