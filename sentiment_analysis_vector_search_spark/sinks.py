@@ -600,3 +600,52 @@ def expire_snapshots(root: str, keep_last: int) -> list[str]:
                 shutil.rmtree(cdir)
                 deleted.extend(sorted(rel_files))
     return deleted
+
+
+def vacuum_orphans(root: str, grace_seconds: float = 3600.0) -> list[str]:
+    """Remove data files NO existing snapshot references — the debris of
+    crashed commits, where ``commit_snapshot`` wrote ``data/commit-N/``
+    but died before the manifest's atomic rename, so version N never
+    existed. ``expire_snapshots`` cannot see these (it walks versions);
+    without this verb they accumulate forever. The Delta VACUUM /
+    Iceberg remove-orphan-files mechanic.
+
+    A commit directory younger than ``grace_seconds`` is protected: a
+    concurrent writer may be between its data write and its manifest
+    rename, and deleting under it would corrupt a commit about to
+    succeed — the same retention-guard reasoning Delta applies. Returns
+    deleted paths (table-relative). The latest and all retained
+    snapshots are untouchable by construction (their files are
+    referenced).
+    """
+    import json
+    import os
+    import shutil
+    import time
+
+    base = root.rstrip("/")
+    referenced: set[str] = set()
+    for v in snapshot_versions(base):
+        with open(os.path.join(_versions_dir(base), f"v{v:05d}.json")) as f:
+            referenced.update(json.load(f)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(base, "data")
+    if not os.path.isdir(data_root):
+        return deleted
+    now = time.time()
+    for commit in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit)
+        if not os.path.isdir(cdir):
+            continue
+        rel_files = {
+            os.path.join("data", commit, n)
+            for n in os.listdir(cdir)
+            if n.endswith(".parquet")
+        }
+        if rel_files & referenced:
+            continue  # live commit dir
+        if now - os.path.getmtime(cdir) < grace_seconds:
+            continue  # possibly in-flight commit
+        shutil.rmtree(cdir)
+        deleted.extend(sorted(rel_files) or [os.path.join("data", commit)])
+    return deleted

@@ -410,3 +410,38 @@ def test_snapshot_commit_time_travel_and_expiry(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_snapshot(spark, root, v1)
+
+
+def test_vacuum_orphans_removes_crashed_commits_only(spark, sf_dir, tmp_path):
+    """A crashed commit (data written, manifest rename never reached) is
+    invisible to readers but leaks storage; vacuum_orphans removes it
+    after the grace period while never touching referenced files, and
+    protects fresh dirs that may be mid-commit."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        commit_snapshot,
+        read_snapshot,
+        vacuum_orphans,
+    )
+
+    root = str(tmp_path / "snap_table")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v1 = commit_snapshot(orders.limit(50), root)
+    n_before = read_snapshot(spark, root).count()
+
+    # simulate a crashed commit: data dir exists, no manifest for it
+    crashed = os.path.join(root, "data", "commit-99999")
+    orders.limit(10).write.parquet(crashed)
+
+    # within the grace period the crashed dir is protected
+    assert vacuum_orphans(root, grace_seconds=3600) == []
+    assert os.path.isdir(crashed)
+
+    # past the grace period it is removed; live snapshot untouched
+    deleted = vacuum_orphans(root, grace_seconds=0)
+    assert deleted and all(p.startswith("data/commit-99999") for p in deleted)
+    assert not os.path.isdir(crashed)
+    assert read_snapshot(spark, root, version=v1).count() == n_before
+    # idempotent
+    assert vacuum_orphans(root, grace_seconds=0) == []
