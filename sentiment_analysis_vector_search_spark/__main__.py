@@ -5,6 +5,9 @@
     python -m sentiment_analysis_vector_search_spark explain <query> [--sf-dir D]
     python -m sentiment_analysis_vector_search_spark oracle <query>
     python -m sentiment_analysis_vector_search_spark index <kind> <out-dir> [--sf-dir D]
+    python -m sentiment_analysis_vector_search_spark vacuum <table-root> [--keep-last N] [--orphan-grace S]
+    python -m sentiment_analysis_vector_search_spark job run <jobs-root> <job-id> [--sf-dir D]
+    python -m sentiment_analysis_vector_search_spark job list <jobs-root>
 
 `run` executes the operator end-to-end and prints rows (tabular, or one
 JSON object per line with --json — the shape a shell pipeline wants);
@@ -45,6 +48,19 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("out_dir")
     p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_vac = sub.add_parser(
+        "vacuum", help="snapshot-table maintenance: expire versions + orphans"
+    )
+    p_vac.add_argument("table_root")
+    p_vac.add_argument("--keep-last", type=int, default=3)
+    p_vac.add_argument("--orphan-grace", type=float, default=3600.0)
+
+    p_job = sub.add_parser("job", help="analysis-job orchestration")
+    p_job.add_argument("job_cmd", choices=("run", "list"))
+    p_job.add_argument("jobs_root")
+    p_job.add_argument("job_id", nargs="?")
+    p_job.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = p.parse_args(argv)
 
     import os
@@ -75,6 +91,42 @@ def main(argv: list[str] | None = None) -> int:
                 spark, table(spark, args.sf_dir, "documents"), args.out_dir
             )
         print(f"built {args.kind} index at {args.out_dir}")
+        return 0
+
+    if args.cmd == "vacuum":
+        import json
+
+        from .sinks import expire_snapshots, snapshot_versions, vacuum_orphans
+
+        deleted = expire_snapshots(args.table_root, keep_last=args.keep_last)
+        deleted += vacuum_orphans(args.table_root, grace_seconds=args.orphan_grace)
+        print(
+            json.dumps(
+                {
+                    "deleted": deleted,
+                    "versions_kept": snapshot_versions(args.table_root),
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "job":
+        import json
+
+        from .jobs import list_jobs, run_analysis_job
+
+        if args.job_cmd == "list":
+            print(json.dumps(list_jobs(args.jobs_root)))
+            return 0
+        if not args.job_id:
+            print("job run requires a job_id", file=sys.stderr)
+            return 2
+        from .session import get_spark
+
+        spark = get_spark("cli-job")
+        spark.sparkContext.setLogLevel("ERROR")
+        manifest = run_analysis_job(spark, args.sf_dir, args.jobs_root, args.job_id)
+        print(json.dumps(manifest))
         return 0
 
     if args.cmd == "list":

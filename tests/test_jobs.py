@@ -99,3 +99,30 @@ def test_corrupt_manifest_reported_incomplete(spark, sf_dir, tmp_path):
         f.write('{"job_id": "job-bad", "status": "succ')  # truncated
     listed = {m["job_id"]: m["status"] for m in list_jobs(jobs_root)}
     assert listed == {"job-ok": "succeeded", "job-bad": "incomplete"}
+
+
+def test_cli_vacuum_and_job_list(spark, sf_dir, tmp_path, capsys):
+    """`vacuum` runs expire + orphan cleanup in one command and reports
+    the surviving versions; `job list` prints the manifests as JSON."""
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.sinks import commit_snapshot
+
+    root = str(tmp_path / "snap")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for _ in range(3):
+        commit_snapshot(orders.limit(10), root)
+    # crashed commit debris
+    orders.limit(5).write.parquet(os.path.join(root, "data", "commit-99999"))
+
+    assert main(["vacuum", root, "--keep-last", "1", "--orphan-grace", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["versions_kept"] == [3]
+    assert any("commit-99999" in p for p in out["deleted"])
+
+    jobs_root = str(tmp_path / "jobs")
+    run_analysis_job(spark, sf_dir, jobs_root, "job-cli", stages=("run_metrics",))
+    assert main(["job", "list", jobs_root]) == 0
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [m["job_id"] for m in listed] == ["job-cli"]
