@@ -132,3 +132,30 @@ def test_split_assignment_stable_under_growth(spark, texts):
     a = {r.doc_id: r.b for r in small.collect()}
     g = {r.doc_id: r.b for r in grown.collect()}
     assert all(g[k] == v for k, v in a.items())
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_dist_ntile_matches_sql_ntile_on_arbitrary_input(spark, vals, k):
+    """functions/ranks.dist_ntile must reproduce SQL ntile(k) semantics on
+    arbitrary values — duplicates, negatives, n < k — against Spark's own
+    windowed ntile as the reference (safe at property-test scale)."""
+    from pyspark.sql import Window
+
+    from sentiment_analysis_vector_search_spark.functions.ranks import dist_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v bigint"
+    )
+    got = {
+        r["id"]: r["b"] for r in dist_ntile(df, "v", "id", k, "b").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.select("id", F.ntile(k).over(w).alias("b")).collect()
+    }
+    assert got == want
