@@ -649,3 +649,57 @@ def vacuum_orphans(root: str, grace_seconds: float = 3600.0) -> list[str]:
         shutil.rmtree(cdir)
         deleted.extend(sorted(rel_files) or [os.path.join("data", commit)])
     return deleted
+
+
+def analyze_table(df: DataFrame) -> DataFrame:
+    """ANALYZE TABLE in one scan: per-column row/null counts, min/max and
+    an approximate distinct count (HLL++), returned as one tidy row per
+    column. These are the statistics a cost-based optimizer, a skew
+    detector (ndv << rows on a join key), and the stats-manifest skipping
+    layer all feed from; on a metastore deployment this is the job behind
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`.
+
+    One multi-aggregate pass — every per-column aggregate partial-combines
+    map-side, so the cost is a single scan at any table size. min/max are
+    stringified so heterogeneous column types stack into one frame
+    (complex types report counts only).
+    """
+    from pyspark.sql import types as T
+
+    simple = tuple(
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        if c in simple:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_ndv_{c}"))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    cols = []
+    for c in df.columns:
+        cols.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                (F.col("_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                (
+                    F.col(f"_min_{c}") if c in simple else F.lit(None).cast("string")
+                ).alias("min_value"),
+                (
+                    F.col(f"_max_{c}") if c in simple else F.lit(None).cast("string")
+                ).alias("max_value"),
+                (
+                    F.col(f"_ndv_{c}") if c in simple else F.lit(None).cast("bigint")
+                ).alias("approx_ndv"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*cols)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )

@@ -445,3 +445,29 @@ def test_vacuum_orphans_removes_crashed_commits_only(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, root, version=v1).count() == n_before
     # idempotent
     assert vacuum_orphans(root, grace_seconds=0) == []
+
+
+def test_analyze_table_stats_one_scan(spark, sf_dir):
+    """Per-column stats must be exact for counts/min/max and sane for
+    approx ndv, computed in ONE aggregate scan (no per-column jobs)."""
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+    from sentiment_analysis_vector_search_spark.sinks import analyze_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stats = analyze_table(orders)
+    rows = {r["column"]: r for r in stats.collect()}
+    n = orders.count()
+    assert set(rows) == set(orders.columns)
+    for c, r in rows.items():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_nulls"] <= n
+    ok = rows["o_orderkey"]
+    assert int(ok["min_value"]) == orders.agg({"o_orderkey": "min"}).collect()[0][0]
+    assert int(ok["max_value"]) == orders.agg({"o_orderkey": "max"}).collect()[0][0]
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(rows["o_custkey"]["approx_ndv"] - exact) <= max(5, exact * 0.1)
+    # single scan: the OPTIMIZED LOGICAL plan holds exactly one relation
+    # (the physical rendering under AQE repeats the tree, so count there
+    # is inflated by display, not by extra scans)
+    opt = stats._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert opt.count("relation [") == 1, opt
