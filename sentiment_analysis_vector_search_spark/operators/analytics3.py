@@ -121,9 +121,14 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; nothing self-joins at event granularity.
     """
     events = table(spark, sf_dir, "events")
-    pairs = events.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).distinct()
+    # pairs feeds BOTH the dau aggregate and the fan-out branch; without a
+    # checkpoint each branch would rescan events and redo the distinct.
+    # (users x days)-bounded — materialize-once (SCALING.md #6).
+    pairs = (
+        events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     votes = pairs.select(
         "user_id",
