@@ -17,11 +17,18 @@ from pyspark.sql import functions as F
 
 
 def dist_ntile(
-    df: DataFrame, value_col: str, tie_col: str, k: int, out_col: str
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    k: int,
+    out_col: str,
+    keep_value: bool = False,
 ) -> DataFrame:
     """Exact ntile(k) over (value_col, tie_col) without a one-partition
-    global window. Returns (tie_col, out_col), out_col in 1..k with
-    ntile's first-(n%k)-buckets-one-larger semantics.
+    global window. Returns (tie_col, out_col) — plus value_col when
+    ``keep_value`` (saves consumers that aggregate over the value a
+    join-back to the source) — with ntile's
+    first-(n%k)-buckets-one-larger semantics.
 
     Correctness hardening (r5 advice): ``parts`` is evaluated by TWO plan
     branches (the offsets aggregate and the join-back). RangePartitioner's
@@ -71,5 +78,5 @@ def dist_ntile(
                 f" DIV (n_total DIV {k}) + 1 END as int)"
             ),
         )
-        .select(tie_col, out_col)
+        .select(tie_col, *([value_col] if keep_value else []), out_col)
     )

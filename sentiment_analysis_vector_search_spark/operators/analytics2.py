@@ -142,9 +142,10 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-order quarter, revenue tracked by cohort age. The money-side
 # complement of q_events_retention's activity matrix. The cumulative sum
 # runs over the (cohorts x ages)-bounded rollup, never the fact table,
-# and stays an UNROUNDED ordered-window fold over decimal-exact partials
-# (cumulative revenue crosses the 2^53 round() hazard — see
-# .claude/skills/verify).
+# and stays an UNROUNDED ordered-window fold over decimal-exact partials:
+# round(x, 6) on a double above ~1e9 is not cross-engine stable (the
+# scaled value crosses 2^53, where Spark and DuckDB round differently),
+# and cumulative revenue crosses that magnitude at sf0.1+.
 # ---------------------------------------------------------------------------
 
 _LTV_ORACLE = f"""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.ranks import dist_ntile
 from ..functions.stable import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 
@@ -517,53 +518,20 @@ FROM d GROUP BY decile
 def q_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decile stats WITHOUT the single-partition global-ntile window.
 
-    ntile needs every row's global rank. The scale shape is the TeraSort
-    rank: range-repartition on the sort key (Spark's own distributed sort),
-    sort within partitions, take the in-partition row index from
-    monotonically_increasing_id (contiguous per partition in row order),
-    and add broadcast per-partition row-count offsets. Every stage is fully
-    parallel; the driver sees one count per partition, never data. The
-    DuckDB oracle keeps the declarative ntile form, so the exact bucket
-    semantics (first n%10 buckets one row larger) are pinned by hash.
+    ntile needs every row's global rank; functions/ranks.dist_ntile is the
+    TeraSort-rank device for that (range-repartition on the sort key, per-
+    partition row index, broadcast per-partition count offsets, closed-form
+    bucket). This query originally carried an inline copy of that device;
+    it now routes through the hoisted-and-hardened helper (r6 advice): the
+    lazy localCheckpoint there pins ONE RangePartitioner boundary sample
+    across both plan branches, where the inline copy silently depended on
+    spark.sql.exchange.reuse staying enabled to not misrank. The DuckDB
+    oracle keeps the declarative ntile form, so the exact bucket semantics
+    (first n%10 buckets one row larger) are pinned by hash.
     """
     orders = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
-    parts = (
-        orders.repartitionByRange(n_part, "o_totalprice", "o_orderkey")
-        .sortWithinPartitions("o_totalprice", "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-    )
-    # Per-partition counts → cumulative offsets + grand total, all inside the
-    # one plan (the range exchange is computed once and reused across both
-    # branches, so _mid is consistent). The offsets window runs over
-    # ≤ n_part rows — bounded, not a data-sized window.
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        parts.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"), F.min("_mid").alias("base"))
-        .select(
-            F.col("_pid").alias("pid"),
-            "base",
-            F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
-            F.sum("c").over(Window.partitionBy()).alias("n_total"),
-        )
-    )
-    ranked = (
-        parts.join(F.broadcast(offs), parts["_pid"] == offs["pid"])
-        .withColumn("rk", F.col("off") + (F.col("_mid") - F.col("base")) + 1)
-        .withColumn(
-            "decile",
-            # Exact ntile(10) semantics: first (n%10) buckets get one extra
-            # row. Pure column arithmetic — no per-query driver round trip.
-            F.expr(
-                "cast(CASE WHEN rk <= (n_total % 10) * (n_total DIV 10 + 1)"
-                " THEN (rk - 1) DIV (n_total DIV 10 + 1) + 1"
-                " ELSE (n_total % 10) + (rk - 1 - (n_total % 10) * (n_total DIV 10 + 1))"
-                "      DIV greatest(n_total DIV 10, 1) + 1"
-                " END as int)"
-            ),
-        )
+    ranked = dist_ntile(
+        orders, "o_totalprice", "o_orderkey", 10, "decile", keep_value=True
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -780,24 +781,50 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn("component_size", F.count(F.lit(1)).over(w))
 
 
+def _materialized(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + force-compute, so every later reader
+    (including two union branches inside ONE job) hits cached blocks
+    instead of racing to recompute the expensive subtree.  Unlike an
+    eager ``localCheckpoint`` the blocks are released the moment the
+    caller ``unpersist``s — checkpoint RDD blocks stay pinned until
+    driver GC collects the handle, which is exactly the block-churn
+    source behind the r6 1-in-3 latency spike in dedup_components."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
+
 def _cc_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the near-dup pairs ONCE before symmetrizing: both union
     # branches read the same expensive LSH subtree, and Spark does not share
-    # it across branches — without the checkpoint the candidate generation
+    # it across branches — without materialization the candidate generation
     # runs twice.
-    pairs = (
-        dedup_embedding(spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = _materialized(dedup_embedding(spark, sf_dir).select("vec_a", "vec_b"))
     return _components_from_pairs(pairs)
+
+
+# Lineage-truncation cadence: persisted-but-not-checkpointed rounds keep a
+# logical plan that grows with iteration count; a localCheckpoint every k
+# rounds bounds it (path halving converges in O(log diameter) rounds, so k=4
+# means at most ~1-2 checkpoints per run instead of one per round).
+_CC_CK_EVERY = 4
 
 
 def _components_from_pairs(pairs: DataFrame) -> DataFrame:
     """Min-label connected components over a 2-column pair frame.
 
-    ``pairs`` must already be materialized (checkpointed/persisted) — it
-    is read by both union branches below. Returns (id, component).
+    ``pairs`` must already be materialized via :func:`_materialized` — it
+    is read by both union branches below, and this function takes
+    ownership: it unpersists ``pairs`` once the self-loop edge relation is
+    built on top of it. Returns (id, component).
+
+    Iteration-state lifecycle (the r6-verdict spike fix): each round's
+    label frame is persisted (MEMORY_AND_DISK) and the PREVIOUS round's
+    blocks are released explicitly the moment the new round is
+    materialized, instead of an eager localCheckpoint per round whose
+    blocks linger until driver GC. localCheckpoint is kept only every
+    ``_CC_CK_EVERY`` rounds, purely for lineage truncation (on a real
+    cluster: a reliable checkpoint at the same cadence).
     """
     edges = pairs.toDF("pa", "pb")
     edges = edges.union(
@@ -806,29 +833,32 @@ def _components_from_pairs(pairs: DataFrame) -> DataFrame:
     # Self-loops fold the "keep own label" branch into the neighbor-min
     # aggregate: each round is then ONE keyed join + ONE groupBy instead of
     # the 3-join chain (neighbor join, left-join back, coalesce). Small at
-    # test SF but unbounded in general: cache the edge list, it is re-joined
-    # every round (on a cluster: persist + checkpoint lineage).
+    # test SF but unbounded in general: persist the edge list, it is
+    # re-joined every round.
     nodes = edges.select(F.col("a").alias("id")).distinct()
-    edges_sl = edges.union(
-        nodes.select(F.col("id").alias("a"), F.col("id").alias("b"))
-    ).cache()
+    edges_sl = _materialized(
+        edges.union(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
+    )
+    # edges_sl is cached; the expensive pair subtree is no longer needed.
+    pairs.unpersist(blocking=False)
     # Round 1 folded into initialization: component(id) = min(id, neighbors)
     # is exactly what the first propagation round would compute from the
     # identity labeling — one groupBy instead of init + a full round.
     comp = (
         edges_sl.groupBy(F.col("b").alias("id"))
         .agg(F.min("a").alias("component"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Convergence probe: labels only ever decrease under min-propagation, so
-    # sum(component) is strictly decreasing until the fixpoint. The probe
-    # aggregates the just-checkpointed (materialized, _CC_PARTS-partition)
-    # frame, so it costs one narrow ~ms job per round, never a re-derivation.
+    # sum(component) is strictly decreasing until the fixpoint. The probe is
+    # ALSO the action that materializes each round's persisted frame, so it
+    # costs one narrow ~ms job per round, never a re-derivation.
     _sum = lambda df: df.agg(  # noqa: E731
         F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
     prev_sum = _sum(comp)
-    for _ in range(_CC_MAX_ITERS):
+    releasable = comp  # persisted frame whose blocks we still hold
+    for i in range(_CC_MAX_ITERS):
         stepped = (
             edges_sl.join(comp, edges_sl.a == comp.id)
             .groupBy(F.col("b").alias("id"))
@@ -843,16 +873,31 @@ def _components_from_pairs(pairs: DataFrame) -> DataFrame:
             "id",
             F.least(F.col("component"), F.col("mcomp")).alias("component"),
         )
-        # localCheckpoint truncates the per-iteration lineage (on a real
-        # cluster: checkpoint to reliable storage every few rounds).
-        new_comp = jumped.localCheckpoint(eager=True)
-        new_sum = _sum(new_comp)
+        if (i + 1) % _CC_CK_EVERY == 0:
+            new_comp = jumped.localCheckpoint(eager=True)
+            new_releasable = None
+        else:
+            new_comp = jumped.persist(StorageLevel.MEMORY_AND_DISK)
+            new_releasable = new_comp
+        new_sum = _sum(new_comp)  # action: materializes new_comp
+        # Release the previous round's blocks NOW. new_comp is itself
+        # materialized (MEMORY_AND_DISK — eviction spills, never drops), so
+        # nothing downstream re-reads the parent.
+        if releasable is not None and releasable is not new_comp:
+            releasable.unpersist(blocking=False)
+        releasable = new_releasable
         comp = new_comp
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    edges_sl.unpersist()
-    return comp
+    # Hand back a checkpoint-backed frame so every cache entry this
+    # function created can be dropped immediately (the caller's plan then
+    # reads the truncated RDD, not our caches).
+    final = comp if releasable is None else comp.localCheckpoint(eager=True)
+    if releasable is not None:
+        releasable.unpersist(blocking=False)
+    edges_sl.unpersist(blocking=False)
+    return final
 
 
 # ---------------------------------------------------------------------------
@@ -912,11 +957,10 @@ FROM cc
 
 @register("dedup_keep_canonical", oracle=_KEEP_ORACLE)
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
+    pairs = _materialized(
         dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("jaccard") >= _JACCARD_T)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", _CC_PARTS)

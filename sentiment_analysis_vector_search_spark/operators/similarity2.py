@@ -101,10 +101,10 @@ def _sub_rows(df: DataFrame, vcol: str, keep: list[str]) -> DataFrame:
         ]
     )
     # explode_outer, not explode: InferFiltersFromGenerate would push a
-    # size(subs) > 0 filter below the generate and evaluate the slice
-    # array twice per row (see .claude/skills/verify — measured 8x on
-    # other computed-array explodes). The array is never empty, so the
-    # outer variant emits identical rows.
+    # size(subs) > 0 filter below the generate and evaluate the computed
+    # slice array twice per row (measured 8x on other computed-array
+    # explodes in this repo). The array is never empty, so the outer
+    # variant emits identical rows.
     return (
         df.select(*keep, F.explode_outer(subs).alias("sub"))
         .where(F.col("sub").isNotNull())

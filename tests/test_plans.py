@@ -142,7 +142,12 @@ def test_order_deciles_distributed_rank(spark, sf_dir):
     # they order by _pid or fold sum(c)).
     df = QUERIES["q_order_deciles"](spark, sf_dir)
     plan = plan_str(df)
-    assert "rangepartitioning(o_totalprice" in plan, plan
+    # Since r7 the query routes through functions/ranks.dist_ntile, whose
+    # lazy localCheckpoint pins one RangePartitioner boundary sample for
+    # both plan branches — the range exchange therefore lives inside the
+    # checkpointed subtree and surfaces as an ExistingRDD scan here.
+    assert "ntile" not in plan.lower(), plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     for line in _windowspec_lines(plan):
         assert "_pid" in line or "sum(c#" in line, line
