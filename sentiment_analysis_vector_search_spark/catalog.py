@@ -84,10 +84,29 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 # immutable logical plan over a static testdata dir, so reuse is
 # value-identical; the session key is weak so a stopped session's entries
 # drop. (At cluster scale the equivalent is a real metastore table —
-# resolved once, not per query.)
+# resolved once, not per query.) STATIC-DIRECTORY ASSUMPTION: a session
+# that rewrites/appends an sf_dir must call catalog.refresh(spark, sf_dir)
+# to drop the captured file listing — see refresh() below.
 _TABLE_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
     WeakKeyDictionary()
 )
+
+
+def refresh(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Invalidate the table memo (r6 advice): the memoized DataFrames
+    capture the parquet file listing (InMemoryFileIndex) at first read,
+    so a session that REGENERATES or APPENDS to an sf_dir (data-prep then
+    query in one session) must call this — or pass the specific dir — to
+    drop the stale listings. Tests that write their own table files into
+    a tmp sf_dir are the in-repo callers."""
+    per = _TABLE_MEMO.get(spark)
+    if not per:
+        return
+    if sf_dir is None:
+        per.clear()
+    else:
+        for key in [k for k in per if k[0] == sf_dir]:
+            del per[key]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

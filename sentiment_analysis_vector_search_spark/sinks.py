@@ -353,6 +353,15 @@ def zorder_by(
     # Pin a unique row id: monotonically_increasing_id is nondeterministic
     # under recomputation, so checkpoint before fanning out per-column
     # rank branches that must all agree on it.
+    # MATERIALIZATION COST (r6 advice): the eager checkpoint pins the
+    # whole input in executor block storage for the duration of the
+    # rewrite. That is acceptable for OPTIMIZE-style maintenance — Delta's
+    # OPTIMIZE ZORDER also rewrites (and therefore holds) the files it
+    # compacts, and the job is run per-partition/per-day slice, not over
+    # the whole 100 TB table in one call. Callers with a natural unique
+    # key could instead thread it through as the tie-breaker id and skip
+    # the checkpoint; a synthesized hash id is NOT a safe substitute
+    # (duplicate rows would collide and collapse ranks).
     ranked = df.withColumn("_zid", F.monotonically_increasing_id()).localCheckpoint(
         eager=True
     )

@@ -193,8 +193,34 @@ def _idempotent_append_dir(stage_dir: str, target_dir: str, batch_id: int) -> No
     the SAME destination names. Hive-partition subdirs (cell=N/...) are
     preserved; only after every rename succeeds does the caller record
     the batch id.
+
+    Callers stage UNDER THE INDEX ROOT (``_stage_*`` dirs — the leading
+    underscore keeps them invisible to Spark readers) so the renames are
+    same-filesystem by construction: staging under the checkpoint dir
+    broke in the common production layout of local checkpoint +
+    shared-storage index, where every ``os.replace`` raises EXDEV
+    (r6 advice). A copy+fsync+replace fallback still guards the
+    unexpected cross-device case.
     """
     import os
+
+    def _promote(src: str, dst: str) -> None:
+        try:
+            os.replace(src, dst)
+        except OSError as e:
+            import errno
+            import shutil
+
+            if e.errno != errno.EXDEV:
+                raise
+            # Cross-filesystem: copy to a temp name on the DESTINATION
+            # fs, fsync, then the final replace is same-fs and atomic.
+            tmp = f"{dst}.__tmp__"
+            shutil.copyfile(src, tmp)
+            with open(tmp, "rb") as f:
+                os.fsync(f.fileno())
+            os.replace(tmp, dst)
+            os.unlink(src)
 
     for root, _dirs, files in os.walk(stage_dir):
         parts = sorted(f for f in files if f.endswith(".parquet"))
@@ -204,7 +230,7 @@ def _idempotent_append_dir(stage_dir: str, target_dir: str, batch_id: int) -> No
         dest = target_dir if rel == "." else os.path.join(target_dir, rel)
         os.makedirs(dest, exist_ok=True)
         for i, fn in enumerate(parts):
-            os.replace(
+            _promote(
                 os.path.join(root, fn),
                 os.path.join(dest, f"batch{batch_id}_part{i:05d}.parquet"),
             )
@@ -260,7 +286,7 @@ def stream_ivf_ingest(
             return  # replayed batch is already in the index
         # stage → batch-stamped atomic renames → record: exactly-once
         # even across a crash mid-append (see _idempotent_append_dir).
-        stage = os.path.join(checkpoint_dir, f"_ivf_stage_{batch_id}")
+        stage = os.path.join(index_dir, f"_stage_ivf_{batch_id}")
         ivf_index_add(
             spark,
             index_dir,
@@ -329,7 +355,7 @@ def stream_pq_ingest(
             return  # replayed batch is already in the index
         # stage → batch-stamped atomic renames → record: exactly-once
         # even across a crash mid-append (see _idempotent_append_dir).
-        stage = os.path.join(checkpoint_dir, f"_pq_stage_{batch_id}")
+        stage = os.path.join(index_dir, f"_stage_pq_{batch_id}")
         pq_index_add(
             spark,
             index_dir,

@@ -58,10 +58,26 @@ _NO_DATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
 _CK_ROOTS: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
 
 
+# Minimum free bytes before /dev/shm is trusted as the checkpoint root:
+# container defaults (64 MB shm) can fill mid-drain and fail the query
+# with an opaque checkpoint IO error (r6 advice). A stream-stream join
+# keeps 4 stores x state partitions of commit files; 256 MB is orders of
+# magnitude above a drain's worst case while still rejecting tiny shm.
+_SHM_MIN_FREE = 256 * 1024 * 1024
+
+
 def _session_ck_root(spark: SparkSession) -> str:
     root = _CK_ROOTS.get(spark)
     if root is None or not os.path.isdir(root):
-        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+        base = None
+        forced = os.environ.get("SPARK_GRAFT_STREAM_CK_DIR")
+        if forced:  # explicit override wins (e.g. force disk-backed)
+            os.makedirs(forced, exist_ok=True)
+            base = forced
+        elif os.access("/dev/shm", os.W_OK):
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE:
+                base = "/dev/shm"
         root = tempfile.mkdtemp(prefix="sg_stream_ck_", dir=base)
         _CK_ROOTS[spark] = root
     return root
