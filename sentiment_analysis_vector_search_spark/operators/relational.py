@@ -274,8 +274,22 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # events: sessionization — lag-gap session boundaries (30 min), per-user
-# session stats. Window over user_id orders within each user's partition;
-# at scale this shuffles once on user_id and streams sorted within keys.
+# session stats. Reference parity: sessionization is the per-date trend
+# backbone (Context_analyzer_RoBERTa_fun.py:687).
+#
+# Skew-safe two-phase shape (r6 verdict #4): a single
+# Window.partitionBy(user_id) serializes a hot user's ENTIRE event
+# history through one task — the one remaining per-key-window scale
+# limit SCALING.md only documented. Phase 1 runs the lag-gap window per
+# (user_id, day-chunk), so a hot key's work splits across its days;
+# phase 2 merges at day-chunk grain (per-user row count = #active days,
+# bounded by the calendar, not by event volume): a chunk's first session
+# is un-counted when the gap from the previous chunk's last event is
+# within the session gap. Algebra: global n_sessions = sum of per-chunk
+# session starts - (# chunk boundaries whose crossing gap <= threshold).
+# Correct for sessions spanning ANY number of chunk boundaries, because
+# the boundary-adjacent events are exactly the previous chunk's last and
+# the current chunk's first (chunks are time-contiguous per user).
 # ---------------------------------------------------------------------------
 
 _SESSION_GAP_MIN = 30
@@ -299,21 +313,57 @@ GROUP BY user_id
 
 @register("q_events_sessions", oracle=_SESSIONS_ORACLE)
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
-    new_session = F.when(
-        prev_ts.isNull() | (gap_us > _SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    gap_us_limit = _SESSION_GAP_MIN * 60 * 1_000_000
+    # Phase 1: lag-gap window per (user, day-chunk) — the hot-key split.
+    # Chunk assignment is a pure function of ts, so within-chunk
+    # (ts, event_id) order agrees with the global per-user order.
+    chunked = ev.withColumn("chunk", F.date_trunc("day", "ts"))
+    w_local = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_local)
+    local_start = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > gap_us_limit),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # The groupBy keys equal the window partition keys: Catalyst reuses the
+    # phase-1 exchange, so this adds no shuffle.
+    per_chunk = (
+        chunked.withColumn("local_start", local_start)
+        .groupBy("user_id", "chunk")
+        .agg(
+            F.sum("local_start").alias("local_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    # Phase 2: boundary merge over day-chunk-grain rows (per-user cardinality
+    # = active days — bounded, so this window cannot concentrate event-grain
+    # volume on one task even for the hottest key).
+    w_merge = Window.partitionBy("user_id").orderBy("chunk")
+    prev_last = F.lag("last_ts").over(w_merge)
+    merged_boundary = F.when(
+        prev_last.isNotNull()
+        & (
+            (F.unix_micros(F.col("first_ts")) - F.unix_micros(prev_last))
+            <= gap_us_limit
+        ),
+        F.lit(1),
     ).otherwise(F.lit(0))
     return (
-        ev.withColumn("new_session", new_session)
+        per_chunk.withColumn("merged", merged_boundary)
         .groupBy("user_id")
         .agg(
-            F.sum("new_session").cast("bigint").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("local_sessions") - F.sum("merged"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
             F.round(
-                F.count(F.lit(1)) * F.lit(1.0) / F.sum("new_session"), 6
+                F.sum("n_events")
+                * F.lit(1.0)
+                / (F.sum("local_sessions") - F.sum("merged")),
+                6,
             ).alias("avg_events_per_session"),
         )
     )

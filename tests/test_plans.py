@@ -134,6 +134,21 @@ def _windowspec_lines(plan: str) -> list[str]:
     return [l for l in plan.splitlines() if "windowspecdefinition" in l]
 
 
+def test_sessions_event_grain_window_is_chunk_split(spark, sf_dir):
+    """r6 verdict #4 done-criterion: the lag-gap sessionization window no
+    longer serializes a hot user's entire history through one task — the
+    EVENT-GRAIN window (the one ordering by event_id) must partition by
+    (user_id, chunk); a user_id-only window may appear only at day-chunk
+    grain (ordering by chunk, bounded rows per user)."""
+    df = QUERIES["q_events_sessions"](spark, sf_dir)
+    plan = plan_str(df)
+    specs = _windowspec_lines(plan)
+    event_grain = [l for l in specs if "event_id" in l]
+    assert event_grain, plan
+    for line in event_grain:
+        assert "chunk" in line, line
+
+
 def test_order_deciles_distributed_rank(spark, sf_dir):
     # The ntile replacement must keep the TeraSort shape: a range exchange
     # on the sort key, broadcast per-partition offsets, and NO
