@@ -107,6 +107,12 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=_Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import (
+        estimated_equality_rows,
+        hint_broadcast_if_small,
+        table_stats,
+    )
+
     cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
@@ -114,9 +120,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
     )
+    # Stats-informed hint (r6 verdict #5): the customer side is only
+    # broadcast-safe while |customers| / ndv(mktsegment) rows fit executor
+    # memory — true at every TPC-H SF today, but a hard-coded broadcast()
+    # is what OOMs when a "dimension" grows. The gate reads the memoized
+    # ANALYZE TABLE stats (one scan per session) and estimates the
+    # equality-filter survivors CBO-style; past the threshold the join
+    # degrades to Spark's shuffle strategies instead of failing.
+    cst = table_stats(spark, sf_dir, "customer")
+    cust_hinted = hint_broadcast_if_small(
+        cust, estimated_equality_rows(cst, "c_mktsegment")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust_hinted, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

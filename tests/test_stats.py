@@ -1,0 +1,76 @@
+"""Stats feedback loop (r6 verdict #5): analyze_table output drives a
+broadcast-vs-shuffle join decision, and the hint FLIPS with the stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentiment_analysis_vector_search_spark.stats import (
+    estimated_equality_rows,
+    hint_broadcast_if_small,
+    schema_row_bytes,
+    table_stats,
+)
+
+
+def _join_plan(big, side) -> str:
+    return big.join(side, "k")._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hint_flips_with_estimated_rows(spark):
+    big = spark.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    side = spark.range(0, 50).select(F.col("id").alias("k"))
+    # small estimate -> broadcast
+    hinted = hint_broadcast_if_small(side, est_rows=50)
+    assert "BroadcastHashJoin" in _join_plan(big, hinted)
+    # huge estimate (same frame, stats say it is big) -> NO broadcast hint
+    unhinted = hint_broadcast_if_small(side, est_rows=1e12)
+    plan = _join_plan(big, unhinted)
+    # spark may still choose its own strategy for tiny frames; what must
+    # be gone is OUR hint — assert by comparing the logical plans instead
+    assert unhinted is side
+    assert hinted is not side
+
+
+def test_hint_threshold_uses_row_width(spark):
+    side = spark.range(0, 10).select(F.col("id").alias("k"))
+    # 1000 estimated rows x 8-byte rows = 8 kB -> under a 10 kB cap
+    assert hint_broadcast_if_small(side, 1000, row_bytes=8, max_bytes=10_000) is not side
+    # same rows but 100-byte rows -> 100 kB -> over the cap: unchanged
+    assert hint_broadcast_if_small(side, 1000, row_bytes=100, max_bytes=10_000) is side
+
+
+def test_table_stats_memoized_and_selectivity(spark, sf_dir):
+    s1 = table_stats(spark, sf_dir, "customer")
+    s2 = table_stats(spark, sf_dir, "customer")
+    assert s1 is s2  # one analyze scan per session
+    seg = s1["c_mktsegment"]
+    assert seg["n_rows"] > 0 and seg["approx_ndv"] >= 1
+    est = estimated_equality_rows(s1, "c_mktsegment")
+    # 5 TPC-H segments, uniform: estimate must sit near n_rows/5
+    assert 0 < est <= seg["n_rows"]
+    assert abs(est - seg["n_rows"] / 5) / seg["n_rows"] < 0.2
+
+
+def test_schema_row_bytes_uses_observed_string_lengths(spark):
+    df = spark.createDataFrame([(1, "abcdef")], "k long, s string")
+    bare = schema_row_bytes(df)
+    with_stats = schema_row_bytes(
+        df, {"s": {"min_value": "abcdef", "max_value": "zzzzzz"}}
+    )
+    assert bare == 8 + 24  # long + default string width
+    assert with_stats == 8 + 6  # long + observed max length
+
+
+def test_q3_still_broadcasts_under_real_stats(spark, sf_dir):
+    """At test SF the estimated segment survivors are tiny, so the
+    stats-gated hint must still yield the broadcast plan q3 always had."""
+    from sentiment_analysis_vector_search_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
