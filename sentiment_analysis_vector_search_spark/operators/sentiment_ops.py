@@ -351,7 +351,17 @@ def sent_trend_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(in_range("negative", 1, 3)).alias("last3_neg"),
     )
 
-    sc = stats.crossJoin(tr_agg)
+    return risk_from_scalars(stats.crossJoin(tr_agg))
+
+
+def risk_from_scalars(sc: DataFrame) -> DataFrame:
+    """insurance_calculator.py's multiplier/score chain as pure Column
+    arithmetic over the ONE-row scalar frame (n, n_pos, n_neg, n_neu,
+    conf_sum, conf_sumsq, n_dates, recent_total, recent_neg, prev_total,
+    prev_neg, last3_total, last3_neg). Split from sent_trend_risk (r7) so
+    the golden fixtures (tests/test_reference_golden.py) can drive the
+    published multipliers with literal scalar rows, independent of the
+    corpus-derived aggregation above."""
     n = F.col("n")
     avg_conf = F.col("conf_sum") / n
     conf_std = F.when(

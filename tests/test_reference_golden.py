@@ -133,3 +133,162 @@ def test_summary_prompt_layout_matches_reference(spark, sf_dir):
         assert m, f"prompt layout diverged from reference:\n{prompt[:400]}"
         # header class and closing adjective must agree
         assert m.group(1).lower() == m.group(4)
+
+
+# ---------------------------------------------------------------------------
+# trend-risk goldens (r6 verdict #8): insurance_calculator.py:13's
+# published multipliers driven by literal scalar rows through
+# operators/sentiment_ops.risk_from_scalars, with expected values from an
+# independent transliteration of calculate_insurance_risk (:13),
+# _analyze_trend_risk (:135), _calculate_risk_score (:189) and
+# _determine_risk_level (:222). Confidence values are chosen exactly
+# binary-representable so Python and Spark arithmetic agree bit-for-bit.
+# confidence_std uses the engine's declared sample-std (n-1) convention
+# (the reference takes confidence_stats as a prepared input).
+# ---------------------------------------------------------------------------
+
+
+def _ref_trend_mult(days):
+    """_analyze_trend_risk transliterated; days = [(total, negative)]
+    date-ascending."""
+    if len(days) < 7:
+        return 1.0
+    recent = days[-14:]
+    previous = days[-28:-14] if len(days) >= 28 else []
+    rt = sum(t for t, _ in recent)
+    rneg = sum(g for _, g in recent)
+    if rt == 0:
+        return 1.0
+    rr = rneg / rt
+    if previous:
+        pt = sum(t for t, _ in previous)
+        pneg = sum(g for _, g in previous)
+        if pt > 0:
+            pr = pneg / pt
+            if rr > pr * 1.5:
+                return 1.4
+            if rr > pr * 1.2:
+                return 1.2
+            if rr < pr * 0.7:
+                return 0.9
+    l3 = days[-3:]
+    lt = sum(t for t, _ in l3)
+    lneg = sum(g for _, g in l3)
+    if lt > 0 and lneg / lt > 0.3:
+        return 1.3
+    return 1.0
+
+
+def _ref_risk(n, n_pos, n_neg, n_neu, confs, days, base_rate=5000.0):
+    """calculate_insurance_risk transliterated to the same scalar grain."""
+    pos_r, neg_r, neu_r = n_pos / n, n_neg / n, n_neu / n
+    avg = sum(confs) / len(confs)
+    if len(confs) > 1:
+        var = (sum(c * c for c in confs) - sum(confs) ** 2 / len(confs)) / (
+            len(confs) - 1
+        )
+        std = max(var, 0.0) ** 0.5
+    else:
+        std = 0.0
+    conf_mult = 1.5 - avg * 0.5
+    if std > 0.2:
+        conf_mult *= 1.1
+    sent_mult = 1.0 + neg_r * 2.5 + neu_r * 0.5
+    if pos_r > 0.85:
+        sent_mult *= 0.85
+    elif pos_r > 0.75:
+        sent_mult *= 0.95
+    sample_mult = 1.3 if n < 50 else (1.15 if n < 100 else 1.0)
+    trend_mult = _ref_trend_mult(days)
+    cost = base_rate * sent_mult * conf_mult * sample_mult * trend_mult
+    score = neg_r * 200
+    if pos_r < 0.6:
+        score += (0.6 - pos_r) * 50
+    if avg < 0.9:
+        score += (0.9 - avg) * 100
+    if n < 100:
+        score += (100 - n) / 10
+    if trend_mult > 1.0:
+        score += (trend_mult - 1.0) * 25
+    score = min(int(score), 100)
+    level = (
+        "Critical"
+        if score >= 70
+        else "High" if score >= 50 else "Medium" if score >= 30 else "Low"
+    )
+    return {
+        "sentiment_multiplier": round(sent_mult, 6),
+        "confidence_multiplier": round(conf_mult, 6),
+        "sample_multiplier": round(sample_mult, 6),
+        "trend_multiplier": round(trend_mult, 6),
+        "insurance_cost": round(cost, 2),
+        "risk_score": score,
+        "risk_level": level,
+    }
+
+
+# scenario -> (counts (pos, neg, neu), per-review confidences, trend days)
+_RISK_GOLDENS = {
+    # stable 28+d trend, all multiplier branches neutral-ish
+    "stable": ((100, 20, 8), [0.875] * 128, [(10, 1)] * 30),
+    # deteriorating 1.4 + high conf-variance 1.1 + tiny sample 1.3
+    "deteriorating": (
+        (1, 2, 1),
+        [1.0, 0.75, 0.5, 0.75],
+        [(10, 1)] * 14 + [(10, 4)] * 14,
+    ),
+    # improving 0.9 + very-positive 0.85 + mid sample 1.15
+    "improving": ((60, 2, 2), [1.0] * 64, [(10, 4)] * 14 + [(10, 1)] * 14),
+    # moderate 1.2 + positive 0.95 + large sample 1.0
+    "moderate": ((160, 30, 10), [0.5] * 200, [(20, 4)] * 14 + [(20, 5)] * 14),
+    # no previous period, last-3-day spike 1.3
+    "spike": ((4, 3, 1), [0.75] * 8, [(10, 0)] * 7 + [(10, 4)] * 3),
+    # under 7 days of trend data -> multiplier pinned to 1.0
+    "short": ((4, 3, 1), [0.75] * 8, [(10, 4)] * 3),
+}
+
+
+def test_trend_risk_multiplier_goldens(spark):
+    from sentiment_analysis_vector_search_spark.operators.sentiment_ops import (
+        risk_from_scalars,
+    )
+
+    for name, ((n_pos, n_neg, n_neu), confs, days) in _RISK_GOLDENS.items():
+        n = n_pos + n_neg + n_neu
+        assert len(confs) == n, name  # scenario self-check
+        # engine scalar inputs derived positionally exactly as the
+        # operator's rn-window aggregation does (rn 1 = latest date)
+        rev = days[::-1]
+        row = {
+            "n": n,
+            "n_pos": n_pos,
+            "n_neg": n_neg,
+            "n_neu": n_neu,
+            "conf_sum": float(sum(confs)),
+            "conf_sumsq": float(sum(c * c for c in confs)),
+            "n_dates": len(days),
+            "recent_total": float(sum(t for t, _ in rev[:14])),
+            "recent_neg": float(sum(g for _, g in rev[:14])),
+            "prev_total": float(sum(t for t, _ in rev[14:28])),
+            "prev_neg": float(sum(g for _, g in rev[14:28])),
+            "last3_total": float(sum(t for t, _ in rev[:3])),
+            "last3_neg": float(sum(g for _, g in rev[:3])),
+        }
+        sc = spark.createDataFrame(
+            [tuple(row.values())],
+            "n bigint, n_pos bigint, n_neg bigint, n_neu bigint,"
+            " conf_sum double, conf_sumsq double, n_dates bigint,"
+            " recent_total double, recent_neg double,"
+            " prev_total double, prev_neg double,"
+            " last3_total double, last3_neg double",
+        )
+        got = risk_from_scalars(sc).collect()[0].asDict()
+        exp = _ref_risk(n, n_pos, n_neg, n_neu, confs, days)
+        for k, v in exp.items():
+            assert got[k] == v, (name, k, got[k], v)
+    # branch coverage self-check: the six scenarios must exercise every
+    # published trend multiplier value
+    mults = {
+        _ref_trend_mult(days) for _, (_, _, days) in _RISK_GOLDENS.items()
+    }
+    assert mults == {1.0, 1.2, 1.3, 1.4, 0.9}
