@@ -169,6 +169,16 @@ HEADLINE = [
 ]
 
 
+# Iterative operators (driver-side loop of Spark jobs per execution):
+# their reps interleave block allocation/release across many jobs, so a
+# rep can land on a JVM busy collecting the previous rep's blocks. They
+# get 5 reps minimum + a gc BETWEEN reps (not only between queries) so
+# one stalled rep cannot swing the median (r6 verdict #2: raw reps swung
+# 1.6-9.2s with zero code change at 3 reps).
+_ITERATIVE = {"dedup_components", "dedup_keep_canonical"}
+_ITERATIVE_MIN_REPS = 5
+
+
 def _time_queries(
     spark, queries, names, sf_dir: str, reps: int
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
@@ -179,9 +189,12 @@ def _time_queries(
     raw: dict[str, list[float]] = {}
     for name in names:
         fn = queries[name]
+        n_reps = max(reps, _ITERATIVE_MIN_REPS) if name in _ITERATIVE else reps
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         runs = []
-        for _ in range(reps):
+        for _ in range(n_reps):
+            if name in _ITERATIVE:
+                gc.collect()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -197,6 +210,20 @@ def _time_queries(
         raw[name] = [round(r, 3) for r in runs]
         print(f"  {name}: {timings[name]}s (spread {spread[name]}s)", file=sys.stderr)
     return timings, spread, raw
+
+
+def _floor(timings: dict[str, float]) -> float:
+    """Per-query fixed-cost floor: median of the 3 cheapest query medians.
+
+    r5/r6 showed the calib probe too noisy to normalize cross-round
+    TOTALS (0.348/0.613/0.648 for near-identical code on one host); the
+    floor is the complementary signal — the per-query scheduler+noop-sink
+    cost every query pays regardless of its work. Cross-round per-query
+    comparison: (t_r7 - floor_r7) vs (t_r6 - floor_r6), i.e. subtract
+    each round's floor BEFORE comparing, rather than dividing totals by
+    calib (r6 verdict #7)."""
+    cheapest = sorted(timings.values())[:3]
+    return round(statistics.median(cheapest), 3) if cheapest else 0.0
 
 
 def _final_line(
@@ -237,6 +264,7 @@ def _final_line(
             # canonical fixed-job median: divide totals by this before
             # comparing rounds (hosts differ round-to-round)
             obj["calib"] = calib
+        obj["floor"] = _floor(timings)
         if omitted:
             obj["fast_omitted"] = {
                 "n": len(omitted),
@@ -334,6 +362,7 @@ def main() -> None:
         "metric": "headline_suite_total",
         "value": total,
         "calib": calib,
+        "floor": _floor(timings),
         "unit": "sec",
         "queries": timings,
         "spread": spread,

@@ -62,6 +62,13 @@ SCALE_QUERIES = {
     # multi-table DQ gate: one multi-aggregate scan per table — linearity
     # here is the whole claim of the O(#checks)-row report design
     "dq_expectations": "doc",
+    # r7 additions (r6 verdict #6):
+    # the x7 fan-out rolling distinct — the constant-factor expansion whose
+    # cost at 100x events is exactly what the smoke exists to witness
+    "q_events_dau_wau": "doc",
+    # token explode doubles corpus volume before the doc-keyed partial
+    # aggs; must stay ~linear (explode is map-side, aggs partial-combine)
+    "text_repetition_score": "doc",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan
