@@ -142,6 +142,10 @@ HEADLINE = [
     "contrastive_pairs",
     "split_train_holdout",
     "rag_chunk_retrieve",
+    # r7 additions: training-feed preparation
+    "train_shuffle_shards",
+    "sample_epochs",
+    "bpe_merge_candidates",
     # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",

@@ -1,0 +1,173 @@
+"""Training-feed preparation operators (new in r7).
+
+The last mile between a curated corpus and a training run: a
+deterministic global shuffle sharder (training-order randomization), an
+epoch-aware decaying subsample plan (data-echoing shape), and the first
+BPE merge-iteration's candidate table (tokenizer training feed). All
+three are Column-expression only, oracle-verified, and shaped for the
+100 TB corpus: the shuffle is the TeraSort range-partition device, the
+epoch fan-out is a constant x3, and the BPE pair counts do their
+explode work at VOCABULARY grain (bounded), never corpus grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, table
+from ..functions.ranks import dist_ntile
+from ..registry import register
+
+_N_SHARDS = 16
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       ntile({_N_SHARDS}) OVER (
+         ORDER BY md5(cast(doc_id as varchar)), doc_id
+       ) AS shard
+FROM documents
+"""
+
+
+@register("train_shuffle_shards", oracle=_SHUFFLE_ORACLE)
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    shard in 1..{n} by its position in md5(doc_id) order — a full-corpus
+    pseudo-random permutation that is reproducible across runs and
+    append-stable in distribution (new docs land uniformly).
+
+    Scale shape: the md5 sort key makes the data UNIFORM by construction,
+    so ``functions.ranks.dist_ntile``'s range repartition is the whole
+    cost — one TeraSort-style shuffle, no single-partition window, no
+    driver-side pass. Feed the output to ``sinks.write_training_shards``
+    (or join it back as the shard column) to lay the corpus out in
+    training order. The DuckDB oracle keeps the declarative ntile form.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("shuffle_key")
+    )
+    return dist_ntile(docs, "shuffle_key", "doc_id", _N_SHARDS, "shard")
+
+
+# epoch -> keep-threshold over the 28-bit md5 hash domain: epoch e keeps
+# a 2^-e fraction (1.0, 0.5, 0.25) — the decaying-reuse schedule of
+# data-echoing / multi-epoch LLM training where later epochs see fresh
+# but smaller subsets.
+_EPOCH_THRESHOLDS = [(e, (1 << 28) >> e) for e in range(3)]
+
+_EPOCHS_ORACLE = f"""
+SELECT ep.epoch,
+       source,
+       count(*) AS n_docs,
+       cast(sum(n_chars) as bigint) AS n_chars_total
+FROM documents
+CROSS JOIN (VALUES {", ".join(f"({e}, {t})" for e, t in _EPOCH_THRESHOLDS)})
+  AS ep(epoch, thr)
+WHERE cast(concat('0x', substring(
+        md5(concat(cast(doc_id as varchar), ':', cast(ep.epoch as varchar))),
+        1, 7)) as bigint) < ep.thr
+GROUP BY ep.epoch, source
+"""
+
+
+@register("sample_epochs", oracle=_EPOCHS_ORACLE)
+def sample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware deterministic subsampling plan: epoch e keeps a
+    2^-e fraction of the corpus, selected by a per-(doc, epoch) md5 hash
+    so each epoch's subset is different, reproducible, and append-stable
+    (an ingested doc's epoch membership never changes). Returns the
+    per-(epoch, source) volume audit a training scheduler consumes.
+
+    Scale shape: a constant x3 literal fan-out (epoch, threshold)
+    structs, a map-side integer-compare filter, then one partial-
+    combinable aggregate — a single corpus pass, no joins, no windows.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ep = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(e).alias("epoch"), F.lit(t).alias("thr"))
+                for e, t in _EPOCH_THRESHOLDS
+            ]
+        )
+    ).alias("ep")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("ep.epoch").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source", "n_chars", ep)
+        .where(u < F.col("ep.thr"))
+        .groupBy(F.col("ep.epoch").alias("epoch"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+
+
+_BPE_TOP_N = 50
+
+_BPE_ORACLE = rf"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS wc FROM words WHERE w <> '' GROUP BY w
+), pos AS (
+  SELECT w, wc, unnest(range(1, len(w))) AS p FROM vocab WHERE len(w) >= 2
+)
+SELECT substring(w, cast(p as int), 2) AS pair,
+       cast(sum(wc) as bigint) AS n
+FROM pos
+GROUP BY 1
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP_N}
+"""
+
+
+@register("bpe_merge_candidates", oracle=_BPE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration's candidate table: adjacent character-
+    pair frequencies weighted by word frequency, top-{n} by count — the
+    count table a byte-pair tokenizer trainer consumes each round
+    (subsequent rounds re-run this at symbol grain after each merge).
+
+    Scale shape: the corpus is touched ONCE (token explode -> word-count
+    partial agg); the pair explode then runs at VOCABULARY grain — a
+    corpus 100x larger grows the vocab sub-linearly (Heaps' law), so the
+    expensive generate never scales with corpus volume. explode_outer +
+    isNotNull per the InferFiltersFromGenerate double-eval rule.
+    """
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode_outer(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.col("w").isNotNull() & (F.col("w") != ""))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            "wc",
+            F.explode_outer(
+                F.expr("transform(sequence(1, length(w) - 1), p -> substring(w, p, 2))")
+            ).alias("pair"),
+        )
+        .where(F.col("pair").isNotNull())
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOP_N)
+    )
