@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     p_vac.add_argument("--keep-last", type=int, default=3)
     p_vac.add_argument("--orphan-grace", type=float, default=3600.0)
 
+    p_stats = sub.add_parser(
+        "stats", help="ANALYZE a table: print column stats, optionally persist"
+    )
+    p_stats.add_argument("table")
+    p_stats.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_stats.add_argument("--write-dir", help="persist JSON stats here")
+
     p_job = sub.add_parser("job", help="analysis-job orchestration")
     p_job.add_argument("job_cmd", choices=("run", "list"))
     p_job.add_argument("jobs_root")
@@ -108,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "stats":
+        import json
+
+        from .session import get_spark
+        from .stats import table_stats, write_table_stats
+
+        spark = get_spark("cli-stats")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.write_dir:
+            path = write_table_stats(spark, args.sf_dir, args.table, args.write_dir)
+            print(json.dumps({"written": path}))
+        else:
+            print(json.dumps(table_stats(spark, args.sf_dir, args.table), indent=1))
         return 0
 
     if args.cmd == "job":

@@ -113,3 +113,114 @@ def hint_broadcast_if_small(
     if est_rows * width <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Persisted stats — the metastore surface. ANALYZE once (a maintenance
+# job), read forever: consumers on OTHER sessions load the JSON instead
+# of re-scanning the table. Stats live in a caller-provided directory
+# (never inside a read-only data dir), one atomic JSON per table.
+# ---------------------------------------------------------------------------
+
+
+def write_table_stats(
+    spark: SparkSession, sf_dir: str, name: str, stats_dir: str
+) -> str:
+    """Compute and persist ``name``'s stats as ``{stats_dir}/{name}.json``
+    (tmp + atomic rename). Returns the written path."""
+    import json
+    import os
+
+    stats = table_stats(spark, sf_dir, name)
+    os.makedirs(stats_dir, exist_ok=True)
+    path = os.path.join(stats_dir, f"{name}.json")
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def load_table_stats(stats_dir: str, name: str) -> dict[str, dict] | None:
+    """Read persisted stats; None when absent (caller decides whether to
+    fall back to a live ANALYZE scan)."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy chooser — the skew-detection consumer the r6 verdict
+# asked the stats to feed. ndv << rows on a join key is the classic
+# power-law pile-up signal: AQE splits moderate skew at runtime, but a
+# hot-key ratio past ``salt_rows_per_key`` is where the explicit salted
+# join (operators/skew.salted_join) wins, because the planner never sees
+# per-key row counts until the shuffle already happened.
+# ---------------------------------------------------------------------------
+
+
+def avg_rows_per_key(stats: dict[str, dict], key_col: str) -> float:
+    s = stats[key_col]
+    non_null = s["n_rows"] - s["n_nulls"]
+    return non_null / max(s["approx_ndv"] or 1, 1)
+
+
+def choose_join_strategy(
+    small_stats: dict[str, dict],
+    big_stats: dict[str, dict],
+    key_col: str,
+    small_row_bytes: int,
+    broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    salt_rows_per_key: float = 1_000_000.0,
+) -> str:
+    """'broadcast' | 'salted' | 'shuffle' from persisted stats only.
+
+    - broadcast when the small side's estimated bytes fit the threshold
+      (a broadcast join is also immune to big-side key skew — the hot
+      key never shuffles);
+    - salted when the small side is too big to broadcast AND the big
+      side's join key averages more than ``salt_rows_per_key`` rows per
+      key (ndv << rows: one reducer would take the pile-up);
+    - plain shuffle otherwise (AQE handles moderate skew at runtime).
+    """
+    small_rows = next(iter(small_stats.values()))["n_rows"]
+    if small_rows * small_row_bytes <= broadcast_max_bytes:
+        return "broadcast"
+    if avg_rows_per_key(big_stats, key_col) > salt_rows_per_key:
+        return "salted"
+    return "shuffle"
+
+
+def stats_informed_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    big_stats: dict[str, dict],
+    small_stats: dict[str, dict],
+    broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
+    salt_rows_per_key: float = 1_000_000.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the strategy picked by :func:`choose_join_strategy`.
+    Result rows are identical under every strategy (pytest-pinned); only
+    the physical plan differs."""
+    strategy = choose_join_strategy(
+        small_stats,
+        big_stats,
+        key_col,
+        schema_row_bytes(small, small_stats),
+        broadcast_max_bytes,
+        salt_rows_per_key,
+    )
+    if strategy == "broadcast":
+        return big.join(F.broadcast(small), on=key_col, how=how)
+    if strategy == "salted":
+        from .operators.skew import salted_join
+
+        return salted_join(big, small, key_col, how=how)
+    return big.join(small, on=key_col, how=how)

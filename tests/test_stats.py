@@ -74,3 +74,83 @@ def test_q3_still_broadcasts_under_real_stats(spark, sf_dir):
     df = QUERIES["q3_shipping_priority"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_persisted_stats_roundtrip(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.stats import (
+        load_table_stats,
+        table_stats,
+        write_table_stats,
+    )
+
+    assert load_table_stats(str(tmp_path), "nation") is None
+    path = write_table_stats(spark, sf_dir, "nation", str(tmp_path))
+    assert path.endswith("nation.json")
+    loaded = load_table_stats(str(tmp_path), "nation")
+    assert loaded == table_stats(spark, sf_dir, "nation")
+
+
+def _mkstats(n_rows, ndv, n_nulls=0, col="k"):
+    return {
+        col: {
+            "n_rows": n_rows,
+            "n_nulls": n_nulls,
+            "min_value": None,
+            "max_value": None,
+            "approx_ndv": ndv,
+        }
+    }
+
+
+def test_choose_join_strategy_flips_on_stats():
+    from sentiment_analysis_vector_search_spark.stats import choose_join_strategy
+
+    # tiny small side -> broadcast regardless of big-side skew
+    assert (
+        choose_join_strategy(_mkstats(1000, 1000), _mkstats(10**9, 2), "k", 8)
+        == "broadcast"
+    )
+    # big small side + heavy big-side skew (1e9 rows over 2 keys) -> salted
+    assert (
+        choose_join_strategy(_mkstats(10**8, 10**8), _mkstats(10**9, 2), "k", 100)
+        == "salted"
+    )
+    # big small side, well-distributed big side -> plain shuffle
+    assert (
+        choose_join_strategy(_mkstats(10**8, 10**8), _mkstats(10**9, 10**8), "k", 100)
+        == "shuffle"
+    )
+
+
+def test_stats_informed_join_value_identical_all_strategies(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.stats import stats_informed_join
+
+    big = spark.range(0, 200).select((F.col("id") % 10).alias("k"), F.col("id").alias("v"))
+    small = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+    expected = sorted(
+        (r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()
+    )
+    for small_st, big_st in (
+        (_mkstats(10, 10), _mkstats(200, 10)),  # broadcast
+        (_mkstats(10**8, 10**8), _mkstats(10**9, 2)),  # salted
+        (_mkstats(10**8, 10**8), _mkstats(10**9, 10**8)),  # shuffle
+    ):
+        got = stats_informed_join(big, small, "k", big_st, small_st)
+        assert sorted((r["k"], r["v"], r["w"]) for r in got.collect()) == expected
+
+
+def test_cli_stats_verb(tmp_path, capsys, sf_dir):
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    rc = main(["stats", "region", "--sf-dir", sf_dir, "--write-dir", str(tmp_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["written"].endswith("region.json")
+    from sentiment_analysis_vector_search_spark.stats import load_table_stats
+
+    loaded = load_table_stats(str(tmp_path), "region")
+    assert loaded is not None and loaded["r_name"]["n_rows"] == 5
