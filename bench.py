@@ -198,7 +198,17 @@ def _time_queries(
         runs = []
         for _ in range(n_reps):
             if name in _ITERATIVE:
+                # Python gc alone frees py4j proxies but the JVM-side RDD
+                # handles only reach the ContextCleaner after a JVM GC —
+                # without it the previous rep's blocks are collected
+                # DURING the next rep (measured: a 3x first-rep outlier
+                # with python-gc only; none with the JVM GC + settle).
                 gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(0.5)
+                except Exception:  # noqa: BLE001 — hygiene only
+                    pass
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
