@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     p_vac.add_argument("--keep-last", type=int, default=3)
     p_vac.add_argument("--orphan-grace", type=float, default=3600.0)
 
+    p_opt = sub.add_parser(
+        "optimize", help="compact + Z-order + rebuild skipping manifest"
+    )
+    p_opt.add_argument("table_dir")
+    p_opt.add_argument("zorder_cols", help="comma-separated column list")
+    p_opt.add_argument("--n-files", type=int, default=8)
+    p_opt.add_argument("--bits", type=int, default=8)
+
     p_stats = sub.add_parser(
         "stats", help="ANALYZE a table: print column stats, optionally persist"
     )
@@ -115,6 +123,24 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "optimize":
+        import json
+
+        from .session import get_spark
+        from .sinks import optimize_table
+
+        spark = get_spark("cli-optimize")
+        spark.sparkContext.setLogLevel("ERROR")
+        manifest = optimize_table(
+            spark,
+            args.table_dir,
+            [c for c in args.zorder_cols.split(",") if c],
+            n_files=args.n_files,
+            bits=args.bits,
+        )
+        print(json.dumps({"files": len(manifest["files"])}))
         return 0
 
     if args.cmd == "stats":

@@ -712,3 +712,40 @@ def analyze_table(df: DataFrame) -> DataFrame:
         .select("s.*")
         .orderBy("column")
     )
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> dict:
+    """The OPTIMIZE maintenance verb: compact + Z-order-cluster +
+    rebuild the file-skipping manifest, in one pass with ``compact_dir``'s
+    atomic-swap discipline — the operational entrypoint a table owner
+    actually schedules (Delta's ``OPTIMIZE ... ZORDER BY`` / Iceberg's
+    rewrite_data_files). Streaming/incremental sinks produce per-batch
+    files whose stats ranges all overlap; after this pass the directory
+    holds ``n_files`` curve-clustered files whose manifest prunes on
+    EVERY listed column. Run per partition/day slice at scale (the
+    zorder_by materialization note applies). Returns the manifest.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:8]
+    base = path.rstrip("/")
+    tmp_new = f"{base}__optimize_{token}"
+    tmp_old = f"{base}__old_{token}"
+    df = spark.read.parquet(path)
+    z = zorder_by(df, list(zorder_cols), bits=bits, n_files=n_files)
+    try:
+        manifest = write_with_manifest(spark, z, tmp_new, list(zorder_cols))
+        os.rename(base, tmp_old)
+        os.rename(tmp_new, base)
+        shutil.rmtree(tmp_old)
+    finally:
+        shutil.rmtree(tmp_new, ignore_errors=True)
+    return manifest

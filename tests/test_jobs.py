@@ -126,3 +126,24 @@ def test_cli_vacuum_and_job_list(spark, sf_dir, tmp_path, capsys):
     assert main(["job", "list", jobs_root]) == 0
     listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [m["job_id"] for m in listed] == ["job-cli"]
+
+
+def test_cli_optimize_verb(spark, tmp_path, capsys):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).select(
+        (F.col("id") % 32).alias("a"), (F.col("id") % 7).alias("b"), "id"
+    )
+    for i in range(5):
+        df.where(F.col("id") % 5 == i).coalesce(1).write.mode("append").parquet(path)
+    assert main(["optimize", path, "a,b", "--n-files", "2", "--bits", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"files": 2}
+    assert sum(1 for n in os.listdir(path) if n.endswith(".parquet")) == 2
+    assert spark.read.parquet(path).count() == 500

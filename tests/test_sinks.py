@@ -471,3 +471,53 @@ def test_analyze_table_stats_one_scan(spark, sf_dir):
     # is inflated by display, not by extra scans)
     opt = stats._jdf.queryExecution().optimizedPlan().toString().lower()
     assert opt.count("relation [") == 1, opt
+
+
+def test_optimize_table_compacts_clusters_and_prunes(spark, tmp_path):
+    """optimize_table = compaction + z-order + manifest in one atomic
+    verb: the messy many-small-files dir becomes n_files curve-clustered
+    files, values survive byte-identically, and the rebuilt manifest
+    prunes on BOTH zorder columns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        manifest_prune,
+        optimize_table,
+        read_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    # 20 small appended files, rows shuffled so per-file ranges all overlap
+    df = (
+        spark.range(0, 4000)
+        .select(
+            (F.xxhash64("id") % 64).alias("a"),
+            (F.xxhash64("id", F.lit(1)) % 64).alias("b"),
+            F.col("id").alias("v"),
+        )
+    )
+    for i in range(20):
+        df.where(F.col("id") % 20 == i).coalesce(1).write.mode("append").parquet(path)
+    before = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    n_before = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    assert n_before == 20
+
+    optimize_table(spark, path, ["a", "b"], n_files=4, bits=6)
+
+    files = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    assert len(files) == 4
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == before
+    # pruning works on both columns — the whole point of the z-curve
+    for col in ("a", "b"):
+        kept, total = manifest_prune(path, col, -64, -33)
+        assert total == 4
+        assert len(kept) < total, (col, kept)
+        got = read_pruned(spark, path, col, -64, -33)
+        exp = spark.read.parquet(path).where(F.col(col).between(-64, -33))
+        assert sorted(r["v"] for r in got.collect()) == sorted(
+            r["v"] for r in exp.collect()
+        )
+    # no swap debris
+    assert not [n for n in os.listdir(tmp_path) if "__old_" in n or "__optimize_" in n]
