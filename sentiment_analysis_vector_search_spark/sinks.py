@@ -749,3 +749,42 @@ def optimize_table(
     finally:
         shutil.rmtree(tmp_new, ignore_errors=True)
     return manifest
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, kind: str, target_files: int = 1
+) -> int:
+    """Compact a persisted ANN index's data files (maintenance verb).
+
+    The streamed ingest loops (`stream_ivf_ingest` / `stream_pq_ingest`)
+    append one batch-stamped file per micro-batch (per cell for IVF) —
+    exactly-once by design, but after N batches a query opens N files
+    per probed cell. This rewrites each leaf directory down to
+    ``target_files`` via ``compact_dir``'s atomic swap. Safe w.r.t. the
+    ingest protocol: replayed batches are skipped by recorded batch id
+    BEFORE any file naming matters, and new batch files never collide
+    with compacted ``part-*`` names. Returns files removed (net).
+    """
+    import os
+
+    sub = {"ivf": "assignments", "pq": "codes"}.get(kind)
+    if sub is None:
+        raise ValueError(f"unknown index kind {kind!r}; expected ivf or pq")
+    root = os.path.join(index_dir, sub)
+
+    def _count(d: str) -> int:
+        return sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(d)
+        )
+
+    before = _count(root)
+    leaves = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if os.path.isdir(os.path.join(root, d)) and "=" in d
+    ] or [root]
+    for leaf in leaves:
+        if len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) > target_files:
+            compact_dir(spark, leaf, target_files)
+    return before - _count(root)

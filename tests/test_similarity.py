@@ -229,3 +229,55 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
         approx = {(r.query_id, r.vec_id) for r in qs[name](spark, sf_dir).collect()}
         recall = len(brute & approx) / len(brute)
         assert recall >= floor, f"{name}: recall@10 {recall:.2f} < {floor}"
+
+
+def test_compact_index_preserves_ivf_answers(spark, sf_dir, tmp_path):
+    """compact_index rewrites each cell's per-batch appended files down
+    to one; query answers are byte-identical before/after and the file
+    count actually drops."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+        ivf_index_add,
+    )
+    from sentiment_analysis_vector_search_spark.sinks import compact_index
+
+    full_dir = str(tmp_path / "ivf_full")
+    build_ivf_index(spark, sf_dir, full_dir)
+    idx = str(tmp_path / "ivf_inc")
+    shutil.copytree(f"{full_dir}/codebook", f"{idx}/codebook")
+    vecs = _vectors(spark, sf_dir)
+    for m in range(3):  # three appended batches -> >=3 files per cell
+        ivf_index_add(
+            spark, idx, vecs.where(F.col("vec_id") % 3 == m).select("vec_id", "v")
+        )
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    before = sorted(
+        tuple(r)
+        for r in ann_ivf_index_query(spark, idx, queries)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .collect()
+    )
+    n_files = lambda: sum(  # noqa: E731
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(f"{idx}/assignments")
+    )
+    nb = n_files()
+    removed = compact_index(spark, idx, "ivf")
+    assert removed > 0 and n_files() == nb - removed
+    after = sorted(
+        tuple(r)
+        for r in ann_ivf_index_query(spark, idx, queries)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .collect()
+    )
+    assert after == before

@@ -302,3 +302,40 @@ def test_pq_staged_append_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{idx}/codes").collect()
     )
     assert once == twice
+
+
+def test_compact_index_preserves_pq_codes(spark, sf_dir, tmp_path):
+    """PQ twin of the IVF compact test: the flat codes dir compacts to
+    one file with the code set byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import _vectors
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _pq_codebook,
+        _pq_encode,
+        pq_index_add,
+    )
+    from sentiment_analysis_vector_search_spark.sinks import compact_index
+
+    idx = str(tmp_path / "pq")
+    cb = _pq_codebook(spark, sf_dir)
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{idx}/codebook")
+    vecs = _vectors(spark, sf_dir)
+    _pq_encode(vecs.where(F.col("vec_id") % 3 == 0), cb).write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/codes")
+    for m in (1, 2):
+        pq_index_add(spark, idx, vecs.where(F.col("vec_id") % 3 == m).select("vec_id", "v"))
+    before = sorted(
+        (r.vec_id, r.s, r.code) for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    nb = len([f for f in os.listdir(f"{idx}/codes") if f.endswith(".parquet")])
+    removed = compact_index(spark, idx, "pq")
+    na = len([f for f in os.listdir(f"{idx}/codes") if f.endswith(".parquet")])
+    assert na == 1 and removed == nb - na
+    after = sorted(
+        (r.vec_id, r.s, r.code) for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    assert after == before
