@@ -46,8 +46,12 @@ def test_sessions_two_phase_matches_single_window_on_skewed_keys(spark, tmp_path
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from sentiment_analysis_vector_search_spark.registry import QUERIES
+    from sentiment_analysis_vector_search_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
 
+    load_all_modules()
     rows = []
     eid = 0
     # hot user 7: an event every 10 min for 48h straight starting 22:00 —
@@ -98,3 +102,61 @@ def test_sessions_two_phase_matches_single_window_on_skewed_keys(spark, tmp_path
     assert exp[7] == (2, 48 * 6 + 5)  # pin the intended skew shape
     assert exp[8] == (2, 4)
     assert exp[9] == (1, 1)
+
+
+def test_sessions_two_phase_randomized_equivalence(spark, tmp_path):
+    """Deterministic pseudo-random corpora (seeded) including gaps AT the
+    30-min boundary (gap == threshold must NOT start a session), around
+    it, and across midnights — two-phase must equal the naive window on
+    every seed."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    rows = []
+    eid = 0
+    base_epoch = 1704067200  # 2024-01-01T00:00:00Z
+    for seed in range(5):
+        rng = random.Random(seed)
+        t = base_epoch + seed * 86400 * 40
+        for _ in range(60):
+            # mix sub-threshold, exactly-threshold, and super-threshold
+            # gaps; some jump days
+            gap = rng.choice([60, 1799, 1800, 1801, 7200, 90000])
+            t += gap
+            rows.append((seed, t, eid))
+            eid += 1
+    df = (
+        spark.createDataFrame(rows, "user_id bigint, epoch bigint, event_id bigint")
+        .select("user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id")
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    res = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in QUERIES["q_events_sessions"](spark, str(tmp_path)).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    start = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 30 * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    exp = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in df.withColumn("s", start)
+        .groupBy("user_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert res == exp
