@@ -788,3 +788,39 @@ def compact_index(
         if len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) > target_files:
             compact_dir(spark, leaf, target_files)
     return before - _count(root)
+
+
+def manifest_prune_multi(
+    path: str, preds: dict[str, tuple]
+) -> tuple[list[str], int]:
+    """Multi-predicate file skipping: a file survives only if EVERY
+    predicate's [lo, hi] overlaps its stats range — the conjunctive
+    intersection of per-column prunes. This is where Z-order clustering
+    pays: after `optimize_table(cols=[a, b])` a two-predicate query
+    skips files neither single-column layout could."""
+    import os
+
+    kept_sets = []
+    total = 0
+    for col, (lo, hi) in preds.items():
+        kept, total = manifest_prune(path, col, lo, hi)
+        kept_sets.append(set(kept))
+    kept_all = sorted(set.intersection(*kept_sets)) if kept_sets else []
+    return kept_all, total
+
+
+def read_pruned_multi(
+    spark: SparkSession, path: str, preds: dict[str, tuple]
+) -> DataFrame:
+    """Manifest-pruned read under a conjunction of range predicates;
+    opens only files every predicate can touch, then applies the exact
+    filters."""
+    kept, _total = manifest_prune_multi(path, preds)
+    df = (
+        spark.read.parquet(*kept)
+        if kept
+        else spark.read.parquet(path).where(F.lit(False))
+    )
+    for col, (lo, hi) in preds.items():
+        df = df.where(F.col(col).between(lo, hi))
+    return df

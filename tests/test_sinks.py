@@ -521,3 +521,41 @@ def test_optimize_table_compacts_clusters_and_prunes(spark, tmp_path):
         )
     # no swap debris
     assert not [n for n in os.listdir(tmp_path) if "__old_" in n or "__optimize_" in n]
+
+
+def test_read_pruned_multi_conjunctive_skipping(spark, tmp_path):
+    """After optimize_table on (a, b), a two-predicate read must open no
+    more files than either single-predicate prune and return exactly the
+    fully-filtered rows."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        manifest_prune,
+        manifest_prune_multi,
+        optimize_table,
+        read_pruned_multi,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 4096).select(
+        (F.xxhash64("id") % 64).alias("a"),
+        (F.xxhash64("id", F.lit(7)) % 64).alias("b"),
+        F.col("id").alias("v"),
+    ).write.parquet(path)
+    optimize_table(spark, path, ["a", "b"], n_files=8, bits=6)
+
+    preds = {"a": (-64, -33), "b": (-64, -33)}
+    kept, total = manifest_prune_multi(path, preds)
+    assert total == 8
+    for col, (lo, hi) in preds.items():
+        single, _ = manifest_prune(path, col, lo, hi)
+        assert set(kept) <= set(single)
+    assert len(kept) < total
+    got = sorted(r["v"] for r in read_pruned_multi(spark, path, preds).collect())
+    exp = sorted(
+        r["v"]
+        for r in spark.read.parquet(path)
+        .where(F.col("a").between(-64, -33) & F.col("b").between(-64, -33))
+        .collect()
+    )
+    assert got == exp
