@@ -40,6 +40,11 @@ SHOW = [
     ("dedup_minhash_quality_audit", "banded candidates; signature lookups; O(10)-row calibration output"),
     ("q_customer_rfm", "3x range-partitioned distributed rank; no single-partition ntile window"),
     ("dq_expectations", "one multi-aggregate scan per table; broadcast/keyed anti-join orphans"),
+    # r7 additions
+    ("q_events_sessions", "two-phase skew-safe: (user, day-chunk) lag windows + day-grain boundary merge"),
+    ("train_shuffle_shards", "TeraSort-rank shard assignment over md5 order; no global window"),
+    ("sample_epochs", "literal x3 epoch fan-out; map-side hash filter; one partial-agg pass"),
+    ("bpe_merge_candidates", "corpus touched once; pair Generate above the vocab aggregate"),
 ]
 
 
