@@ -57,3 +57,24 @@ def pushed_filters(df: DataFrame) -> list[str]:
         for line in plan_str(df).splitlines()
         if "PushedFilters:" in line
     ]
+
+
+def lint_plan(df: DataFrame) -> list[str]:
+    """Repo-wide anti-pattern lint over a physical plan (r7).
+
+    Flags the scale-killers the per-query plan tests check individually,
+    so a SWEEP can assert them for EVERY registered query at once:
+
+    - ``cartesian``: a CartesianProduct node — an unbounded n x m join
+      (broadcast nested-loop scalar crossJoins do NOT trip this).
+    - ``row-python-udf``: BatchEvalPython — row-at-a-time Python in the
+      plan; Arrow paths (ArrowEvalPython, mapInPandas/FlatMap*Pandas)
+      are allowed by design.
+    """
+    plan = plan_str(df)
+    violations = []
+    if "CartesianProduct" in plan:
+        violations.append("cartesian")
+    if "BatchEvalPython" in plan:
+        violations.append("row-python-udf")
+    return violations

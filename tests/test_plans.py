@@ -375,3 +375,28 @@ def test_zorder_no_global_ntile_window(spark, sf_dir):
         assert "_pid#" in spec or spec.startswith("specifiedwindowframe"), plan[
             max(0, m.start() - 200) : m.end() + 100
         ]
+
+
+def test_every_registered_query_plan_is_lint_clean(spark, sf_dir):
+    """The automated anti-pattern sweep (r7): EVERY registered query's
+    physical plan must be free of CartesianProduct and row-at-a-time
+    Python UDFs — the two unconditional 100 TB scale-killers. Per-query
+    plan tests pin finer shapes; this guarantees no operator ever ships
+    with the coarse ones, including future additions (a new registry
+    entry is linted automatically)."""
+    from sentiment_analysis_vector_search_spark.plans import lint_plan
+    from sentiment_analysis_vector_search_spark.registry import (
+        QUERIES,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    bad = {}
+    for name, fn in QUERIES.items():
+        try:
+            v = lint_plan(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — surface as a lint failure
+            v = [f"plan-build-error: {e}"]
+        if v:
+            bad[name] = v
+    assert not bad, bad
