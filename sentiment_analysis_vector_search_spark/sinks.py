@@ -259,6 +259,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     partition_col: str,
+    allow_new_columns: bool = False,
 ) -> list[str]:
     """MERGE (upsert) into a hive-partitioned parquet dir: rows matching
     ``keys`` are replaced, new keys inserted, and ONLY the partitions
@@ -272,6 +273,13 @@ def merge_upsert(
     in; untouched partitions' files are never opened. LOCAL-FS ONLY (see
     compact_dir); on object stores the swap is a table-format commit.
     Returns the rewritten partition values.
+
+    ``allow_new_columns=True`` enables additive schema evolution: a
+    column present on only one side surfaces as nulls on the other
+    (unionByName allowMissingColumns). Untouched partitions keep their
+    old file schema — read the evolved table through ``read_evolved``
+    (mergeSchema), since a plain read samples one footer and can drop
+    late-added columns.
     """
     import os
     import shutil
@@ -295,7 +303,7 @@ def merge_upsert(
     old = old.where(F.col(partition_col).isin(parts))
     merged = old.join(
         updates.select(*keys).distinct(), list(keys), "left_anti"
-    ).unionByName(updates)
+    ).unionByName(updates, allowMissingColumns=allow_new_columns)
     token = _uuid.uuid4().hex[:8]
     tmp = f"{base}__merge_{token}"
     (
@@ -824,3 +832,44 @@ def read_pruned_multi(
     for col, (lo, hi) in preds.items():
         df = df.where(F.col(col).between(lo, hi))
     return df
+
+
+def snapshot_diff(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> dict:
+    """Time-travel diff between two committed snapshots.
+
+    File level is pure manifest arithmetic (O(metadata), no data read):
+    which files joined/left the table. Row level reads both snapshots and
+    returns added/removed row FRAMES via exceptAll (multiset semantics —
+    duplicate-count changes surface correctly). The debugging verb behind
+    "what changed between yesterday's and today's table".
+    """
+    import json
+    import os
+
+    base = root.rstrip("/")
+    vdir = _versions_dir(base)
+
+    def _files(v: int) -> list[str]:
+        with open(os.path.join(vdir, f"v{v:05d}.json")) as f:
+            return json.load(f)["files"]
+
+    from_files, to_files = set(_files(v_from)), set(_files(v_to))
+    df_from = read_snapshot(spark, base, v_from)
+    df_to = read_snapshot(spark, base, v_to)
+    return {
+        "files_added": sorted(to_files - from_files),
+        "files_removed": sorted(from_files - to_files),
+        "rows_added": df_to.exceptAll(df_from),
+        "rows_removed": df_from.exceptAll(df_to),
+    }
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dir whose files carry EVOLVED schemas (columns
+    added over time by merge_upsert(allow_new_columns=True) or appended
+    batches): per-file schemas are unioned and missing columns surface
+    as nulls. Plain ``spark.read.parquet`` samples ONE footer and would
+    silently drop late-added columns."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

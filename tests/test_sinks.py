@@ -559,3 +559,73 @@ def test_read_pruned_multi_conjunctive_skipping(spark, tmp_path):
         .collect()
     )
     assert got == exp
+
+
+def test_snapshot_diff_files_and_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        commit_snapshot,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "snap")
+    base = spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    v1 = commit_snapshot(base.coalesce(1), root)
+    v2 = commit_snapshot(
+        spark.range(10, 13).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root,
+        mode="append",
+    )
+    d12 = snapshot_diff(spark, root, v1, v2)
+    assert d12["files_removed"] == [] and len(d12["files_added"]) == 1
+    assert sorted(r["id"] for r in d12["rows_added"].collect()) == [10, 11, 12]
+    assert d12["rows_removed"].count() == 0
+    v3 = commit_snapshot(
+        spark.range(5, 8).select("id", (F.col("id") * 2).alias("v")).coalesce(1),
+        root,
+        mode="overwrite",
+    )
+    d23 = snapshot_diff(spark, root, v2, v3)
+    assert len(d23["files_removed"]) == 2  # both prior commits dropped
+    assert d23["rows_added"].count() == 0  # 5..7 already existed in v2
+    assert sorted(r["id"] for r in d23["rows_removed"].collect()) == [
+        0, 1, 2, 3, 4, 8, 9, 10, 11, 12,
+    ]
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: an update batch carrying a NEW column
+    merges with nulls backfilled for old rows; untouched partitions are
+    readable through read_evolved with the new column as nulls."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        merge_upsert,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        "k int, day string, v double",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "d1", 21.0, "extra2"), (4, "d1", 40.0, "extra4")],
+        "k int, day string, v double, note string",
+    )
+    rewritten = merge_upsert(
+        spark, path, updates, keys=["k"], partition_col="day",
+        allow_new_columns=True,
+    )
+    assert rewritten == ["d1"]
+    got = {
+        r["k"]: (r["v"], r["note"])
+        for r in read_evolved(spark, path).collect()
+    }
+    assert got == {
+        1: (10.0, None),   # old row in rewritten partition: null backfill
+        2: (21.0, "extra2"),  # replaced
+        3: (30.0, None),   # untouched partition, old schema
+        4: (40.0, "extra4"),  # inserted
+    }
