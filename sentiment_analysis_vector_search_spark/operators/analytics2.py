@@ -453,3 +453,47 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+def transitions_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of ``q_events_transitions`` (r7, pre-staged for the
+    r8 graded swap — the registered query is untouched this round per the
+    rotation rule): the per-user lag chain runs per (user_id, day-chunk),
+    and boundary-crossing pairs are recovered at day-chunk grain — each
+    chunk contributes (previous chunk's last event type → its first
+    event type), computed with min_by/max_by over the unique
+    (ts, event_id) order. Within-chunk pairs + boundary pairs are
+    EXACTLY the global consecutive pairs (chunks are time-contiguous per
+    user), pinned by pytest equality against the registered query. Same
+    device as q_events_sessions' r7 split: a hot user's event volume
+    divides across days; the merge window sees rows = active days.
+    """
+    ev = table(spark, sf_dir, "events")
+    chunked = ev.withColumn("chunk", F.date_trunc("day", "ts"))
+    w_local = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    within = chunked.select(
+        F.lag("event_type").over(w_local).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    order_key = F.struct("ts", "event_id")
+    bounds = chunked.groupBy("user_id", "chunk").agg(
+        F.min_by("event_type", order_key).alias("first_type"),
+        F.max_by("event_type", order_key).alias("last_type"),
+    )
+    w_merge = Window.partitionBy("user_id").orderBy("chunk")
+    crossing = bounds.select(
+        F.lag("last_type").over(w_merge).alias("prev_type"),
+        F.col("first_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = (
+        within.unionByName(crossing)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -166,3 +166,32 @@ def test_ab_test_lift_parity_and_invariants(spark, sf_dir):
     assert r.lift == pytest.approx(r.rate1 - r.rate0, abs=2e-6)
     # z sign must agree with lift sign
     assert (r.z_score >= 0) == (r.lift >= 0)
+
+
+def test_transitions_two_phase_equals_registered(spark, sf_dir):
+    """The r8-staged skew-safe transitions variant must produce exactly
+    the registered query's matrix on the corpus."""
+    from sentiment_analysis_vector_search_spark.operators.analytics2 import (
+        q_events_transitions,
+        transitions_two_phase,
+    )
+
+    a = sorted(tuple(r) for r in q_events_transitions(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in transitions_two_phase(spark, sf_dir).collect())
+    assert a == b
+
+
+def test_transitions_two_phase_event_grain_window_is_chunk_split(spark, sf_dir):
+    from sentiment_analysis_vector_search_spark.operators.analytics2 import (
+        transitions_two_phase,
+    )
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    plan = plan_str(transitions_two_phase(spark, sf_dir))
+    event_grain = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l and "event_id" in l
+    ]
+    assert event_grain, plan
+    for line in event_grain:
+        assert "chunk" in line, line
