@@ -114,7 +114,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     analytics_ext 7 (funnel/retention/gapfill/anomaly/overlap/
 #     centroids/pipeline_curate_stats), text_ops rest 7, curation2 3,
 #     rag_prep 3, q_running_revenue, q_revenue_moving_avg — ~29, fits
-#     one r8 window with room for new ops.
+#     one r8 window with room for new ops. Also staged for r8:
+#     q_events_transitions swaps to analytics2.transitions_two_phase
+#     (already pytest-pinned equal + plan-tested this round) — the swap
+#     puts it in the r8 window.
 #   Out-of-window infra notes (auditable value-identical changes):
 #     functions/ranks.dist_ntile gained an additive keep_value flag
 #     (default False → byte-identical output for q_customer_rfm /
