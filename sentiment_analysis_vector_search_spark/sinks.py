@@ -474,16 +474,22 @@ def write_jsonl_shards(
     path: str,
     n_shards: int,
     key: str = "doc_id",
+    compression: str | None = None,
 ) -> None:
     """Training shards as JSON-lines text (the common LLM-training feed
     format): same deterministic range-sharded layout as
-    ``write_training_shards``, one JSON object per line."""
-    (
+    ``write_training_shards``, one JSON object per line.
+    ``compression='gzip'`` emits the .jsonl.gz feed most trainers pull;
+    documents-shaped shards round-trip through
+    ``sources.read_documents(fmt='json')`` either way (pytest)."""
+    w = (
         df.repartitionByRange(n_shards, F.col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite")
-        .json(path)
     )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 # ---------------------------------------------------------------------------

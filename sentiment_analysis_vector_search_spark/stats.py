@@ -91,6 +91,28 @@ def schema_row_bytes(df: DataFrame, stats: dict[str, dict] | None = None) -> int
     return total
 
 
+def estimated_range_rows(
+    stats: dict[str, dict], col: str, lo: float, hi: float
+) -> float:
+    """Estimated surviving rows of ``col BETWEEN lo AND hi`` under the
+    uniform-distribution assumption: overlap fraction of [lo, hi] with
+    the observed [min, max], scaled by non-null rows — the classic CBO
+    range selectivity, feeding the same broadcast gate as the equality
+    estimate. Falls back to all non-null rows when min/max are absent
+    or non-numeric (skip only when proven — same rule as the manifest
+    pruner)."""
+    s = stats[col]
+    non_null = s["n_rows"] - s["n_nulls"]
+    try:
+        mn, mx = float(s["min_value"]), float(s["max_value"])
+    except (TypeError, ValueError):
+        return float(non_null)
+    if mx <= mn:  # single-valued column: all or nothing
+        return float(non_null) if lo <= mn <= hi else 0.0
+    frac = (min(hi, mx) - max(lo, mn)) / (mx - mn)
+    return non_null * min(max(frac, 0.0), 1.0)
+
+
 def estimated_equality_rows(stats: dict[str, dict], col: str) -> float:
     """Estimated surviving rows of an equality filter ``col = lit`` under
     the uniform-frequency assumption: non-null rows / ndv — the classic

@@ -629,3 +629,25 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
         3: (30.0, None),   # untouched partition, old schema
         4: (40.0, "extra4"),  # inserted
     }
+
+
+def test_jsonl_shards_roundtrip_through_read_documents(spark, sf_dir, tmp_path):
+    """write_jsonl_shards (plain and gzip) must round-trip documents
+    through sources.read_documents(fmt='json') — the training-feed
+    export is also a first-class ingest format."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.sinks import write_jsonl_shards
+    from sentiment_analysis_vector_search_spark.sources import read_documents
+
+    docs = table(spark, sf_dir, "documents")
+    want = sorted(r["doc_id"] for r in docs.collect())
+    for comp, ext in ((None, ".json"), ("gzip", ".json.gz")):
+        out = str(tmp_path / f"shards_{comp}")
+        write_jsonl_shards(docs, out, n_shards=3, compression=comp)
+        parts = [n for n in os.listdir(out) if n.startswith("part-")]
+        assert len(parts) == 3 and all(n.endswith(ext) for n in parts), parts
+        back = read_documents(spark, out, fmt="json")
+        assert sorted(r["doc_id"] for r in back.collect()) == want
+        assert back.columns == docs.columns

@@ -154,3 +154,32 @@ def test_cli_stats_verb(tmp_path, capsys, sf_dir):
 
     loaded = load_table_stats(str(tmp_path), "region")
     assert loaded is not None and loaded["r_name"]["n_rows"] == 5
+
+
+def test_estimated_range_rows_uniform_and_edges(spark, sf_dir):
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimated_range_rows,
+        table_stats,
+    )
+
+    st = table_stats(spark, sf_dir, "orders")
+    n = st["o_orderkey"]["n_rows"]
+    # full range -> everything
+    full = estimated_range_rows(
+        st, "o_orderkey", float(st["o_orderkey"]["min_value"]),
+        float(st["o_orderkey"]["max_value"]),
+    )
+    assert full == n - st["o_orderkey"]["n_nulls"]
+    # disjoint range -> zero
+    assert estimated_range_rows(st, "o_orderkey", -100.0, -1.0) == 0.0
+    # half range -> roughly half under the uniform assumption (orderkeys
+    # are dense-ish; generous tolerance)
+    mn = float(st["o_orderkey"]["min_value"])
+    mx = float(st["o_orderkey"]["max_value"])
+    half = estimated_range_rows(st, "o_orderkey", mn, (mn + mx) / 2)
+    assert 0.3 * n < half < 0.7 * n
+    # non-numeric column falls back to all non-null rows
+    assert (
+        estimated_range_rows(st, "o_orderstatus", 0, 1)
+        == st["o_orderstatus"]["n_rows"] - st["o_orderstatus"]["n_nulls"]
+    )
