@@ -246,3 +246,44 @@ def stats_informed_join(
 
         return salted_join(big, small, key_col, how=how)
     return big.join(small, on=key_col, how=how)
+
+
+def column_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
+    """Equi-width histogram over a numeric column in ONE partial-agg
+    scan: (bucket, lo, hi, n_rows). The CBO artifact behind range
+    selectivity beyond the uniform assumption — where
+    ``estimated_range_rows`` interpolates min/max linearly, a histogram
+    exposes the actual mass per interval (skew shows up as a heavy
+    bucket). The min/max come from a first bounded-metadata aggregate
+    (the same scan analyze_table already pays when its stats are reused
+    via ``table_stats``)."""
+    import math
+
+    row = df.agg(
+        F.min(col).cast("double").alias("mn"), F.max(col).cast("double").alias("mx")
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or not math.isfinite(mn) or mx <= mn:
+        # degenerate: single value or empty — one bucket carries all
+        return df.where(F.col(col).isNotNull()).agg(
+            F.lit(0).alias("bucket"),
+            F.lit(mn).alias("lo"),
+            F.lit(mx).alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    width = (mx - mn) / bins
+    bucket = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(mn)) / F.lit(width)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(mn) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(mn) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n_rows",
+        )
+    )

@@ -183,3 +183,27 @@ def test_estimated_range_rows_uniform_and_edges(spark, sf_dir):
         estimated_range_rows(st, "o_orderstatus", 0, 1)
         == st["o_orderstatus"]["n_rows"] - st["o_orderstatus"]["n_nulls"]
     )
+
+
+def test_column_histogram_mass_and_skew(spark):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.stats import column_histogram
+
+    # uniform 0..999 -> 10 equal buckets of 100
+    uni = spark.range(0, 1000).select(F.col("id").cast("double").alias("x"))
+    h = {r["bucket"]: r["n_rows"] for r in column_histogram(uni, "x", bins=10).collect()}
+    assert sum(h.values()) == 1000
+    assert all(abs(n - 100) <= 1 for n in h.values()), h
+    # heavy-hitter skew shows as one dominant bucket
+    skew = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 0, F.col("id").cast("double"))
+        .otherwise(F.lit(5.0))
+        .alias("x")
+    )
+    hs = {r["bucket"]: r["n_rows"] for r in column_histogram(skew, "x", bins=10).collect()}
+    assert max(hs.values()) >= 900, hs
+    # degenerate single-value column
+    one = spark.range(0, 50).select(F.lit(7.0).alias("x"))
+    rows = column_histogram(one, "x").collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 50
