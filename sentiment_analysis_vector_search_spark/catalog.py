@@ -100,13 +100,19 @@ def refresh(spark: SparkSession, sf_dir: str | None = None) -> None:
     drop the stale listings. Tests that write their own table files into
     a tmp sf_dir are the in-repo callers."""
     per = _TABLE_MEMO.get(spark)
-    if not per:
-        return
-    if sf_dir is None:
-        per.clear()
-    else:
-        for key in [k for k in per if k[0] == sf_dir]:
-            del per[key]
+    if per:
+        if sf_dir is None:
+            per.clear()
+        else:
+            for key in [k for k in per if k[0] == sf_dir]:
+                del per[key]
+    # Stale-stats coupling (r7 advice, low): the stats memo is keyed by the
+    # same (sf_dir, table) identity; a rewritten dir invalidates BOTH the
+    # captured file listing and any per-table statistics the broadcast /
+    # join-strategy gates consume.
+    from . import stats as _stats
+
+    _stats.refresh(sf_dir)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

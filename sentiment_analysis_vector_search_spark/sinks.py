@@ -290,7 +290,18 @@ def merge_upsert(
         str(r[0])
         for r in updates.select(partition_col).distinct().collect()
     )
-    old = spark.read.parquet(base)
+    # mergeSchema ALWAYS: after a prior schema-evolving merge the table
+    # holds mixed per-partition schemas, and a plain read samples ONE
+    # footer — if it samples an unevolved partition it would read (and
+    # rewrite) the affected partitions WITHOUT the late-added column,
+    # silently nulling stored values (round-7 advice, high).
+    old = spark.read.option("mergeSchema", "true").parquet(base)
+    new_cols = [c for c in updates.columns if c not in old.columns]
+    if new_cols and not allow_new_columns:
+        raise ValueError(
+            f"update batch adds columns {new_cols} not in the table; "
+            "pass allow_new_columns=True for additive schema evolution"
+        )
     # hive partition values read back TYPE-INFERRED (day=2026-01-01 →
     # DATE, id=3 → INT) while the update batch carries whatever the
     # caller computed — normalize old to the batch's types so the
@@ -301,9 +312,14 @@ def merge_upsert(
         if c in want_types and want_types[c] != t:
             old = old.withColumn(c, F.col(c).cast(want_types[c]))
     old = old.where(F.col(partition_col).isin(parts))
+    # allowMissingColumns=True here is NOT the evolution opt-in (that is
+    # the explicit new_cols check above): it lets an UNevolved update
+    # batch merge into an evolved table — the batch's rows take NULL for
+    # the evolved column (standard MERGE semantics for an unspecified
+    # column) while retained rows keep their stored values.
     merged = old.join(
         updates.select(*keys).distinct(), list(keys), "left_anti"
-    ).unionByName(updates, allowMissingColumns=allow_new_columns)
+    ).unionByName(updates, allowMissingColumns=True)
     token = _uuid.uuid4().hex[:8]
     tmp = f"{base}__merge_{token}"
     (
@@ -429,7 +445,10 @@ def apply_cdc(
     parts = sorted(
         str(r[0]) for r in last.select(partition_col).distinct().collect()
     )
-    old = spark.read.parquet(base)
+    # mergeSchema for the same reason as merge_upsert: a previously
+    # evolved table must not lose its late-added column to a single
+    # sampled footer (round-7 advice, high).
+    old = spark.read.option("mergeSchema", "true").parquet(base)
     want_types = dict(last.dtypes)
     for c, t in old.dtypes:
         if c in want_types and want_types[c] != t:
@@ -437,7 +456,15 @@ def apply_cdc(
     old = old.where(F.col(partition_col).isin(parts))
     survivors = old.join(last.select(*keys).distinct(), list(keys), "left_anti")
     upserts = last.where(F.col(op_col) != "D").drop(op_col)
-    merged = survivors.unionByName(upserts)
+    # null-backfill an unevolved change batch against an evolved table;
+    # CDC batches cannot introduce columns (no evolution flag here).
+    cdc_new = [c for c in upserts.columns if c not in old.columns]
+    if cdc_new:
+        raise ValueError(
+            f"CDC batch adds columns {cdc_new} not in the table; evolve "
+            "the table first via merge_upsert(allow_new_columns=True)"
+        )
+    merged = survivors.unionByName(upserts, allowMissingColumns=True)
     token = _uuid.uuid4().hex[:8]
     tmp = f"{base}__cdc_{token}"
     (
@@ -758,7 +785,15 @@ def optimize_table(
     try:
         manifest = write_with_manifest(spark, z, tmp_new, list(zorder_cols))
         os.rename(base, tmp_old)
-        os.rename(tmp_new, base)
+        try:
+            os.rename(tmp_new, base)
+        except OSError:
+            # roll the original table back into place before re-raising
+            # (mirrors compact_dir): without this, a failed second rename
+            # leaves the table directory MISSING and the finally clause
+            # deletes the optimized output too (round-7 advice, medium).
+            os.rename(tmp_old, base)
+            raise
         shutil.rmtree(tmp_old)
     finally:
         shutil.rmtree(tmp_new, ignore_errors=True)

@@ -31,6 +31,19 @@ DEFAULT_BROADCAST_MAX_BYTES = 32 << 20
 _STATS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
+def refresh(sf_dir: str | None = None) -> None:
+    """Drop memoized stats for ``sf_dir`` (or all when None) across every
+    live session. ``catalog.refresh`` calls this (r7 advice, low): a
+    session that rewrites an sf_dir must not leave the broadcast /
+    join-strategy gates consuming statistics of the replaced files."""
+    for per in _STATS_MEMO.values():
+        if sf_dir is None:
+            per.clear()
+        else:
+            for key in [k for k in per if k[0] == sf_dir]:
+                del per[key]
+
+
 def table_stats(spark: SparkSession, sf_dir: str, name: str) -> dict[str, dict]:
     """``column -> {n_rows, n_nulls, min_value, max_value, approx_ndv}``
     from one ``analyze_table`` scan, memoized per (session, sf_dir,
@@ -92,7 +105,11 @@ def schema_row_bytes(df: DataFrame, stats: dict[str, dict] | None = None) -> int
 
 
 def estimated_range_rows(
-    stats: dict[str, dict], col: str, lo: float, hi: float
+    stats: dict[str, dict],
+    col: str,
+    lo: float,
+    hi: float,
+    histogram: list | None = None,
 ) -> float:
     """Estimated surviving rows of ``col BETWEEN lo AND hi`` under the
     uniform-distribution assumption: overlap fraction of [lo, hi] with
@@ -100,9 +117,30 @@ def estimated_range_rows(
     range selectivity, feeding the same broadcast gate as the equality
     estimate. Falls back to all non-null rows when min/max are absent
     or non-numeric (skip only when proven — same rule as the manifest
-    pruner)."""
+    pruner).
+
+    ``histogram`` (rows of :func:`column_histogram`: bucket/lo/hi/n_rows)
+    upgrades the estimate from uniform interpolation to bucket-mass
+    interpolation (r7 verdict #9): mass is summed per overlapping bucket,
+    with only the PARTIAL buckets at the range edges interpolated — on a
+    skewed column the uniform estimate misattributes the heavy tail's
+    mass across the whole domain; the histogram pins it to its bucket."""
     s = stats[col]
     non_null = s["n_rows"] - s["n_nulls"]
+    if histogram:
+        total = 0.0
+        for r in histogram:
+            b_lo, b_hi, n = r["lo"], r["hi"], r["n_rows"]
+            if b_lo is None:
+                continue
+            if b_hi is None or b_hi <= b_lo:  # degenerate single-value bucket
+                if lo <= b_lo <= hi:
+                    total += n
+                continue
+            overlap = min(hi, b_hi) - max(lo, b_lo)
+            if overlap > 0:
+                total += n * min(overlap / (b_hi - b_lo), 1.0)
+        return total
     try:
         mn, mx = float(s["min_value"]), float(s["max_value"])
     except (TypeError, ValueError):
@@ -259,11 +297,29 @@ def column_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
     via ``table_stats``)."""
     import math
 
+    # Exclude non-finite values from BOTH the min/max probe and the
+    # bucketing scan (r7 advice, low): Spark's max treats NaN as the
+    # largest double, so a single NaN row would otherwise make the bucket
+    # width NaN and collapse the histogram into one null bucket.
+    cd = F.col(col).cast("double")
+    finite = (
+        cd.isNotNull()
+        & ~F.isnan(cd)
+        & (cd != F.lit(float("inf")))
+        & (cd != F.lit(float("-inf")))
+    )
+    df = df.where(finite)
     row = df.agg(
         F.min(col).cast("double").alias("mn"), F.max(col).cast("double").alias("mx")
     ).collect()[0]
     mn, mx = row["mn"], row["mx"]
-    if mn is None or not math.isfinite(mn) or mx <= mn:
+    if (
+        mn is None
+        or mx is None
+        or not math.isfinite(mn)
+        or not math.isfinite(mx)
+        or mx <= mn
+    ):
         # degenerate: single value or empty — one bucket carries all
         return df.where(F.col(col).isNotNull()).agg(
             F.lit(0).alias("bucket"),

@@ -631,6 +631,160 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     }
 
 
+def test_merge_after_evolution_preserves_evolved_column(spark, tmp_path):
+    """r7 ADVICE (high) regression: after a schema-evolving merge, a LATER
+    merge touching the same partition with an UNevolved batch must not
+    silently null previously stored values of the late-added column —
+    the old bug was a plain (single-footer-sampled) read of the mixed-
+    schema table."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        merge_upsert,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "b", 30.0)],
+        "k int, day string, v double",
+    ).write.partitionBy("day").parquet(path)
+    # evolve day=b: k=2 gains note='KEEP-ME'
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b", 21.0, "KEEP-ME")], "k int, day string, v double, note string"
+        ),
+        keys=["k"],
+        partition_col="day",
+        allow_new_columns=True,
+    )
+    # second merge: UNRELATED key in day=b, batch does NOT carry `note`
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(9, "b", 90.0)], "k int, day string, v double"),
+        keys=["k"],
+        partition_col="day",
+    )
+    got = {
+        r["k"]: (r["v"], r["note"]) for r in read_evolved(spark, path).collect()
+    }
+    assert got == {
+        1: (10.0, None),
+        2: (21.0, "KEEP-ME"),  # the r7-advice bug nulled this
+        3: (30.0, None),
+        9: (90.0, None),  # new row from unevolved batch: null note
+    }
+    # a batch adding a column WITHOUT the evolution opt-in must error loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_new_columns"):
+        merge_upsert(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, "a", 1.0, "x")], "k int, day string, v double, typo string"
+            ),
+            keys=["k"],
+            partition_col="day",
+        )
+
+
+def test_apply_cdc_after_evolution_preserves_evolved_column(spark, tmp_path):
+    """Same regression for apply_cdc: an unevolved CDC batch against an
+    evolved table keeps stored evolved values; a column-adding CDC batch
+    errors (no evolution flag on the CDC path)."""
+    import pytest as _pytest
+
+    from sentiment_analysis_vector_search_spark.sinks import (
+        apply_cdc,
+        merge_upsert,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "b", 10.0), (2, "b", 20.0)], "k int, day string, v double"
+    ).write.partitionBy("day").parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "b", 21.0, "KEEP-ME")], "k int, day string, v double, note string"
+        ),
+        keys=["k"],
+        partition_col="day",
+        allow_new_columns=True,
+    )
+    apply_cdc(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "b", 30.0, "I"), (1, "b", 0.0, "D")],
+            "k int, day string, v double, _op string",
+        ),
+        keys=["k"],
+        partition_col="day",
+    )
+    got = {
+        r["k"]: (r["v"], r["note"]) for r in read_evolved(spark, path).collect()
+    }
+    assert got == {2: (21.0, "KEEP-ME"), 3: (30.0, None)}
+    with _pytest.raises(ValueError, match="evolve the table"):
+        apply_cdc(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(4, "b", 40.0, "x", "I")],
+                "k int, day string, v double, typo string, _op string",
+            ),
+            keys=["k"],
+            partition_col="day",
+        )
+
+
+def test_optimize_table_rollback_on_swap_failure(spark, tmp_path, monkeypatch):
+    """r7 ADVICE (medium) regression: if the second rename of the atomic
+    swap fails, the ORIGINAL table directory must be restored (not left
+    missing with the optimized output deleted by the finally clause)."""
+    import os
+
+    from sentiment_analysis_vector_search_spark import sinks
+    from sentiment_analysis_vector_search_spark.sinks import optimize_table
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr(
+        "id as a", "cast(id % 7 as int) as b"
+    ).write.parquet(path)
+    want = sorted(r["a"] for r in spark.read.parquet(path).collect())
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # fail exactly the rename that installs the optimized dir as base
+        if dst == path and "__optimize_" in src:
+            calls["n"] += 1
+            raise OSError("simulated swap failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os if hasattr(sinks, "os") else os, "rename", flaky_rename)
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    try:
+        optimize_table(spark, path, ["a", "b"], n_files=2, bits=4)
+        raised = False
+    except OSError:
+        raised = True
+    assert raised and calls["n"] == 1
+    # original table back in place, values intact, no stray tmp dirs
+    assert os.path.isdir(path)
+    assert sorted(r["a"] for r in spark.read.parquet(path).collect()) == want
+    stray = [d for d in os.listdir(tmp_path) if "__optimize_" in d or "__old_" in d]
+    assert stray == []
+
+
 def test_jsonl_shards_roundtrip_through_read_documents(spark, sf_dir, tmp_path):
     """write_jsonl_shards (plain and gzip) must round-trip documents
     through sources.read_documents(fmt='json') — the training-feed

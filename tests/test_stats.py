@@ -207,3 +207,113 @@ def test_column_histogram_mass_and_skew(spark):
     one = spark.range(0, 50).select(F.lit(7.0).alias("x"))
     rows = column_histogram(one, "x").collect()
     assert len(rows) == 1 and rows[0]["n_rows"] == 50
+
+
+def test_column_histogram_ignores_non_finite(spark):
+    """r7 ADVICE (low) regression: NaN/inf rows must not poison the
+    bucket width — Spark's max treats NaN as the largest double."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.stats import column_histogram
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") == 0, F.lit(float("nan")))
+        .when(F.col("id") == 1, F.lit(float("inf")))
+        .when(F.col("id") == 2, F.lit(float("-inf")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x")
+    )
+    rows = column_histogram(df, "x", bins=10).collect()
+    assert sum(r["n_rows"] for r in rows) == 997  # finite rows only
+    assert all(
+        r["bucket"] is not None and math.isfinite(r["lo"]) and math.isfinite(r["hi"])
+        for r in rows
+    )
+    # all-NaN column degrades to the degenerate path, not a crash
+    nan_only = spark.range(0, 5).select(F.lit(float("nan")).alias("x"))
+    deg = column_histogram(nan_only, "x").collect()
+    assert len(deg) == 1 and deg[0]["n_rows"] == 0
+
+
+def test_histogram_backed_range_estimate_beats_uniform(spark):
+    """r7 verdict #9: on a skewed column the bucket-mass estimate must
+    land near the true surviving count where the uniform estimate is off
+    by an order of magnitude."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_histogram,
+        estimated_range_rows,
+    )
+
+    # 10_000 rows: 95% pile up in [0, 10), a thin tail stretches to 1000
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 20 == 0, (F.col("id") % 1000).cast("double"))
+        .otherwise((F.col("id") % 10).cast("double"))
+        .alias("x")
+    )
+    true_n = df.where(F.col("x").between(0.0, 10.0)).count()
+    stats = {
+        "x": {
+            "n_rows": 10_000,
+            "n_nulls": 0,
+            "min_value": 0.0,
+            "max_value": 999.0,
+            "approx_ndv": 1000,
+        }
+    }
+    uniform = estimated_range_rows(stats, "x", 0.0, 10.0)
+    hist = column_histogram(df, "x", bins=100).collect()
+    backed = estimated_range_rows(stats, "x", 0.0, 10.0, histogram=hist)
+    assert abs(backed - true_n) / true_n < 0.15, (backed, true_n)
+    assert abs(uniform - true_n) / true_n > 0.8, (uniform, true_n)
+    # and the better estimate flips the broadcast gate the uniform one
+    # would leave closed: 9.5k rows x 8 B fits 100 kB; 100 rows' worth
+    # (uniform says ~100) would too — invert: use a cap between them
+    from sentiment_analysis_vector_search_spark.stats import (
+        hint_broadcast_if_small,
+    )
+
+    side = df.where(F.col("x").between(0.0, 10.0))
+    cap = 10_000  # bytes: uniform est (~100 rows x 8B=800) fits, true mass does not
+    assert hint_broadcast_if_small(side, uniform, row_bytes=8, max_bytes=cap) is not side
+    assert hint_broadcast_if_small(side, backed, row_bytes=8, max_bytes=cap) is side
+
+
+def test_catalog_refresh_drops_stats_memo(spark, tmp_path):
+    """r7 ADVICE (low) regression: catalog.refresh must invalidate the
+    stats memo too, or the broadcast gate keeps stale statistics after a
+    session rewrites an sf_dir."""
+    import shutil
+
+    from sentiment_analysis_vector_search_spark import catalog
+    from sentiment_analysis_vector_search_spark.stats import table_stats
+
+    src = str(tmp_path / "sfX")
+    import os
+
+    os.makedirs(src)
+    spark.range(0, 100).selectExpr(
+        "cast(id as int) as n_nationkey",
+        "concat('N', id) as n_name",
+        "cast(id % 5 as int) as n_regionkey",
+        "'c' as n_comment",
+    ).write.parquet(f"{src}/nation.parquet")
+    s1 = table_stats(spark, src, "nation")
+    assert s1["n_nationkey"]["n_rows"] == 100
+    # rewrite the table with twice the rows; memo would be stale
+    tmp2 = str(tmp_path / "nation2.parquet")
+    spark.range(0, 200).selectExpr(
+        "cast(id as int) as n_nationkey",
+        "concat('N', id) as n_name",
+        "cast(id % 5 as int) as n_regionkey",
+        "'c' as n_comment",
+    ).write.parquet(tmp2)
+    shutil.rmtree(f"{src}/nation.parquet")
+    os.rename(tmp2, f"{src}/nation.parquet")
+    assert table_stats(spark, src, "nation") is s1  # memoized (stale)
+    catalog.refresh(spark, src)
+    s2 = table_stats(spark, src, "nation")
+    assert s2 is not s1 and s2["n_nationkey"]["n_rows"] == 200
