@@ -114,11 +114,15 @@ FROM pairs
 """
 
 
-@register("q_events_transitions", oracle=_TRANSITIONS_ORACLE)
-def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transitions_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix: (prev, next) counts and
     per-source-state probabilities. The per-state normalization window
-    runs over the |types|^2-bounded pair relation, never the events."""
+    runs over the |types|^2-bounded pair relation, never the events.
+
+    UNREGISTERED since r8: the registered ``q_events_transitions`` is the
+    skew-safe :func:`transitions_two_phase` (the single global per-user
+    lag window here concentrates a hot user's whole event history in one
+    task). Kept as the reference twin for the pytest equality pin."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = ev.select(
@@ -455,16 +459,17 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_events_transitions", oracle=_TRANSITIONS_ORACLE)
 def transitions_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe twin of ``q_events_transitions`` (r7, pre-staged for the
-    r8 graded swap — the registered query is untouched this round per the
-    rotation rule): the per-user lag chain runs per (user_id, day-chunk),
-    and boundary-crossing pairs are recovered at day-chunk grain — each
-    chunk contributes (previous chunk's last event type → its first
-    event type), computed with min_by/max_by over the unique
+    """REGISTERED ``q_events_transitions`` since r8 (staged r7,
+    pytest-pinned equal to :func:`transitions_single_window`, the
+    previous registration): the per-user lag chain runs per (user_id,
+    day-chunk), and boundary-crossing pairs are recovered at day-chunk
+    grain — each chunk contributes (previous chunk's last event type →
+    its first event type), computed with min_by/max_by over the unique
     (ts, event_id) order. Within-chunk pairs + boundary pairs are
     EXACTLY the global consecutive pairs (chunks are time-contiguous per
-    user), pinned by pytest equality against the registered query. Same
+    user), pinned by pytest equality against the single-window twin. Same
     device as q_events_sessions' r7 split: a hot user's event volume
     divides across days; the merge window sees rows = active days.
     """

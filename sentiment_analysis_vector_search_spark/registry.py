@@ -127,66 +127,92 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     r6); file_sink staging moved under the index root (pytest
 #     components, not graded queries); catalog.refresh added (new API,
 #     no existing call-path change).
+# r8 window (50), per the r7 verdict's priority order:
+#   changed r8 — 6: q_events_transitions (the staged swap to
+#     analytics2.transitions_two_phase, pytest-pinned equal r7);
+#     dedup_embedding + dedup_components + dedup_keep_canonical
+#     (stats-informed embedding-LSH band width — r7 verdict #2 — and the
+#     keep_canonical convergence-probe batching — verdict #7);
+#     q5_local_supplier + q18_large_orders (dimension sides routed
+#     through stats_informed_join — verdict #6; q9_product_profit's
+#     routing is covered by its aging slot below)
+#   new in r8 (must-grade on arrival) — 3: chat_suggested_questions,
+#     chat_context_summary, run_params (reference-surface residues,
+#     r7 verdict "What's missing" #1/#2)
+#   aging r5 — 30 (the r7 verdict's deferred list): relational_tpch2 8,
+#     analytics_ext 7, text_ops 7, curation2 3, rag_prep 3,
+#     q_running_revenue, q_revenue_moving_avg
+#   aging r6 (pre-rotated into spare slots so the r9 window isn't
+#     overloaded) — 11: relational_ext 10 (q18 counted under changed),
+#     q_cube_revenue
+#   deferred to r9 (r6-graded, unchanged): pipeline_ops 8, streaming 6,
+#     analytics2 4 (rfm/ltv/chi2/backtest + ab_test_lift),
+#     analytics3 3, dq_expectations, source_html_extract,
+#     q_events_seasonality, q_nation_segment_pivot, q_churned_buyers,
+#     tokenizer_fertility, text_char_diversity, cap_per_source,
+#     ann_range_search, ann_pq_adc_topk, dedup_minhash_quality_audit,
+#     q_events_asof_attribution, q_value_percentiles, q4/q17-era rest —
+#     fits one r9 window with room for new ops.
 GRADED_WINDOW: list[str] = [
-    # changed r7 (rotation rule: impl changed since last green grading)
-    "q_order_deciles",
+    # changed r8
+    "q_events_transitions",
+    "dedup_embedding",
     "dedup_components",
     "dedup_keep_canonical",
-    # new in r7 (must-grade on arrival)
-    "train_shuffle_shards",
-    "sample_epochs",
-    "bpe_merge_candidates",
-    # aging r4: relational (q3 + q_events_sessions also changed r7)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier",
-    "q7_nation_trade",
-    "q13_order_count_dist",
-    "q_top_customers_window",
-    "q_market_share",
-    "q_events_window",
-    "q_events_sessions",
-    "q_events_json",
-    # aging r4: sentiment_ops (sent_trend_risk also changed r7)
-    "sent_classify",
-    "sent_classify_arrow",
-    "sent_distribution",
-    "sent_quality_score",
-    "sent_normalize",
-    "sent_trends",
-    "sent_trend_risk",
-    "summarize_prompts",
-    "recommendation_prompts",
-    "rag_context_assemble",
-    # aging r4: curation_ext
-    "text_gopher_quality",
-    "decontaminate_ngrams",
-    "domain_mix_plan",
-    # aging r4: multimodal
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "text_embed_stub",
-    "mm_resize_stub",
-    # aging r5: dedup
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_sentence_overlap",
-    # aging r5: similarity
-    "ann_bruteforce_topk",
-    "ann_bruteforce_topk_arrow",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    # aging r5: representatives + retrieval pair + text_ops pair
-    "representatives_kmeans",
-    "representatives_invariants",
-    "rag_retrieve",
-    "rag_chunk_retrieve",
-    "doc_top_keywords",
-    "tfidf_vectors",
+    "q18_large_orders",
+    # new in r8 (must-grade on arrival)
+    "chat_suggested_questions",
+    "chat_context_summary",
+    "run_params",
+    # aging r5: relational_tpch2 (q9 also changes r8: stats join routing)
+    "q2_min_cost_supplier",
+    "q8_national_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    # aging r5: analytics_ext
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_gapfill",
+    "q_events_anomaly",
+    "q_user_overlap",
+    "emb_label_centroids",
+    "pipeline_curate_stats",
+    # aging r5: text_ops
+    "text_extract_blocks",
+    "text_extract_dates",
+    "top_words",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "text_fingerprint",
+    # aging r5: curation2
+    "pack_sequences",
+    "corpus_vocab_stats",
+    "emb_quality_audit",
+    # aging r5: rag_prep
+    "chunk_documents",
+    "contrastive_pairs",
+    "split_train_holdout",
+    # aging r5: running-revenue pair
+    "q_running_revenue",
+    "q_revenue_moving_avg",
+    # aging r6 (pre-rotation): relational_ext + cube
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_disjunctive_filter",
+    "q22_dormant_customers",
+    "q_revenue_rollup",
+    "q16_supplier_breadth",
+    "q4_priority_exists",
+    "q17_small_quantity",
+    "q_sql_text_api",
+    "q_cube_revenue",
 ]
 
 def load_all_modules() -> None:
@@ -214,6 +240,7 @@ def load_all_modules() -> None:
     from .operators import analytics3  # noqa: F401
     from .operators import dq  # noqa: F401
     from .operators import training_ops  # noqa: F401
+    from .operators import chat_ops  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

@@ -169,14 +169,14 @@ def test_ab_test_lift_parity_and_invariants(spark, sf_dir):
 
 
 def test_transitions_two_phase_equals_registered(spark, sf_dir):
-    """The r8-staged skew-safe transitions variant must produce exactly
-    the registered query's matrix on the corpus."""
+    """The registered (since r8) skew-safe two-phase transitions query
+    must produce exactly the single-global-window twin's matrix."""
     from sentiment_analysis_vector_search_spark.operators.analytics2 import (
-        q_events_transitions,
+        transitions_single_window,
         transitions_two_phase,
     )
 
-    a = sorted(tuple(r) for r in q_events_transitions(spark, sf_dir).collect())
+    a = sorted(tuple(r) for r in transitions_single_window(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in transitions_two_phase(spark, sf_dir).collect())
     assert a == b
 
