@@ -14,12 +14,11 @@ amortized and the medians-of-3 discipline would triple a multi-minute
 smoke for noise that no longer dominates.
 
 Embeddings tile 10x vs 100x for documents/events: the embedding LSH family
-(dedup_embedding / components) uses 5-bit bands sized for the test corpus;
-bucket occupancy grows linearly with corpus size, so candidate PAIRS grow
-quadratically — at a real 100x you would widen the bands (more planes per
-band), which changes the oracle constants. The 10x smoke is exactly what
-surfaces that: its ratio is expected around ~10 (occupancy x10), and the
-number is reported, not hidden.
+(dedup_embedding / components) defaults to 8-bit bands since r8 — the
+scale-safe setting (sub-linear in every 10x smoke). The knob demo re-runs
+components at the 5-bit small-corpus opt-in to keep the band-occupancy
+quadratic VISIBLE (its ratio is reported separately as knob_demo, not
+folded into max_linear_ratio, which grades the default path).
 """
 
 from __future__ import annotations
@@ -119,14 +118,12 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         del fn
         gc.collect()
 
-    # Band-width knob demonstration: dedup_components is the one query
-    # whose 10x ratio is super-linear by DESIGN at the default 5-bit
-    # bands (bucket occupancy grows with the corpus, candidate pairs
-    # quadratically within buckets — measured ~4x linear). Re-run it in a
-    # subprocess with SPARK_GRAFT_EMB_BAND_BITS=8 (the knob is read at
-    # import, hence the fresh interpreter) to show the documented fix
-    # restores near-linearity on the identical corpus.
-    knob_bits = os.environ.get("SPARK_GRAFT_SCALE_KNOB_BITS", "8")
+    # Band-width knob demonstration, INVERTED since r8 (default flipped
+    # to the scale-safe 8 bits): re-run dedup_components in a subprocess
+    # with SPARK_GRAFT_EMB_BAND_BITS=5 (the knob is read at import,
+    # hence the fresh interpreter) to keep the small-corpus opt-in's
+    # band-occupancy quadratic measured and visible on identical data.
+    knob_bits = os.environ.get("SPARK_GRAFT_SCALE_KNOB_BITS", "5")
     if (
         knob_bits != "0"
         and "dedup_components" in detail["queries"]
@@ -201,8 +198,15 @@ def attach_ratios(detail: dict, base_timings: dict) -> None:
         if base and base > 0:
             ratios[name] = round(secs / (base * mult), 2)
     detail["linear_ratio"] = ratios
-    if ratios:
-        detail["max_linear_ratio"] = max(ratios.values())
+    # max_linear_ratio grades the DEFAULT configuration; the @Nbit knob
+    # demo (a deliberately non-default setting kept for contrast) is
+    # reported under knob_demo_ratio instead of polluting the headline.
+    default_ratios = {n: r for n, r in ratios.items() if "@" not in n}
+    knob_ratios = {n: r for n, r in ratios.items() if "@" in n}
+    if default_ratios:
+        detail["max_linear_ratio"] = max(default_ratios.values())
+    if knob_ratios:
+        detail["knob_demo_ratio"] = knob_ratios
 
 
 if __name__ == "__main__":

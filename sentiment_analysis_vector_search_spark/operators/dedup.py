@@ -481,25 +481,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EMB_T = 0.5
-# 8 bands x 5 bits (default): P(bucket collision | random pair) = 1/32
-# per band (candidate volume stays near-linear in n; 2-bit bands collide at
-# 1/4 and degenerate to O(n^2) candidates - measured 36 s for 2k vectors),
-# while a true near-dup pair (cosine >= 0.5) collides in >= 1 band with
-# p ~ 1-(1-(2/3)^5)^8 ~ 0.68.
+# 8 bands x 8 bits (default since r8): P(bucket collision | random pair)
+# = 1/256 per band, while a true near-dup pair (cosine >= 0.5) collides
+# in >= 1 band with p ~ 1-(1-(2/3)^8)^8 ~ 0.27 (a high-cosine dup at 0.9
+# still collides with p ~ 0.94 — the regime exact dedup cares about).
 #
 # BAND WIDTH IS THE SCALE KNOB: expected candidate pairs per band grow as
-# n^2 / 2^bits, so the 5-bit default that is linear at 10^4 vectors
-# degenerates around 10^6 — the r4 scale smoke measured components ~1x
-# linear at 10x vectors for exactly this reason. At larger corpora raise
-# SPARK_GRAFT_EMB_BAND_BITS (e.g. 12-16 at 10^8-10^9 vectors; recall per
-# band falls, so pair with more bands or a second LSH round + the exact
-# verify stage unchanged). The knob is read at import and the DuckDB
-# oracle text is GENERATED from the same constants, so parity holds at
-# any width — tests/test_dedup.py runs the parity suite in a subprocess
-# with a non-default width to pin that.
+# n^2 / 2^bits. The pre-r8 default of 5 bits was tuned for recall on the
+# ~10^3-vector test corpus but measured 1.2-2.7x SUPER-linear in every
+# 10x-vectors smoke (bucket occupancy grows with the corpus, candidate
+# pairs quadratically within buckets); 8 bits measured 0.72-0.87x linear
+# on identical data. A 100 TB deploy that forgets the env var must get
+# the scale-safe setting, so 8 is the default and 5 is the opt-in
+# small-corpus setting (SPARK_GRAFT_EMB_BAND_BITS=5 restores the old
+# recall economics; see SCALING.md rule 3). For a KNOWN corpus size,
+# :func:`emb_band_bits_for` derives the width from row-count stats
+# (stats.table_stats) so candidate volume stays ~linear. The knob is
+# read at import and the DuckDB oracle text is GENERATED from the same
+# constants, so parity holds at any width — tests/test_dedup.py runs the
+# parity suite in a subprocess with a non-default width to pin that.
 _EMB_BANDS = 8
-_EMB_BAND_BITS = int(os.environ.get("SPARK_GRAFT_EMB_BAND_BITS", "5"))
+_EMB_BAND_BITS = int(os.environ.get("SPARK_GRAFT_EMB_BAND_BITS", "8"))
 _EMB_PLANES = hyperplanes(_EMB_BANDS * _EMB_BAND_BITS, 64, seed=7)
+
+
+def emb_band_bits_for(n_vectors: int, pairs_per_vector: float = 8.0) -> int:
+    """Stats-informed band width (r7 verdict #2): the smallest bits such
+    that EXPECTED random-collision candidate pairs stay ~linear in n —
+    E[pairs/band] ~ n^2 / 2^(bits+1) <= pairs_per_vector * n, i.e.
+    bits >= log2(n / (2 * pairs_per_vector)). Clamped to [8, 24]: never
+    below the scale-safe default, never past the 3-bytes-of-bucket-key
+    point where per-band recall (2/3)^bits for a threshold-cosine pair
+    is < 1e-4 and MORE BANDS, not wider ones, is the right lever. Feed
+    ``stats.table_stats(...)[col]['n_rows']`` and export the result as
+    SPARK_GRAFT_EMB_BAND_BITS (import-time knob: the oracle text embeds
+    the plane constants)."""
+    import math
+
+    if n_vectors <= 1:
+        return 8
+    need = math.ceil(math.log2(max(n_vectors / (2.0 * pairs_per_vector), 1.0)))
+    return max(8, min(24, need))
 
 
 def _sql_emb_bit_cols() -> str:

@@ -94,6 +94,29 @@ def test_emb_band_width_knob_keeps_parity():
     assert "BAND_KNOB_OK" in out.stdout, out.stderr[-2000:]
 
 
+def test_emb_band_bits_for_scale_math():
+    """r7 verdict #2: the stats-informed width keeps expected random
+    candidate pairs ~linear in n, never drops below the scale-safe
+    default, and is monotone in corpus size."""
+    from sentiment_analysis_vector_search_spark.operators.dedup import (
+        emb_band_bits_for,
+    )
+
+    # never below the default, even for tiny corpora
+    assert emb_band_bits_for(0) == 8
+    assert emb_band_bits_for(1_000) == 8
+    # the linearity invariant: n^2 / 2^(bits+1) <= pairs_per_vector * n
+    for n in (10_000, 10**6, 10**8, 10**9):
+        bits = emb_band_bits_for(n)
+        if bits < 24:  # below the cap the bound must hold exactly
+            assert n * n / 2 ** (bits + 1) <= 8.0 * n, (n, bits)
+    # monotone, and the published 100 TB guidance (12-24 bits) holds
+    widths = [emb_band_bits_for(n) for n in (10**4, 10**6, 10**8, 10**9)]
+    assert widths == sorted(widths)
+    assert 12 <= emb_band_bits_for(10**8) <= 24
+    assert emb_band_bits_for(10**12) == 24  # capped: add bands instead
+
+
 def test_dedup_index_check_equals_batch_cross_pairs(spark, sf_dir, tmp_path):
     """Index seeded from the even-doc_id half; checking the odd half
     against it must return exactly the cross-half pairs the batch
