@@ -146,6 +146,10 @@ HEADLINE = [
     "train_shuffle_shards",
     "sample_epochs",
     "bpe_merge_candidates",
+    # r8 additions: chatbot data surface + MLflow params
+    "chat_suggested_questions",
+    "chat_context_summary",
+    "run_params",
     # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",
@@ -182,6 +186,26 @@ HEADLINE = [
 _ITERATIVE = {"dedup_components", "dedup_keep_canonical"}
 _ITERATIVE_MIN_REPS = 5
 
+# Broadcast/mapInArrow-heavy queries (the similarity block): each rep
+# builds and tears down broadcast relations + Arrow/python-worker state,
+# and a rep landing on a JVM still collecting a NEIGHBOR query's blocks
+# measured 8.3x the uncontended time on unchanged code (r7 verdict #2:
+# driver ann_ivf_topk raw [9.3, 5.2, 4.6] vs 1.12s judge-uncontended —
+# first-rep contamination surviving the single warmup). They get one
+# JVM-gc-and-settle AFTER the warmup (so measured reps start on a quiet
+# heap; their own per-rep garbage is small) + 5 reps so a residual
+# outlier cannot carry the median.
+_GC_SETTLE = {
+    "ann_bruteforce_topk",
+    "ann_bruteforce_topk_arrow",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "rag_retrieve",
+    "dedup_minhash_quality_audit",
+}
+_GC_SETTLE_MIN_REPS = 5
+
 
 def _time_queries(
     spark, queries, names, sf_dir: str, reps: int
@@ -193,8 +217,20 @@ def _time_queries(
     raw: dict[str, list[float]] = {}
     for name in names:
         fn = queries[name]
-        n_reps = max(reps, _ITERATIVE_MIN_REPS) if name in _ITERATIVE else reps
+        if name in _ITERATIVE:
+            n_reps = max(reps, _ITERATIVE_MIN_REPS)
+        elif name in _GC_SETTLE:
+            n_reps = max(reps, _GC_SETTLE_MIN_REPS)
+        else:
+            n_reps = reps
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
+        if name in _GC_SETTLE:
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(0.5)
+            except Exception:  # noqa: BLE001 — hygiene only
+                pass
         runs = []
         for _ in range(n_reps):
             if name in _ITERATIVE:

@@ -123,7 +123,7 @@ def dedup_index_check(
     spark: SparkSession,
     docs: DataFrame,
     index_dir: str,
-    broadcast_rows_max: int = 2_000_000,
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and the indexed corpus:
     (doc_a, doc_b, jaccard, is_duplicate) with doc_a < doc_b, exactly the
@@ -135,17 +135,48 @@ def dedup_index_check(
     ids). Self-pairs within the new batch are the batch operator's job;
     this is the ingest gate against history.
 
-    The broadcast is GATED on batch size (r5 verdict #7): the hourly-
-    ingest shape broadcasts, but a backfill-sized batch would OOM the
-    executors with an unconditional hint, so past ``broadcast_rows_max``
-    shingle rows (~2M rows ≈ low-hundreds MB serialized — inside a
-    default 1 GiB broadcast limit with headroom) the probe falls back to
-    keyed shuffle joins on the same equi keys. The shingle-row count is
-    already on the driver for free: the batch is localCheckpointed for
-    the multi-branch probe, so count() reads materialized block sizes.
+    The broadcast is GATED through ``stats.choose_join_strategy`` (r5
+    verdict #7's size gate, routed through the shared chooser per r7
+    verdict #6): the hourly-ingest shape broadcasts, but a backfill-sized
+    batch would OOM the executors with an unconditional hint, so past
+    ``broadcast_max_bytes`` estimated bytes (exact batch shingle-row
+    count x dtype row width; default ``stats.DEFAULT_BROADCAST_MAX_BYTES``)
+    the probe falls back to keyed shuffle joins on the same equi keys.
+    The count is already on the driver for free: the batch is
+    localCheckpointed for the multi-branch probe, so count() reads
+    materialized block sizes. The chooser's 'salted' branch cannot
+    trigger here — the probe key is a banded bucket hash whose occupancy
+    dedup_index_stats audits (ndv ~ rows on the batch side).
     """
+    from .. import stats as _stats
+
     new_sh = _doc_shingles(docs).localCheckpoint(eager=True)
-    small = new_sh.count() <= broadcast_rows_max
+    n_rows = new_sh.count()
+    # exact driver-side count in the chooser's stats shape
+    batch_stats = {
+        "sh": {
+            "n_rows": n_rows,
+            "n_nulls": 0,
+            "min_value": None,
+            "max_value": None,
+            "approx_ndv": max(n_rows, 1),
+        }
+    }
+    cap = (
+        broadcast_max_bytes
+        if broadcast_max_bytes is not None
+        else _stats.DEFAULT_BROADCAST_MAX_BYTES
+    )
+    small = (
+        _stats.choose_join_strategy(
+            batch_stats,
+            batch_stats,
+            "sh",
+            _stats.schema_row_bytes(new_sh),
+            cap,
+        )
+        == "broadcast"
+    )
     hint = F.broadcast if small else (lambda df: df)
     new_bands = _band_rows(new_sh)
     idx_bands = spark.read.parquet(f"{index_dir}/bands")

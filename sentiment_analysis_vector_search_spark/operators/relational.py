@@ -164,10 +164,24 @@ GROUP BY n_name
 
 @register("q5_local_supplier", oracle=_Q5_ORACLE)
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import dim_hint
+
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
-    cust = table(spark, sf_dir, "customer")
-    supp = table(spark, sf_dir, "supplier")
+    # Stats-informed dim sides (r7 verdict #6): customer and supplier are
+    # the two dims that GROW with SF — a hard-coded broadcast() OOMs at
+    # the SF where they outgrow executor memory. The gate reads memoized
+    # ANALYZE stats; past the byte threshold the join degrades to shuffle
+    # (+AQE skew split). nation/region stay unconditionally broadcast:
+    # constant-cardinality tables by TPC-H construction.
+    cust = dim_hint(
+        spark, sf_dir,
+        table(spark, sf_dir, "customer"), "customer", "orders", "o_custkey",
+    )
+    supp = dim_hint(
+        spark, sf_dir,
+        table(spark, sf_dir, "supplier"), "supplier", "lineitem", "l_suppkey",
+    )
     orders = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -175,9 +189,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)

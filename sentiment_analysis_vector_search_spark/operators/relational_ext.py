@@ -169,9 +169,18 @@ LIMIT 100
 
 @register("q18_large_orders", oracle=_Q18_ORACLE)
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import dim_hint
+
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    cust = table(spark, sf_dir, "customer")
+    # Stats-informed customer side (r7 verdict #6): broadcast only while
+    # ANALYZE says the table fits; past the threshold the join degrades
+    # to shuffle (+AQE). The `big` semi-join side stays unconditionally
+    # broadcast — it is a >threshold aggregate, tiny by construction.
+    cust = dim_hint(
+        spark, sf_dir,
+        table(spark, sf_dir, "customer"), "customer", "orders", "o_custkey",
+    )
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("qty"))
@@ -182,7 +191,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(big.withColumnRenamed("l_orderkey", "big_orderkey")),
                 F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))

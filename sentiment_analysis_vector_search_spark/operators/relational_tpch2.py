@@ -183,17 +183,30 @@ GROUP BY 1, 2
 
 @register("q9_product_profit", oracle=_Q9_ORACLE)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats import dim_hint
+
     li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
-    supp = table(spark, sf_dir, "supplier")
+    # Stats-informed dim sides (r7 verdict #6): part and supplier grow
+    # with SF; the gate broadcasts only while ANALYZE says they fit
+    # (full-table rows — conservative: the widget filter only shrinks
+    # part further). nation is constant-cardinality, always broadcast.
+    part = dim_hint(
+        spark, sf_dir,
+        table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%")),
+        "part", "lineitem", "l_partkey",
+    )
+    supp = dim_hint(
+        spark, sf_dir,
+        table(spark, sf_dir, "supplier"), "supplier", "lineitem", "l_suppkey",
+    )
     nation = table(spark, sf_dir, "nation")
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     )
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -232,7 +232,7 @@ def avg_rows_per_key(stats: dict[str, dict], key_col: str) -> float:
 
 def choose_join_strategy(
     small_stats: dict[str, dict],
-    big_stats: dict[str, dict],
+    big_stats: dict[str, dict] | None,
     key_col: str,
     small_row_bytes: int,
     broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
@@ -247,13 +247,62 @@ def choose_join_strategy(
       side's join key averages more than ``salt_rows_per_key`` rows per
       key (ndv << rows: one reducer would take the pile-up);
     - plain shuffle otherwise (AQE handles moderate skew at runtime).
-    """
+
+    ``big_stats`` may be None when the caller cannot (or should not pay
+    to) characterize the big side — the salt branch is then skipped and
+    an over-threshold small side degrades to 'shuffle'. ``big_stats``
+    can also be a CALLABLE returning the stats dict: it is invoked only
+    when the broadcast test fails, so the common broadcast-fits path
+    never triggers the big side's ANALYZE scan."""
     small_rows = next(iter(small_stats.values()))["n_rows"]
     if small_rows * small_row_bytes <= broadcast_max_bytes:
         return "broadcast"
-    if avg_rows_per_key(big_stats, key_col) > salt_rows_per_key:
+    if callable(big_stats):
+        big_stats = big_stats()
+    if big_stats is not None and (
+        avg_rows_per_key(big_stats, key_col) > salt_rows_per_key
+    ):
         return "salted"
     return "shuffle"
+
+
+def dim_hint(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: DataFrame,
+    dim_table: str,
+    big_table: str,
+    big_key: str,
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Stats-informed dimension-side hint for a query's dim join (r7
+    verdict #6 — the wiring that makes ``choose_join_strategy`` a real
+    consumer): broadcast the dim iff the chooser picks 'broadcast' from
+    the memoized ANALYZE stats (full-table rows x dtype width — a
+    conservative bound when the caller filtered the dim first).
+    Otherwise the dim returns UNhinted and the join falls to Spark's
+    shuffle strategies — the 'salted' verdict cannot apply to a one-sided
+    hint (salting rewrites both join inputs; see
+    ``stats_informed_join`` for the full rewrite) and degrades to the
+    same shuffle AQE would skew-split. The threshold is read at call
+    time so tests (and deploys) can flip the strategy by overriding
+    ``DEFAULT_BROADCAST_MAX_BYTES``."""
+    small_stats = table_stats(spark, sf_dir, dim_table)
+    cap = (
+        broadcast_max_bytes
+        if broadcast_max_bytes is not None
+        else DEFAULT_BROADCAST_MAX_BYTES
+    )
+    # big side's ANALYZE is LAZY: the broadcast-fits common case must
+    # not pay a fact-table scan for a salt check it will never reach.
+    strategy = choose_join_strategy(
+        small_stats,
+        lambda: table_stats(spark, sf_dir, big_table),
+        big_key,
+        schema_row_bytes(dim, small_stats),
+        cap,
+    )
+    return F.broadcast(dim) if strategy == "broadcast" else dim
 
 
 def stats_informed_join(

@@ -212,10 +212,11 @@ def test_minhash_quality_audit(spark, sf_dir):
 
 
 def test_dedup_index_check_large_batch_keyed_path(spark, sf_dir, tmp_path):
-    """Forcing the batch over the broadcast gate (broadcast_rows_max=0)
+    """Forcing the batch over the broadcast gate (broadcast_max_bytes=0)
     must take the keyed-join path and return EXACTLY the broadcast
     path's pairs (r5 verdict #7: a backfill-sized batch must not OOM on
-    an unconditional broadcast hint)."""
+    an unconditional broadcast hint; since r8 the gate routes through
+    stats.choose_join_strategy)."""
     from pyspark.sql import functions as F
 
     from sentiment_analysis_vector_search_spark.operators.dedup_index import (
@@ -234,7 +235,7 @@ def test_dedup_index_check_large_batch_keyed_path(spark, sf_dir, tmp_path):
     # pick a stats-based broadcast at toy scale, which is exactly the
     # point (its choice respects autoBroadcastJoinThreshold; an
     # unconditional hint does not)
-    large = dedup_index_check(spark, new, index_dir, broadcast_rows_max=0)
+    large = dedup_index_check(spark, new, index_dir, broadcast_max_bytes=0)
     got_small = {(r.doc_a, r.doc_b, r.jaccard) for r in small.collect()}
     got_large = {(r.doc_a, r.doc_b, r.jaccard) for r in large.collect()}
     assert got_small, "fixture must contain cross-half pairs"

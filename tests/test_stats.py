@@ -317,3 +317,51 @@ def test_catalog_refresh_drops_stats_memo(spark, tmp_path):
     catalog.refresh(spark, src)
     s2 = table_stats(spark, src, "nation")
     assert s2 is not s1 and s2["n_nationkey"]["n_rows"] == 200
+
+
+def test_dim_hint_strategy_flips_query_plans(spark, sf_dir):
+    """r7 verdict #6: the stats-informed dim sides of q5/q9/q18 must
+    broadcast under the default threshold and degrade to shuffle joins
+    when the persisted-stats byte gate says the dim no longer fits.
+    Spark's own auto-broadcast is disabled so the plan shape reflects
+    OUR hint, not the planner's toy-scale fallback."""
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark import stats
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    prev_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_cap = stats.DEFAULT_BROADCAST_MAX_BYTES
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("q5_local_supplier", "q9_product_profit", "q18_large_orders"):
+            fn = entrymod.queries()[name]
+            stats.DEFAULT_BROADCAST_MAX_BYTES = prev_cap
+            dflt = plan_str(fn(spark, sf_dir))
+            stats.DEFAULT_BROADCAST_MAX_BYTES = 0
+            shuf = plan_str(fn(spark, sf_dir))
+            n_dflt = dflt.count("BroadcastHashJoin")
+            n_shuf = shuf.count("BroadcastHashJoin")
+            assert n_dflt > n_shuf, (name, n_dflt, n_shuf)
+            assert "SortMergeJoin" in shuf or "ShuffledHashJoin" in shuf, name
+    finally:
+        stats.DEFAULT_BROADCAST_MAX_BYTES = prev_cap
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_auto)
+
+
+def test_dim_hint_value_identity_under_forced_shuffle(spark, sf_dir):
+    """The gate changes only the physical plan: q5's rows must be
+    identical with the broadcast hint and with the gate forced shut."""
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark import stats
+
+    fn = entrymod.queries()["q5_local_supplier"]
+    want = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    prev_cap = stats.DEFAULT_BROADCAST_MAX_BYTES
+    stats.DEFAULT_BROADCAST_MAX_BYTES = 0
+    try:
+        got = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        stats.DEFAULT_BROADCAST_MAX_BYTES = prev_cap
+    assert got == want
