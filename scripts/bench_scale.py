@@ -175,6 +175,65 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         except (subprocess.TimeoutExpired, OSError) as e:
             print(f"  [scale] knob demo skipped: {e}", file=sys.stderr)
 
+    # Persisted-IVF serving path (r7 verdict #8): the partition-pruned
+    # index probe is the 100 TB serving story but was never smoke-timed.
+    # Time build + query at the sf0.1 source AND at the tiled corpus and
+    # pin both ratios (expected <= ~1: build is one pass + one
+    # cell-partitioned write; query cost follows probed-cell volume).
+    if time.perf_counter() - started <= budget:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_vector_search_spark.operators.similarity import (
+            _N_QUERIES,
+            _vectors,
+            ann_ivf_index_query,
+            build_ivf_index,
+        )
+
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+        def _time_index(dirpath: str, tag: str) -> tuple[float, float]:
+            idx = os.path.join(os.path.dirname(out), f"ivf_idx_{tag}")
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_ivf_index(spark, dirpath, idx)
+            tb = round(time.perf_counter() - t0, 2)
+            q = (
+                _vectors(spark, dirpath)
+                .where(F.col("vec_id") < _N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+            )
+            t0 = time.perf_counter()
+            ann_ivf_index_query(spark, idx, q).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tq = round(time.perf_counter() - t0, 2)
+            shutil.rmtree(idx, ignore_errors=True)
+            return tb, tq
+
+        try:
+            _time_index(src, "warm")  # untimed: codegen/broadcast warmup,
+            # so the base numbers (the ratio denominator) aren't inflated
+            # by first-call fixed costs that would flatter the ratio
+            bb, bq = _time_index(src, "base")
+            sb, sq = _time_index(out, "scale")
+            detail["ivf_index"] = {
+                "base_build": bb,
+                "base_query": bq,
+                "scale_build": sb,
+                "scale_query": sq,
+                "build_ratio": round(sb / (bb * emb_tiles), 2),
+                "query_ratio": round(sq / (bq * emb_tiles), 2),
+            }
+            total += bb + bq + sb + sq
+            print(f"  [scale] ivf_index: {detail['ivf_index']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — smoke extra, never fatal
+            print(f"  [scale] ivf_index block skipped: {e}", file=sys.stderr)
+    else:
+        skipped.append("ivf_index")
+
     detail["total"] = round(total, 2)
     if skipped:
         detail["skipped_over_budget"] = skipped
