@@ -146,10 +146,13 @@ HEADLINE = [
     "train_shuffle_shards",
     "sample_epochs",
     "bpe_merge_candidates",
-    # r8 additions: chatbot data surface + MLflow params
+    # r8 additions: chatbot data surface + MLflow params + analytics4
     "chat_suggested_questions",
     "chat_context_summary",
     "run_params",
+    "q_orders_market_basket",
+    "q_events_path_trigrams",
+    "train_curriculum_order",
     # similarity
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",

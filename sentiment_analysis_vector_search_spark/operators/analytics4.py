@@ -1,0 +1,270 @@
+"""Round-8 analytics/training additions.
+
+- ``q_orders_market_basket`` — part-pair co-occurrence (support + lift)
+  over orders: the classic basket analysis an OLAP engine is asked for.
+- ``q_events_path_trigrams`` — consecutive event-type trigram paths,
+  computed skew-safe with the same per-(user, day-chunk) window device
+  as q_events_sessions / q_events_transitions.
+- ``train_curriculum_order`` — curriculum staging for a training feed:
+  docs bucketed short→long through the distributed exact ntile
+  (functions/ranks.dist_ntile — no one-partition global window) plus a
+  deterministic within-stage shard.
+
+Scale notes are per-operator; every candidate join here is equi-keyed
+with a bounded per-key fan-out (order line counts; ≤4 edge rows per
+active user-day), and every top-k is TakeOrderedAndProject, never a
+global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.ranks import dist_ntile
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q_orders_market_basket
+# ---------------------------------------------------------------------------
+
+_BASKET_TOP = 20
+
+_BASKET_ORACLE = f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+pc AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+co AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS co_orders
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), top AS (
+  SELECT * FROM co ORDER BY co_orders DESC, part_a, part_b LIMIT {_BASKET_TOP}
+)
+SELECT t.part_a, t.part_b, t.co_orders,
+       ca.c AS orders_a, cb.c AS orders_b,
+       round(t.co_orders * 1.0 * n_orders / (ca.c * cb.c), 6) AS lift
+FROM top t
+JOIN pc ca ON ca.pk = t.part_a
+JOIN pc cb ON cb.pk = t.part_b, no
+"""
+
+
+@register("q_orders_market_basket", oracle=_BASKET_ORACLE)
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs bought together, with per-pair lift
+    (co_orders x n_orders / (orders_a x orders_b)).
+
+    Scale shape: one shuffle builds per-order baskets, pairs expand
+    map-side from the sorted basket array — per-order line counts are
+    bounded (~7 in TPC-H), so candidate volume is sum-of-C(k,2), linear
+    in orders, never all-pairs over parts, and never a fact-fact
+    self-join. Top-k is orderBy+limit (TakeOrderedAndProject:
+    per-partition heads + driver merge of k rows); the tiny top relation
+    then broadcasts into the per-part count joins. Lift arithmetic is
+    integer products under 2^53 in a double, identically rounded on both
+    engines; cutoff ties are totally ordered by (co_orders desc, part_a,
+    part_b)."""
+    li = table(spark, sf_dir, "lineitem")
+    # ONE shuffle builds per-order baskets (collect_set dedups in the
+    # aggregate — no separate distinct pass), then pairs expand MAP-SIDE
+    # from the sorted basket array: per-order C(k,2) with k bounded by
+    # order line count (~7 in TPC-H; a pathological giant basket would
+    # need a k-cap — expansion is quadratic in BASKET size, never in
+    # part count). explode_outer + isNotNull per the
+    # InferFiltersFromGenerate rule: plain explode over a computed array
+    # evaluates the pair expansion twice per row.
+    baskets = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pc = baskets.select(F.explode("parts").alias("pk")).groupBy("pk").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode_outer(pair_expr).alias("p"))
+        .where(F.col("p").isNotNull())
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+    )
+    top = co.orderBy(
+        F.desc("co_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOP)
+    ca = pc.select(F.col("pk").alias("part_a"), F.col("c").alias("orders_a"))
+    cb = pc.select(F.col("pk").alias("part_b"), F.col("c").alias("orders_b"))
+    # both count joins keep the part-cardinality relation as the streamed
+    # side and broadcast the k-row top relation (then its k-row join
+    # result) — pc is unbounded at scale, top is bounded by the limit
+    with_a = ca.join(F.broadcast(top), "part_a")
+    return (
+        cb.join(F.broadcast(with_a), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            "orders_a",
+            "orders_b",
+            F.round(
+                F.col("co_orders")
+                * F.lit(1.0)
+                * F.col("n_orders")
+                / (F.col("orders_a") * F.col("orders_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_path_trigrams
+# ---------------------------------------------------------------------------
+
+_TRI_TOP = 25
+
+_PATH_ORACLE = f"""
+WITH steps AS (
+  SELECT event_type AS e3,
+         lag(event_type, 1) OVER w AS e2,
+         lag(event_type, 2) OVER w AS e1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT e1, e2, e3, count(*) AS n FROM steps WHERE e1 IS NOT NULL
+  GROUP BY 1, 2, 3
+), tot AS (SELECT sum(n) AS t FROM tri)
+SELECT e1, e2, e3, n, round(n * 1.0 / t, 6) AS share
+FROM tri, tot
+ORDER BY n DESC, e1, e2, e3 LIMIT {_TRI_TOP}
+"""
+
+
+@register("q_events_path_trigrams", oracle=_PATH_ORACLE)
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top consecutive event-type trigram paths with corpus share.
+
+    Skew-safe two-phase computation (the q_events_sessions /
+    q_events_transitions device, extended to width-3): the lag chain
+    runs per (user_id, day-chunk), so a hot user's event volume divides
+    across days, and chunk-crossing trigrams are recovered from the
+    per-chunk EDGE rows (first ≤2 + last ≤2 events, ≤4 rows per active
+    user-day — a one-event chunk contributes its single row once). Two
+    edge rows are originally consecutive iff they are rn-adjacent in one
+    chunk or (last-of-chunk, first-of-next-active-chunk) across chunks;
+    a trigram of pairwise-consecutive edge rows that does NOT sit inside
+    a single chunk is exactly a crossing trigram (including three-chunk
+    spans through one-event days). Within-chunk + crossing = the global
+    consecutive trigrams, pinned by the oracle's naive global window.
+    The share window runs over the |types|^3-bounded trigram relation,
+    and top-k is TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    chunked = ev.withColumn("chunk", F.date_trunc("day", "ts"))
+    w = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id", "chunk")
+    rows = chunked.select(
+        "user_id",
+        "chunk",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    within = rows.where(F.col("p2").isNotNull()).select(
+        F.col("p2").alias("e1"),
+        F.col("p1").alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    edges = rows.where(
+        (F.col("rn") <= 2) | (F.col("rn") >= F.col("cnt") - 1)
+    ).select("user_id", "chunk", "rn", "cnt", "event_type")
+    wm = Window.partitionBy("user_id").orderBy("chunk", "rn")
+    e_struct = F.struct("chunk", "rn", "cnt", "event_type")
+    tri_edge = edges.select(
+        "chunk",
+        "rn",
+        "event_type",
+        F.lag(e_struct, 1).over(wm).alias("m1"),
+        F.lag(e_struct, 2).over(wm).alias("m2"),
+    )
+
+    def _adjacent(prev: str, nxt_chunk, nxt_rn):
+        same = (F.col(f"{prev}.chunk") == nxt_chunk) & (
+            nxt_rn == F.col(f"{prev}.rn") + 1
+        )
+        cross = (
+            (F.col(f"{prev}.chunk") != nxt_chunk)
+            & (F.col(f"{prev}.rn") == F.col(f"{prev}.cnt"))
+            & (nxt_rn == F.lit(1))
+        )
+        return same | cross
+
+    crossing = tri_edge.where(
+        F.col("m2").isNotNull()
+        & _adjacent("m2", F.col("m1.chunk"), F.col("m1.rn"))
+        & _adjacent("m1", F.col("chunk"), F.col("rn"))
+        & (F.col("m2.chunk") != F.col("chunk"))  # within-chunk already counted
+    ).select(
+        F.col("m2.event_type").alias("e1"),
+        F.col("m1.event_type").alias("e2"),
+        F.col("event_type").alias("e3"),
+    )
+    tri = (
+        within.unionByName(crossing)
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    share = F.round(
+        F.col("n") * F.lit(1.0) / F.sum("n").over(Window.partitionBy()), 6
+    )
+    return (
+        tri.withColumn("share", share)
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(_TRI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# train_curriculum_order
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_STAGES = 10
+_CURRICULUM_SHARDS = 8
+
+_CURRICULUM_ORACLE = f"""
+SELECT doc_id, n_chars,
+       ntile({_CURRICULUM_STAGES}) OVER (ORDER BY n_chars, doc_id) AS stage,
+       cast(doc_id % {_CURRICULUM_SHARDS} as bigint) AS shard
+FROM documents
+"""
+
+
+@register("train_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def train_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging for a training feed: documents bucketed
+    short→long into exact ntile stages (a standard curriculum signal),
+    with a deterministic within-stage shard so each stage streams as
+    fixed shards. The stage rank runs through the distributed TeraSort
+    ntile (functions/ranks.dist_ntile) — the oracle's global
+    ``ntile() OVER (ORDER BY ...)`` is exactly the one-partition window
+    this engine never executes."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    staged = dist_ntile(
+        docs, "n_chars", "doc_id", _CURRICULUM_STAGES, "stage", keep_value=True
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        F.col("stage").cast("int").alias("stage"),
+        (F.col("doc_id") % _CURRICULUM_SHARDS).cast("bigint").alias("shard"),
+    )

@@ -136,22 +136,27 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     q5_local_supplier + q18_large_orders (dimension sides routed
 #     through stats_informed_join — verdict #6; q9_product_profit's
 #     routing is covered by its aging slot below)
-#   new in r8 (must-grade on arrival) — 3: chat_suggested_questions,
+#   new in r8 (must-grade on arrival) — 6: chat_suggested_questions,
 #     chat_context_summary, run_params (reference-surface residues,
-#     r7 verdict "What's missing" #1/#2)
+#     r7 verdict "What's missing" #1/#2) + q_orders_market_basket,
+#     q_events_path_trigrams, train_curriculum_order (analytics4 —
+#     basket lift, skew-safe width-3 paths, curriculum staging)
 #   aging r5 — 30 (the r7 verdict's deferred list): relational_tpch2 8,
 #     analytics_ext 7, text_ops 7, curation2 3, rag_prep 3,
 #     q_running_revenue, q_revenue_moving_avg
 #   aging r6 (pre-rotated into spare slots so the r9 window isn't
-#     overloaded) — 11: relational_ext 10 (q18 counted under changed),
-#     q_cube_revenue
+#     overloaded) — 8: relational_ext 7 of 10 (q18 counted under
+#     changed; q4_priority_exists / q17_small_quantity / q_sql_text_api
+#     yielded their slots to the analytics4 must-grades and defer to
+#     r9), q_cube_revenue
 #   deferred to r9 (r6-graded, unchanged): pipeline_ops 8, streaming 6,
 #     analytics2 4 (rfm/ltv/chi2/backtest + ab_test_lift),
 #     analytics3 3, dq_expectations, source_html_extract,
 #     q_events_seasonality, q_nation_segment_pivot, q_churned_buyers,
 #     tokenizer_fertility, text_char_diversity, cap_per_source,
 #     ann_range_search, ann_pq_adc_topk, dedup_minhash_quality_audit,
-#     q_events_asof_attribution, q_value_percentiles, q4/q17-era rest —
+#     q_events_asof_attribution, q_value_percentiles,
+#     q4_priority_exists, q17_small_quantity, q_sql_text_api —
 #     fits one r9 window with room for new ops.
 GRADED_WINDOW: list[str] = [
     # changed r8
@@ -165,6 +170,9 @@ GRADED_WINDOW: list[str] = [
     "chat_suggested_questions",
     "chat_context_summary",
     "run_params",
+    "q_orders_market_basket",
+    "q_events_path_trigrams",
+    "train_curriculum_order",
     # aging r5: relational_tpch2 (q9 also changes r8: stats join routing)
     "q2_min_cost_supplier",
     "q8_national_share",
@@ -209,9 +217,6 @@ GRADED_WINDOW: list[str] = [
     "q22_dormant_customers",
     "q_revenue_rollup",
     "q16_supplier_breadth",
-    "q4_priority_exists",
-    "q17_small_quantity",
-    "q_sql_text_api",
     "q_cube_revenue",
 ]
 
@@ -241,6 +246,7 @@ def load_all_modules() -> None:
     from .operators import dq  # noqa: F401
     from .operators import training_ops  # noqa: F401
     from .operators import chat_ops  # noqa: F401
+    from .operators import analytics4  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

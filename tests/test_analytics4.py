@@ -1,0 +1,143 @@
+"""analytics4: market basket, skew-safe path trigrams, curriculum order."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.parity import assert_parity
+
+ANALYTICS4 = [
+    "q_orders_market_basket",
+    "q_events_path_trigrams",
+    "train_curriculum_order",
+]
+
+
+@pytest.mark.parametrize("name", ANALYTICS4)
+def test_analytics4_parity(spark, sf_dir, name):
+    assert_parity(spark, name, sf_dir)
+
+
+def test_market_basket_lift_and_bounds(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_orders_market_basket"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        # co-occurrence can never exceed either part's own order count
+        assert r["co_orders"] <= min(r["orders_a"], r["orders_b"])
+        assert r["lift"] > 0
+
+
+def test_path_trigrams_equal_naive_global_window(spark, sf_dir):
+    """The two-phase chunk-split trigrams must equal the naive global
+    per-user window on the FULL trigram relation (not only the top-k the
+    query returns) — including trigrams that span two and three
+    day-chunks through one-event days."""
+    import __spark_entry__ as entrymod  # noqa: F401
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.operators.analytics4 import (
+        q_events_path_trigrams,
+    )
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    naive = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .where(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = q_events_path_trigrams(spark, sf_dir).select("e1", "e2", "e3", "n")
+    want_all = {(r.e1, r.e2, r.e3): r.n for r in naive.collect()}
+    got_top = {(r.e1, r.e2, r.e3): r.n for r in got.collect()}
+    # every returned trigram count must match the naive count exactly
+    for k, n in got_top.items():
+        assert want_all.get(k) == n, (k, n, want_all.get(k))
+    # and the top-k cutoff must be a true top slice of the naive counts
+    if len(got_top) < len(want_all):
+        cutoff = min(got_top.values())
+        above = sum(1 for n in want_all.values() if n > cutoff)
+        assert above <= len(got_top)
+
+
+def test_path_trigrams_crossing_fixture(spark):
+    """Synthetic fixture: one user, one event per day for five days —
+    every trigram spans three one-event chunks and ONLY the boundary
+    merge can find them."""
+    rows = [
+        (1, f"2024-01-0{d} 12:00:00", f"t{d}", d) for d in range(1, 6)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts_s string, event_type string, event_id int"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "event_id",
+    )
+    import sentiment_analysis_vector_search_spark.operators.analytics4 as a4
+
+    orig = a4.table
+    a4.table = lambda spark, sf_dir, name: ev
+    try:
+        got = sorted(
+            (r.e1, r.e2, r.e3, r.n)
+            for r in a4.q_events_path_trigrams(spark, "ignored").collect()
+        )
+    finally:
+        a4.table = orig
+    assert got == [
+        ("t1", "t2", "t3", 1),
+        ("t2", "t3", "t4", 1),
+        ("t3", "t4", "t5", 1),
+    ]
+
+
+def test_path_trigrams_event_grain_window_is_chunk_split(spark, sf_dir):
+    from sentiment_analysis_vector_search_spark.operators.analytics4 import (
+        q_events_path_trigrams,
+    )
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    plan = plan_str(q_events_path_trigrams(spark, sf_dir))
+    event_grain = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "event_id" in l
+    ]
+    assert event_grain, plan
+    for line in event_grain:
+        assert "chunk" in line, line
+
+
+def test_curriculum_stages_are_balanced_and_ordered(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["train_curriculum_order"](spark, sf_dir)
+    sizes = {
+        r["stage"]: r["n"]
+        for r in df.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # stage boundaries respect the length order: max length of stage k
+    # <= min length of stage k+2 is too weak; assert non-decreasing
+    # stage-max across stages (ties can straddle a boundary)
+    maxes = {
+        r["stage"]: r["mx"]
+        for r in df.groupBy("stage").agg(F.max("n_chars").alias("mx")).collect()
+    }
+    mins = {
+        r["stage"]: r["mn"]
+        for r in df.groupBy("stage").agg(F.min("n_chars").alias("mn")).collect()
+    }
+    for k in range(1, 10):
+        assert maxes[k] <= mins[k + 1] or maxes[k] <= maxes[k + 1]
+    assert df.where((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
