@@ -45,6 +45,13 @@ SHOW = [
     ("train_shuffle_shards", "TeraSort-rank shard assignment over md5 order; no global window"),
     ("sample_epochs", "literal x3 epoch fan-out; map-side hash filter; one partial-agg pass"),
     ("bpe_merge_candidates", "corpus touched once; pair Generate above the vocab aggregate"),
+    # r8 additions
+    ("q5_local_supplier", "stats-gated dim broadcasts (customer/supplier); one fact-fact shuffle"),
+    ("q_events_transitions", "two-phase skew-safe: (user, day-chunk) lag + chunk-boundary merge"),
+    ("q_orders_market_basket", "map-side basket pair expansion; TakeOrdered top-k; broadcast count joins"),
+    ("q_events_path_trigrams", "width-3 two-phase: chunk windows + <=4-edge-row boundary merge"),
+    ("train_curriculum_order", "TeraSort-rank curriculum stages; no global ntile window"),
+    ("chat_suggested_questions", "one scalar-aggregate scan; literal list algebra on a single row"),
 ]
 
 
