@@ -392,3 +392,136 @@ def column_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANALYZE — mergeable per-partition statistics (r8). At
+# 100 TB a full re-ANALYZE per ingest batch is a full table scan; the
+# scalable shape is per-partition stats + a merge. rows/nulls merge by
+# sum, min/max by comparison; distinct counts need a MERGEABLE sketch,
+# so each column carries a KMV (bottom-k / k-minimum-values) sketch:
+# the k smallest 60-bit value hashes. Sketch union = merge arrays, keep
+# the k smallest — associative, commutative, idempotent-per-value — and
+# the classic estimator NDV ~ (k-1) * DOMAIN / kth_smallest once the
+# sketch is full (exact below k distincts).
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024
+KMV_DOMAIN = (1 << 60) - 1  # 15 hex chars of md5
+
+
+def _kmv_hash(col: str):
+    # value -> uniform 60-bit integer (md5 prefix; engine-portable)
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def column_kmv(df: DataFrame, col: str, k: int = KMV_K) -> list[int]:
+    """Bottom-k distinct value hashes of one column: a TakeOrdered job
+    over the (new-partition-sized) input — never a full-table pass in
+    the incremental flow, which is the point."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(_kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [r["h"] for r in rows]
+
+
+def kmv_ndv(sketch: list[int], k: int = KMV_K) -> float:
+    """KMV estimator: exact when the sketch never filled; otherwise
+    (k-1) scaled by the k-th smallest normalized hash."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    return (k - 1) * KMV_DOMAIN / float(sketch[-1])
+
+
+def partition_stats(df: DataFrame, k: int = KMV_K) -> dict[str, dict]:
+    """``table_stats``-shaped dict for ONE partition/batch, with a
+    mergeable ``kmv`` sketch per column and ``approx_ndv`` derived from
+    it. One multi-aggregate scan for the scalar stats plus one bounded
+    TakeOrdered job per column for the sketches (a maintenance job over
+    the new data only)."""
+    from .sinks import analyze_table
+
+    out: dict[str, dict] = {}
+    for r in analyze_table(df).collect():
+        out[r["column"]] = {
+            "n_rows": r["n_rows"],
+            "n_nulls": r["n_nulls"],
+            "min_value": r["min_value"],
+            "max_value": r["max_value"],
+        }
+    for c in out:
+        sk = column_kmv(df, c, k)
+        out[c]["kmv"] = sk
+        out[c]["approx_ndv"] = int(round(kmv_ndv(sk, k)))
+    return out
+
+
+def _cmp_key(v: str):
+    try:
+        return (0, float(v), "")
+    except (TypeError, ValueError):
+        return (1, 0.0, v if v is not None else "")
+
+
+def merge_stats(
+    a: dict[str, dict], b: dict[str, dict], k: int = KMV_K
+) -> dict[str, dict]:
+    """Merge two partition-stats dicts column-wise: counts sum, min/max
+    compare (numeric-aware over the stringified values), KMV sketches
+    union-and-truncate. approx_ndv is re-derived from the merged sketch
+    — NEVER by adding the two estimates (overlapping value sets would
+    double-count)."""
+    out: dict[str, dict] = {}
+    for c in set(a) | set(b):
+        if c not in a or c not in b:
+            src = a.get(c) or b.get(c)
+            out[c] = dict(src)
+            continue
+        sa, sb = a[c], b[c]
+        mins = [v for v in (sa["min_value"], sb["min_value"]) if v is not None]
+        maxs = [v for v in (sa["max_value"], sb["max_value"]) if v is not None]
+        merged_kmv = sorted(set(sa.get("kmv", [])) | set(sb.get("kmv", [])))[:k]
+        out[c] = {
+            "n_rows": sa["n_rows"] + sb["n_rows"],
+            "n_nulls": sa["n_nulls"] + sb["n_nulls"],
+            "min_value": min(mins, key=_cmp_key) if mins else None,
+            "max_value": max(maxs, key=_cmp_key) if maxs else None,
+            "kmv": merged_kmv,
+            "approx_ndv": int(round(kmv_ndv(merged_kmv, k))),
+        }
+    return out
+
+
+def incremental_analyze(
+    spark: SparkSession,
+    stats_dir: str,
+    name: str,
+    new_df: DataFrame,
+    k: int = KMV_K,
+) -> dict[str, dict]:
+    """Fold a new partition/batch into the persisted stats for ``name``
+    (atomic JSON, same surface ``load_table_stats`` consumers read):
+    scans ONLY ``new_df``, merges against the stored stats, writes back.
+    Returns the merged dict. The persisted ``approx_ndv`` stays
+    consumer-compatible (choose_join_strategy / dim_hint read it
+    unchanged); the extra ``kmv`` key is the mergeable state."""
+    import json
+    import os
+
+    prev = load_table_stats(stats_dir, name)
+    fresh = partition_stats(new_df, k)
+    merged = merge_stats(prev, fresh, k) if prev else fresh
+    os.makedirs(stats_dir, exist_ok=True)
+    path = os.path.join(stats_dir, f"{name}.json")
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return merged

@@ -365,3 +365,62 @@ def test_dim_hint_value_identity_under_forced_shuffle(spark, sf_dir):
     finally:
         stats.DEFAULT_BROADCAST_MAX_BYTES = prev_cap
     assert got == want
+
+
+def test_kmv_sketch_estimator_accuracy(spark):
+    """KMV NDV: exact below k distincts; within ~8% at 50k distincts
+    with k=1024 (standard error ~ 1/sqrt(k) ~ 3%)."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_kmv,
+        kmv_ndv,
+    )
+
+    small = spark.range(0, 500).selectExpr("concat('v', id) as x")
+    sk = column_kmv(small, "x")
+    assert len(sk) == 500 and kmv_ndv(sk) == 500.0
+    big = spark.range(0, 50_000).selectExpr("concat('v', id % 37700) as x")
+    est = kmv_ndv(column_kmv(big, "x"))
+    assert abs(est - 37_700) / 37_700 < 0.08, est
+
+
+def test_incremental_analyze_matches_full_scan(spark, tmp_path):
+    """Folding three chunks through incremental_analyze must equal a
+    full-table partition_stats: counts/min/max exactly, ndv within the
+    sketch error — and merging overlapping chunks must NOT double-count
+    distincts (the property a scalar ndv cannot provide)."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        incremental_analyze,
+        load_table_stats,
+        partition_stats,
+    )
+
+    full = spark.range(0, 9_000).selectExpr(
+        "id as k", "cast(id % 2000 as int) as dup", "cast(id as double) as v"
+    )
+    chunks = [
+        full.where((F.col("k") % 3) == i) for i in range(3)
+    ]
+    # chunk 3 OVERLAPS chunk 0's values on `dup` by construction (mod)
+    sd = str(tmp_path / "stats")
+    for ch in chunks:
+        merged = incremental_analyze(spark, sd, "t", ch)
+    direct = partition_stats(full)
+    persisted = load_table_stats(sd, "t")
+    assert persisted.keys() == direct.keys()
+    for c in direct:
+        assert persisted[c]["n_rows"] == direct[c]["n_rows"] == 9_000
+        assert persisted[c]["n_nulls"] == direct[c]["n_nulls"] == 0
+        assert persisted[c]["min_value"] == direct[c]["min_value"]
+        assert persisted[c]["max_value"] == direct[c]["max_value"]
+    # dup column: 2000 true distincts; merged estimate must not read
+    # ~3x from summing per-chunk ndv (each chunk holds ~2000 of them)
+    nd = persisted["dup"]["approx_ndv"]
+    assert abs(nd - 2000) / 2000 < 0.10, nd
+    assert merged["dup"]["approx_ndv"] == nd
+    # and the persisted surface feeds the existing consumers unchanged
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimated_equality_rows,
+    )
+
+    est = estimated_equality_rows(persisted, "dup")
+    assert abs(est - 9000 / 2000) / (9000 / 2000) < 0.15
