@@ -462,3 +462,57 @@ def stream_ingest_dedup(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_stats_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "documents",
+    kmv_k: int = 256,
+) -> None:
+    """Continuously-maintained table statistics: streaming documents →
+    ``foreachBatch`` → ``stats.incremental_analyze`` (r8). Each
+    micro-batch scans ONLY its own rows and folds counts/min-max/KMV
+    sketches into the persisted JSON the broadcast / join-strategy
+    gates read (``load_table_stats`` surface) — the ANALYZE never
+    re-reads the table, which is the whole scalable-maintenance story.
+
+    Exactly-once: the stats merge is ADDITIVE (counts sum, sketches
+    union), so a replayed batch would double-count rows — the same
+    RECORDED-BATCH-ID guard as stream_rollup_maintenance makes the
+    fold idempotent under the source checkpoint's at-least-once
+    delivery."""
+    import json
+    import os
+
+    from ..stats import incremental_analyze
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", f"{table_name}*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one source file per batch
+        .parquet(sf_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_stats_commits.json")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch: stats already folded (idempotence)
+        incremental_analyze(spark, stats_dir, table_name, batch_df, k=kmv_k)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

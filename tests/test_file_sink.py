@@ -195,3 +195,65 @@ def test_stream_ingest_dedup_gates_against_history(spark, sf_dir, tmp_path):
     stream_ingest_dedup(spark, src_dir, idx, out, ckpt)
     assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == want
     assert spark.read.parquet(f"{idx}/shingles").count() == n_sh
+
+
+def test_stream_stats_maintenance_matches_batch_analyze(spark, sf_dir, tmp_path):
+    """Streamed incremental stats must equal a one-shot batch
+    partition_stats over the same corpus (counts/min/max exactly, ndv
+    within sketch error), and a re-drain must be a no-op (the additive
+    fold is guarded by recorded batch ids)."""
+    import json
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        kmv_ndv,
+        load_table_stats,
+        partition_stats,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_stats_maintenance,
+    )
+
+    # seed a source dir with the documents table split into two files so
+    # maxFilesPerTrigger=1 produces multiple batches
+    src_dir = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    os.makedirs(src_dir)
+    # single parquet FILES (the corpus layout the glob source tracks)
+    docs.where(F.col("doc_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/documents_a.parquet", index=False
+    )
+    docs.where(F.col("doc_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/documents_b.parquet", index=False
+    )
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    stream_stats_maintenance(spark, src_dir, stats_dir, ckpt, kmv_k=256)
+
+    got = load_table_stats(stats_dir, "documents")
+    want = partition_stats(docs, k=256)
+    assert got.keys() == want.keys()
+    for c in want:
+        assert got[c]["n_rows"] == want[c]["n_rows"], c
+        assert got[c]["n_nulls"] == want[c]["n_nulls"], c
+        assert got[c]["min_value"] == want[c]["min_value"], c
+        assert got[c]["max_value"] == want[c]["max_value"], c
+    nd_got, nd_want = got["doc_id"]["approx_ndv"], want["doc_id"]["approx_ndv"]
+    assert abs(nd_got - nd_want) / max(nd_want, 1) < 0.15
+
+    # re-drain with the same checkpoint: no double-count
+    stream_stats_maintenance(spark, src_dir, stats_dir, ckpt, kmv_k=256)
+    again = load_table_stats(stats_dir, "documents")
+    assert again["doc_id"]["n_rows"] == want["doc_id"]["n_rows"]
+
+    # crash-replay: wipe the RECORDED ids but keep the source checkpoint
+    # offsets — nothing new to read, stats unchanged
+    commits = os.path.join(ckpt, "_stats_commits.json")
+    with open(commits) as f:
+        assert len(json.load(f)) >= 2  # two files -> >= two batches
+    shutil.rmtree(stats_dir)  # and a fresh stats dir rebuilds from zero
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_stats_maintenance(spark, src_dir, stats_dir, ckpt2, kmv_k=256)
+    rebuilt = load_table_stats(stats_dir, "documents")
+    assert rebuilt["doc_id"]["n_rows"] == want["doc_id"]["n_rows"]
