@@ -8,6 +8,9 @@
     python -m sentiment_analysis_vector_search_spark vacuum <table-root> [--keep-last N] [--orphan-grace S]
     python -m sentiment_analysis_vector_search_spark job run <jobs-root> <job-id> [--sf-dir D]
     python -m sentiment_analysis_vector_search_spark job list <jobs-root>
+    python -m sentiment_analysis_vector_search_spark analyze-incremental <table> <batch-path> <stats-dir>
+    python -m sentiment_analysis_vector_search_spark rollup build|answer|add <rollup-dir> [...]
+    python -m sentiment_analysis_vector_search_spark warc <warc-path> <out-dir>
 
 `run` executes the operator end-to-end and prints rows (tabular, or one
 JSON object per line with --json — the shape a shell pipeline wants);
@@ -75,6 +78,37 @@ def main(argv: list[str] | None = None) -> int:
     p_job.add_argument("jobs_root")
     p_job.add_argument("job_id", nargs="?")
     p_job.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    p_inc = sub.add_parser(
+        "analyze-incremental",
+        help="fold one parquet batch into persisted mergeable table stats",
+    )
+    p_inc.add_argument("table")
+    p_inc.add_argument("batch_path", help="parquet path of the NEW batch only")
+    p_inc.add_argument("stats_dir")
+
+    p_roll = sub.add_parser(
+        "rollup", help="materialized rollup: build / answer / add"
+    )
+    p_roll.add_argument("roll_cmd", choices=("build", "answer", "add"))
+    p_roll.add_argument("rollup_dir")
+    p_roll.add_argument("--source", help="parquet path (build/add)")
+    p_roll.add_argument("--dims", help="comma list (build)")
+    p_roll.add_argument(
+        "--measures", help="name=col comma list (build), e.g. qty=l_quantity"
+    )
+    p_roll.add_argument("--group-by", default="", help="comma list (answer)")
+    p_roll.add_argument(
+        "--wants",
+        default="count:*",
+        help="agg:name comma list (answer), e.g. sum:qty,avg:qty,count:*",
+    )
+
+    p_warc = sub.add_parser(
+        "warc", help="ingest WARC/Common-Crawl files as documents parquet"
+    )
+    p_warc.add_argument("warc_path")
+    p_warc.add_argument("out_dir")
 
     args = p.parse_args(argv)
 
@@ -156,6 +190,85 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"written": path}))
         else:
             print(json.dumps(table_stats(spark, args.sf_dir, args.table), indent=1))
+        return 0
+
+    if args.cmd == "analyze-incremental":
+        import json
+
+        from .session import get_spark
+        from .stats import incremental_analyze
+
+        spark = get_spark("cli-analyze-inc")
+        spark.sparkContext.setLogLevel("ERROR")
+        merged = incremental_analyze(
+            spark, args.stats_dir, args.table, spark.read.parquet(args.batch_path)
+        )
+        print(
+            json.dumps(
+                {
+                    c: {k: v for k, v in s.items() if k != "kmv"}
+                    for c, s in merged.items()
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "rollup":
+        import json
+
+        from .plans.matviews import build_rollup, rollup_add, rollup_answer
+        from .session import get_spark
+
+        spark = get_spark("cli-rollup")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.roll_cmd in ("build", "add") and not args.source:
+            print("rollup build/add requires --source", file=sys.stderr)
+            return 2
+        if args.roll_cmd == "build":
+            measures = dict(
+                kv.split("=", 1) for kv in (args.measures or "").split(",") if kv
+            )
+            build_rollup(
+                spark,
+                spark.read.parquet(args.source),
+                [c for c in (args.dims or "").split(",") if c],
+                measures,
+                args.rollup_dir,
+            )
+            print(json.dumps({"built": args.rollup_dir}))
+        elif args.roll_cmd == "add":
+            rollup_add(spark, args.rollup_dir, spark.read.parquet(args.source))
+            print(json.dumps({"added": args.source}))
+        else:
+            wants = [
+                tuple(w.split(":", 1))
+                for w in args.wants.split(",")
+                if ":" in w
+            ]
+            df = rollup_answer(
+                spark,
+                args.rollup_dir,
+                [c for c in args.group_by.split(",") if c],
+                wants,
+            )
+            for row in df.toJSON().collect():
+                print(row)
+        return 0
+
+    if args.cmd == "warc":
+        import json
+
+        from .session import get_spark
+        from .sources.warc import warc_documents
+
+        spark = get_spark("cli-warc")
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = warc_documents(spark, args.warc_path)
+        docs.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(json.dumps({"documents": n, "out": args.out_dir}))
         return 0
 
     if args.cmd == "job":

@@ -109,3 +109,71 @@ def test_cli_list_run_oracle(sf_dir):
 
     r = cli("run", "no_such_query")
     assert r.returncode == 2
+
+
+def test_cli_rollup_and_incremental_stats(spark, sf_dir, tmp_path):
+    """The r8 CLI verbs: rollup build → answer (JSON rows equal a direct
+    aggregate), analyze-incremental folds a batch into persisted stats."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+
+    def cli(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "sentiment_analysis_vector_search_spark", *args],
+            capture_output=True,
+            text=True,
+            cwd=root,
+            env=env,
+            timeout=300,
+        )
+
+    src = str(tmp_path / "facts")
+    facts = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    facts.write.parquet(src)
+    mv = str(tmp_path / "mv")
+    r = cli(
+        "rollup", "build", mv,
+        "--source", src,
+        "--dims", "l_returnflag,l_linestatus",
+        "--measures", "qty=l_quantity",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    r = cli(
+        "rollup", "answer", mv,
+        "--group-by", "l_returnflag",
+        "--wants", "sum:qty,count:*",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    rows = {
+        row["l_returnflag"]: row
+        for row in (json.loads(ln) for ln in r.stdout.strip().splitlines() if ln.startswith("{"))
+    }
+    want = {
+        w["l_returnflag"]: w
+        for w in facts.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("count_rows"),
+        )
+        .collect()
+    }
+    assert rows.keys() == want.keys()
+    for k in want:
+        assert rows[k]["count_rows"] == want[k]["count_rows"]
+        assert abs(rows[k]["sum_qty"] - want[k]["sum_qty"]) < 1e-6
+
+    sd = str(tmp_path / "stats")
+    r = cli("analyze-incremental", "lineitem", src, sd)
+    assert r.returncode == 0, r.stderr[-800:]
+    got = json.loads(r.stdout)
+    assert got["l_quantity"]["n_rows"] == facts.count()
+    assert os.path.exists(os.path.join(sd, "lineitem.json"))
