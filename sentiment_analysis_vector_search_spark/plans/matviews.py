@@ -147,3 +147,37 @@ def rollup_add(
         aggs.append(F.max(F.col(col)).alias(f"_max_{name}"))
     batch = new_df.groupBy(*m["dims"]).agg(*aggs)
     batch.write.mode("append").parquet(out_dir)
+
+
+def rollup_compact(spark: SparkSession, out_dir: str) -> int:
+    """Re-aggregate the rollup's PARTIAL STATE in place (state-aware:
+    sums/counts/_rows sum, min/max fold — never touches the fact
+    table). After many ``rollup_add`` appends a dim tuple is spread
+    over many state rows and small files; compaction restores one row
+    per dim tuple behind the same atomic tmp-swap discipline as
+    compact_dir. Returns the compacted row count."""
+    import shutil
+
+    m = rollup_manifest(out_dir)
+    rolled = spark.read.parquet(out_dir)
+    aggs = [F.sum("_rows").alias("_rows")]
+    for name in m["measures"]:
+        aggs.append(F.sum(f"_sum_{name}").alias(f"_sum_{name}"))
+        aggs.append(F.sum(f"_cnt_{name}").alias(f"_cnt_{name}"))
+        aggs.append(F.min(f"_min_{name}").alias(f"_min_{name}"))
+        aggs.append(F.max(f"_max_{name}").alias(f"_max_{name}"))
+    compacted = rolled.groupBy(*m["dims"]).agg(*aggs).select(*rolled.columns)
+    tmp_new = f"{out_dir}__compact__"
+    tmp_old = f"{out_dir}__old__"
+    compacted.write.mode("overwrite").parquet(tmp_new)
+    n = spark.read.parquet(tmp_new).count()
+    with open(os.path.join(tmp_new, "_rollup_manifest.json"), "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.rename(out_dir, tmp_old)
+    try:
+        os.rename(tmp_new, out_dir)
+    except OSError:
+        os.rename(tmp_old, out_dir)  # restore before re-raising
+        raise
+    shutil.rmtree(tmp_old)
+    return n

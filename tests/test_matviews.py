@@ -140,3 +140,39 @@ def test_rollup_answer_scans_rollup_not_facts(spark, sf_dir, tmp_path):
     )
     plan = plan_str(rollup_answer(spark, out, ["l_returnflag"], [("sum", "qty")]))
     assert "mv" in plan and "lineitem" not in plan
+
+
+def test_rollup_compact_state_aware(spark, sf_dir, tmp_path):
+    """After several adds, compaction collapses duplicate dim tuples to
+    one state row each WITHOUT touching facts, and answers are
+    unchanged — including min/max, which a naive re-sum would corrupt."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.plans.matviews import (
+        build_rollup,
+        rollup_add,
+        rollup_answer,
+        rollup_compact,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    out = str(tmp_path / "mv")
+    build_rollup(
+        spark,
+        li.where(F.col("l_orderkey") % 3 == 0).select(*cols),
+        ["l_returnflag", "l_linestatus"],
+        {"qty": "l_quantity", "price": "l_extendedprice"},
+        out,
+    )
+    for i in (1, 2):
+        rollup_add(spark, out, li.where(F.col("l_orderkey") % 3 == i).select(*cols))
+    before = _rows(rollup_answer(spark, out, ["l_returnflag"], WANTS))
+    state_rows_before = spark.read.parquet(out).count()
+    n = rollup_compact(spark, out)
+    assert n < state_rows_before  # duplicate dim tuples collapsed
+    assert n == spark.read.parquet(out).select("l_returnflag", "l_linestatus").distinct().count()
+    after = _rows(rollup_answer(spark, out, ["l_returnflag"], WANTS))
+    assert after == before
+    assert not any("__compact__" in d or "__old__" in d for d in os.listdir(tmp_path))
