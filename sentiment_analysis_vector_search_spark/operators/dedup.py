@@ -567,18 +567,22 @@ SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {_EMB_T}
 """
 
 
-@register("dedup_embedding", oracle=_EMB_ORACLE)
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signatures via an Arrow batch stage, not per-row higher-order
-    # functions: 40 plane dots x 64 dims of interpreted lambda math took
-    # 3.1s for 2,000 vectors (~600x the arithmetic cost); one einsum per
-    # Arrow batch does the identical algebra vectorized. Exact-parity
-    # notes: einsum without `optimize` sums j left-to-right — the same
-    # fold order as the SQL aggregate and the oracle's list_dot_product —
-    # and the sign/bucket math is integer-exact, so the candidate set and
-    # the (JVM-computed, unchanged) verify cosines hash-match the oracle.
-    # At scale this is the same shape as ann_bruteforce_topk_arrow: the
-    # plane matrix is process-resident per executor, the scan distributes.
+def emb_signatures(vectors: DataFrame) -> DataFrame:
+    """Sign-LSH signatures of a ``(vec_id, v array<double>)`` frame:
+    (vec_id, v, nrm, buckets array<int> — one bucket per band).
+
+    An Arrow batch stage, not per-row higher-order functions: 40+ plane
+    dots x 64 dims of interpreted lambda math took 3.1s for 2,000
+    vectors (~600x the arithmetic cost); one einsum per Arrow batch does
+    the identical algebra vectorized. Exact-parity notes: einsum without
+    `optimize` sums j left-to-right — the same fold order as the SQL
+    aggregate and the oracle's list_dot_product — and the sign/bucket
+    math is integer-exact. At scale this is the same shape as
+    ann_bruteforce_topk_arrow: the plane matrix is process-resident per
+    executor, the scan distributes. A signature depends ONLY on its own
+    vector (fixed seeded planes), which is the frozen-derivation
+    property the persisted embedding index (dedup_emb_index) relies on.
+    """
     import numpy as np
 
     pmat = np.array([[float(c) for c in p] for p in _EMB_PLANES], dtype=np.float64)
@@ -586,11 +590,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         [1 << (_EMB_BAND_BITS - 1 - r) for r in range(_EMB_BAND_BITS)],
         dtype=np.int64,
     )
-    bp = spark.sparkContext.broadcast((pmat, band_weights))
-
-    emb = fan_out(spark, table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    bp = vectors.sparkSession.sparkContext.broadcast((pmat, band_weights))
 
     def signatures(batches):
         import pyarrow as pa
@@ -610,7 +610,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # raise an opaque reshape error or (if lengths happen to
                 # divide) silently misalign vec_ids with vectors.
                 raise ValueError(
-                    f"dedup_embedding: expected {n} non-null {dim}-dim "
+                    f"emb_signatures: expected {n} non-null {dim}-dim "
                     f"embeddings, got {len(flat)} flat values"
                 )
             vmat = flat.reshape(n, dim)
@@ -627,9 +627,25 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "v", "nrm", "buckets"],
             )
 
-    sig = emb.mapInArrow(
+    return vectors.mapInArrow(
         signatures, "vec_id bigint, v array<double>, nrm double, buckets array<int>"
     )
+
+
+@register("dedup_embedding", oracle=_EMB_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(spark, table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return emb_candidate_pairs(emb)
+
+
+def emb_candidate_pairs(vectors: DataFrame) -> DataFrame:
+    """Banded sign-LSH near-dup pairs of a ``(vec_id, v)`` frame:
+    (vec_a, vec_b, cosine >= threshold) with vec_a < vec_b — the batch
+    operator's body, frame-parameterized so the persisted embedding
+    index (emb_index) can pin incremental ≡ batch on any corpus."""
+    sig = emb_signatures(vectors)
     # No explicit repartition here (unlike dedup_simhash): the band
     # relation is small enough that AQE broadcasts one join side, which
     # beats forcing a shuffle for exchange reuse (measured 2.0s vs 3.2s).
