@@ -516,3 +516,88 @@ def stream_stats_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_emb_dedup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cosine_t: float | None = None,
+) -> None:
+    """Continuous EMBEDDING ingest with near-dup gating against corpus
+    history — the sign-LSH counterpart of ``stream_ingest_dedup``: each
+    micro-batch of vectors is checked against the persisted embedding
+    index (``emb_index_check`` — O(batch + collisions)), survivors land
+    in the parquet table AND join the index. Within-batch dups are
+    resolved first (min vec_id per batch-internal near-dup pair via the
+    batch candidate generator), then history decides. Exactly-once via
+    the recorded-batch-id guard, as every foreachBatch loop here."""
+    import json
+    import os
+
+    from ..operators.dedup import emb_candidate_pairs
+    from ..operators.emb_index import (
+        build_emb_index,
+        emb_index_add,
+        emb_index_check,
+    )
+
+    if cosine_t is None:
+        from ..operators.dedup import _EMB_T as cosine_t
+
+    src = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_emb_ingest_commits.json")
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return
+        batch = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).localCheckpoint(eager=True)
+        # within-batch near-dup: keep the min vec_id of each pair
+        within = (
+            emb_candidate_pairs(batch)
+            .where(F.col("cosine") >= cosine_t)
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+        )
+        batch = batch.join(within, "vec_id", "left_anti")
+        if os.path.isdir(f"{index_dir}/bands"):
+            hits = (
+                emb_index_check(spark, batch, index_dir)
+                .where(F.col("cosine") >= cosine_t)
+                .select(F.col("new_vec_id").alias("vec_id"))
+                .distinct()
+            )
+            survivors = batch.join(hits, "vec_id", "left_anti")
+        else:
+            survivors = batch
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.select(
+            "vec_id", F.col("v").alias("embedding")
+        ).write.mode("append").parquet(out_dir)
+        if os.path.isdir(f"{index_dir}/bands"):
+            emb_index_add(spark, survivors, index_dir)
+        else:
+            build_emb_index(spark, survivors, index_dir)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(gate_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -257,3 +257,62 @@ def test_stream_stats_maintenance_matches_batch_analyze(spark, sf_dir, tmp_path)
     stream_stats_maintenance(spark, src_dir, stats_dir, ckpt2, kmv_k=256)
     rebuilt = load_table_stats(stats_dir, "documents")
     assert rebuilt["doc_id"]["n_rows"] == want["doc_id"]["n_rows"]
+
+
+def test_stream_emb_dedup_ingest_gates_against_history(spark, tmp_path):
+    """Embedding ingest gate: batch A seeds the index; batch B's exact
+    dups of A drop, B's internal dup keeps only the min vec_id, fresh
+    vectors survive; survivors carry no near-dup pair; re-drain no-op."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.dedup import (
+        emb_candidate_pairs,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_emb_dedup_ingest,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    fresh = rng.normal(size=(10, 64))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame(
+        {"vec_id": range(60), "embedding": [list(map(float, v)) for v in base]}
+    ).to_parquet(f"{src}/embeddings_a.parquet", index=False)
+    # batch B: dups of A's first 8 (ids 1001..1008), an internal dup pair
+    # (2000, 2001 identical), and 10 fresh vectors (3000..)
+    b_ids = list(range(1001, 1009)) + [2000, 2001] + list(range(3000, 3010))
+    b_vecs = (
+        [list(map(float, base[i])) for i in range(8)]
+        + [list(map(float, fresh[0]))] * 2
+        + [list(map(float, v)) for v in fresh]
+    )
+    pd.DataFrame({"vec_id": b_ids, "embedding": b_vecs}).to_parquet(
+        f"{src}/embeddings_b.parquet", index=False
+    )
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_emb_dedup_ingest(spark, src, idx, out, ckpt)
+
+    got_ids = {r.vec_id for r in spark.read.parquet(out).collect()}
+    # all of A survives; B's A-dups (1001-1008) drop; internal pair keeps
+    # 2000 only — BUT 2000 duplicates fresh[0] which is also vec 3000:
+    # batch order within B resolves via min vec_id → 2000 survives and
+    # 3000 drops; 3001.. survive.
+    want = set(range(60)) | {2000} | set(range(3001, 3010))
+    assert got_ids == want
+    # no near-dup pair among survivors
+    survivors = spark.read.parquet(out).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assert emb_candidate_pairs(survivors).count() == 0
+    # exactly-once: re-drain appends nothing
+    stream_emb_dedup_ingest(spark, src, idx, out, ckpt)
+    assert {r.vec_id for r in spark.read.parquet(out).collect()} == want
