@@ -107,14 +107,28 @@ def test_path_trigrams_event_grain_window_is_chunk_split(spark, sf_dir):
     from sentiment_analysis_vector_search_spark.plans import plan_str
 
     plan = plan_str(q_events_path_trigrams(spark, sf_dir))
+    # Since the shared-window rework, the (user_id, chunk)-grain lag/rank
+    # frame is localCheckpointed (single computation for both consuming
+    # branches), so the final plan reads the materialized blocks
+    # (ExistingRDD) instead of showing the event-grain window. What must
+    # hold: any window that DOES order by event_id is chunk-partitioned,
+    # and the checkpoint-backed scan is present.
     event_grain = [
         l
         for l in plan.splitlines()
         if "windowspecdefinition" in l and "event_id" in l
     ]
-    assert event_grain, plan
     for line in event_grain:
         assert "chunk" in line, line
+    assert "existingrdd" in plan.lower(), plan
+    # the merge window runs at edge-row grain (chunk, rn), never a
+    # whole-history per-user event sort
+    merge_windows = [
+        l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l and "event_id" not in l
+    ]
+    assert any("chunk" in l and "rn" in l for l in merge_windows), plan
 
 
 def test_curriculum_stages_are_balanced_and_ordered(spark, sf_dir):
