@@ -50,3 +50,9 @@ words AS (
   FROM weighted w JOIN norms n USING (doc_id)
 )
 """
+
+
+# BPE-ish token regex shared by text_ops.text_token_count and
+# curation_ext.corpus_data_card (letter runs, single digits, single
+# non-alphanumeric symbols — the GPT-2-style pre-tokenizer shape).
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"

@@ -28,7 +28,7 @@ no shuffle beyond the scalar agg, nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -231,3 +231,69 @@ def run_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (param, value)"
     )
     return lits.unionByName(derived)
+
+
+# ---------------------------------------------------------------------------
+# chat_history_messages — the rolling conversation-history window of
+# ``ask`` (chatbot_analyzer.py:184): each question's request carries the
+# LAST 4 history messages = 2 (question, answer) exchanges
+# (chatbot_analyzer.py:220 ``self.conversation_history[-4:]  # Last 2
+# exchanges``; :239-240 appends user+assistant per ask). Conversations
+# are modeled as (user_id, day) over the events log — a day boundary is
+# clear_history (chatbot_analyzer.py:274) — with event_type standing in
+# for the question text and a deterministic answer stub per exchange.
+#
+# Per question we emit the history the reference would splice into the
+# messages list: its length (min(4, 2*(qnum-1))) and an md5 digest of the
+# '|'-joined role:content lines, so the oracle pins the exact window
+# CONTENT and order, not just its size.
+#
+# Scale shape: one window keyed by (user_id, day) — the same bounded-skew
+# conversation grain as q_events_sessions' day chunks (per-key cardinality
+# = one user's events in one day, never a whole hot user) — with a 2-row
+# frame, so state per key during the window scan is two rows.
+# ---------------------------------------------------------------------------
+
+_CHAT_HISTORY_ORACLE = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+       event_type AS question,
+       row_number() OVER w AS qnum,
+       least(4, (row_number() OVER w - 1) * 2) AS history_len,
+       md5(coalesce(
+         string_agg('user:' || event_type || '|assistant:ans(' || event_type || ')',
+                    '|') OVER wh,
+         '')) AS history_md5
+FROM events
+WINDOW w AS (PARTITION BY user_id, cast(ts as date) ORDER BY ts, event_id),
+       wh AS (PARTITION BY user_id, cast(ts as date) ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)
+"""
+
+
+@register("chat_history_messages", oracle=_CHAT_HISTORY_ORACLE)
+def chat_history_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    msg = F.concat(
+        F.lit("user:"),
+        F.col("event_type"),
+        F.lit("|assistant:ans("),
+        F.col("event_type"),
+        F.lit(")"),
+    )
+    qnum = F.row_number().over(w)
+    # collect_list over the ordered 2-row frame preserves frame order, so
+    # the digest pins both membership and sequence of the spliced history
+    hist = F.array_join(F.collect_list(msg).over(w.rowsBetween(-2, -1)), "|")
+    return ev.select(
+        "user_id",
+        "day",
+        "event_id",
+        F.col("event_type").alias("question"),
+        qnum.alias("qnum"),
+        F.least(F.lit(4), (qnum - 1) * 2).alias("history_len"),
+        F.md5(hist).alias("history_md5"),
+    )

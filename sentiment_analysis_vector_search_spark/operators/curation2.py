@@ -348,3 +348,102 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).alias("cap_rank"),
     ).withColumn("kept", F.col("cap_rank") <= _CAP_N)
+
+
+# ---------------------------------------------------------------------------
+# emb_outlier_scores — embedding-space label audit: cosine of every vector
+# to its OWN label's centroid, surfacing the K most out-of-place vectors
+# per label (the standard mislabeled-sample / contamination sweep run over
+# an embedding table before training on it). Complements emb_quality_audit
+# (norm/NaN hygiene) — this one is geometric.
+#
+# Scale shape: posexplode → one (label, pos)-keyed partial aggregate for
+# the centroids (shuffle cardinality |labels|×dim regardless of rows, the
+# emb_label_centroids device), centroids broadcast back into a map-side
+# join, one (vec_id)-keyed aggregate for the two dot products, then
+# bottom-K per label through a TWO-PHASE ranking: a per-(label, salt)
+# window keeps K candidates per salt, and the final per-label window ranks
+# only |salts|×K rows — a single per-label window would funnel an entire
+# label's vectors (n/|labels| rows at 100 TB) through one partition.
+# ---------------------------------------------------------------------------
+
+_OUT_K = 5
+_OUT_SALTS = 16
+
+
+def _emb_outlier_oracle() -> str:
+    from ..functions.stable import sql_davg, sql_dsum
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, unnest(cast(embedding as double[])) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, {sql_davg('val', 'centroid')} FROM v GROUP BY label, pos
+), c2 AS (
+  SELECT label, {sql_dsum('centroid * centroid', 'c2')} FROM cent GROUP BY label
+), dots AS (
+  SELECT v.vec_id, v.label,
+         {sql_dsum('v.val * cent.centroid', 'dot')},
+         {sql_dsum('v.val * v.val', 'v2')}
+  FROM v JOIN cent ON v.label = cent.label AND v.pos = cent.pos
+  GROUP BY v.vec_id, v.label
+), scored AS (
+  SELECT d.label, d.vec_id,
+         round(d.dot / (sqrt(d.v2) * sqrt(cc.c2)), 6) AS cosine
+  FROM dots d JOIN c2 cc ON d.label = cc.label
+)
+SELECT label, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_OUT_K}
+"""
+
+
+@register("emb_outlier_scores", oracle=_emb_outlier_oracle())
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import davg
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = (
+        v.groupBy("label", "pos")
+        .agg(davg(F.col("val")).alias("centroid"))
+    )
+    c2 = cent.groupBy("label").agg(
+        dsum(F.col("centroid") * F.col("centroid")).alias("c2")
+    )
+    dots = (
+        v.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            dsum(F.col("val") * F.col("centroid")).alias("dot"),
+            dsum(F.col("val") * F.col("val")).alias("v2"),
+        )
+    )
+    scored = dots.join(F.broadcast(c2), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("v2")) * F.sqrt(F.col("c2"))), 6
+        ).alias("cosine"),
+    )
+    # two-phase bottom-K: per-(label, salt) candidates, then the final
+    # per-label rank over |salts|×K rows only
+    w1 = Window.partitionBy("label", F.pmod(F.col("vec_id"), F.lit(_OUT_SALTS))).orderBy(
+        F.asc("cosine"), F.asc("vec_id")
+    )
+    cand = scored.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= _OUT_K
+    )
+    w2 = Window.partitionBy("label").orderBy(F.asc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _OUT_K)
+        .select("label", "vec_id", "cosine", "rk")
+    )

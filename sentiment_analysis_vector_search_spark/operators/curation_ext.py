@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
 from ..functions.hashing import md5_int31, sql_md5_int31
+from ..functions.tfidf import BPE_RE as _BPE_RE
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -331,4 +332,96 @@ def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("target_share", 6).alias("target_share"),
         rate.alias("sampling_rate"),
         F.floor(F.col("n_docs") * rate).cast("bigint").alias("expected_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_data_card — the per-source "dataset card" a training-data release
+# ships: volume (docs, BPE-ish tokens), language mix (dominant language +
+# share, Shannon entropy of the lang distribution), and length quantiles.
+# Complements docs_source_profile (dup-rate/quality) and domain_mix_plan
+# (sampling weights) — this is the descriptive sheet, those are the gates.
+#
+# Scale shape: two fact scans, both fully partial-aggregable — one
+# groupBy(source) for counts/tokens/quantiles, one groupBy(source, lang)
+# for the mix (shuffle cardinality |sources|×|langs|); the entropy/top
+# computations then run on that tiny aggregate (per-source window over
+# |langs| rows). At 100 TB swap `percentile` for approx_percentile —
+# sketch-based, same query shape (q_value_percentiles note).
+# ---------------------------------------------------------------------------
+
+def _data_card_oracle() -> str:
+    from ..functions.stable import sql_dsum
+
+    return f"""
+WITH lc AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+), n AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(regexp_extract_all(lower(text), '{_BPE_RE}'))) as bigint) AS n_bpe_tokens,
+         round(cast(quantile_cont(n_chars, 0.5) as double), 6) AS p50_chars,
+         round(cast(quantile_cont(n_chars, 0.9) as double), 6) AS p90_chars
+  FROM documents GROUP BY source
+), ent AS (
+  SELECT lc.source,
+         {sql_dsum('-(lc.c * 1.0 / n.n_docs) * ln(lc.c * 1.0 / n.n_docs)', 'raw_ent')}
+  FROM lc JOIN n USING (source) GROUP BY lc.source
+), top AS (
+  SELECT source, lang AS top_lang, c FROM (
+    SELECT lc.*, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rk
+    FROM lc
+  ) WHERE rk = 1
+)
+SELECT n.source, n.n_docs, n.n_bpe_tokens, t.top_lang,
+       round(t.c * 1.0 / n.n_docs, 6) AS top_lang_share,
+       round(e.raw_ent, 6) AS lang_entropy,
+       n.p50_chars, n.p90_chars
+FROM n JOIN top t USING (source) JOIN ent e ON e.source = n.source
+"""
+
+
+@register("corpus_data_card", oracle=_data_card_oracle())
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import dsum
+
+    docs = table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0))
+    ).cast("bigint")
+    pct = F.expr("percentile(n_chars, array(0.5D, 0.9D))")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_bpe).alias("n_bpe_tokens"),
+        pct.alias("p"),
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # per_src is |sources| rows — broadcast into the lang-mix relation
+    mix = lc.join(F.broadcast(per_src.select("source", "n_docs")), "source")
+    share = F.col("c") * F.lit(1.0) / F.col("n_docs")
+    ent = mix.groupBy("source").agg(
+        dsum(-share * F.log(share)).alias("raw_ent")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        mix.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.round(share, 6).alias("top_lang_share"),
+        )
+    )
+    return (
+        per_src.join(top, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_bpe_tokens",
+            "top_lang",
+            "top_lang_share",
+            F.round("raw_ent", 6).alias("lang_entropy"),
+            F.round(F.col("p")[0], 6).alias("p50_chars"),
+            F.round(F.col("p")[1], 6).alias("p90_chars"),
+        )
     )

@@ -281,3 +281,125 @@ def rag_chunk_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_R_TOPK)
         .select("doc_id", "chunk_id", F.round("raw_score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# rag_hybrid_retrieve — reciprocal-rank fusion of two retrieval signals
+# over the SAME document space: (a) keyword TF-IDF scoring for a fixed
+# query-word set (the rag_retrieve signal) and (b) "more like this"
+# similarity to a seed document in TF-IDF space (dot product of the
+# l2-normalized vectors, i.e. the posting-list sparse cosine). RRF
+# (Cormack et al.) is the standard hybrid-retrieval fuser: rank-based, so
+# the two scores never need calibrating against each other.
+#
+# Reference parity: the reference serves pure vector search
+# (Context_analyzer_RoBERTa_fun.py builds the matrix, chatbot_analyzer.py
+# retrieves context); production RAG over the same corpus fuses keyword
+# and vector rankings — this operator is that fusion expressed with the
+# repo's two existing retrieval signals.
+#
+# Scale shape: the TF-IDF relation is computed once (lazy localCheckpoint
+# — three consumers would otherwise each replay its shuffles); the seed
+# vector is one document's ≤MAX_FEATURES rows, broadcast into a
+# posting-list equi-join on word (fan-out per word = that word's df —
+# never all-pairs); both candidate lists are orderBy+limit
+# (TakeOrderedAndProject), so the fusion join touches ≤2×CAND rows.
+# ---------------------------------------------------------------------------
+
+_HY_WORDS = ("slow", "query", "join")  # the rag_retrieve query-word set
+_HY_SEED = 7  # seed document for the more-like-this leg
+_HY_CAND = 50  # candidates per leg
+_HY_K = 60  # RRF dampening constant (the literature default)
+_HY_TOPK = 10
+
+_hy_words_sql = ", ".join(f"'{w}'" for w in _HY_WORDS)
+
+
+def _hybrid_oracle() -> str:
+    from ..functions.stable import sql_dsum
+    from ..functions.tfidf import SQL_TFIDF_CTE
+
+    return f"""
+WITH {SQL_TFIDF_CTE}
+, kw AS (
+  SELECT doc_id, {sql_dsum('tfidf', 'kscore')}
+  FROM tfidf_rows WHERE word IN ({_hy_words_sql}) GROUP BY doc_id
+), kw_rank AS (
+  SELECT doc_id, ra FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY kscore DESC, doc_id) AS ra FROM kw
+  ) WHERE ra <= {_HY_CAND}
+), seed AS (
+  SELECT word, tfidf AS sw FROM tfidf_rows WHERE doc_id = {_HY_SEED}
+), sim AS (
+  SELECT t.doc_id, {sql_dsum('t.tfidf * s.sw', 'sscore')}
+  FROM tfidf_rows t JOIN seed s USING (word)
+  WHERE t.doc_id <> {_HY_SEED} GROUP BY t.doc_id
+), sim_rank AS (
+  SELECT doc_id, rb FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY sscore DESC, doc_id) AS rb FROM sim
+  ) WHERE rb <= {_HY_CAND}
+), fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.ra AS kw_rank, b.rb AS sim_rank,
+         round(coalesce(1.0 / ({_HY_K} + a.ra), 0.0)
+               + coalesce(1.0 / ({_HY_K} + b.rb), 0.0), 6) AS rrf
+  FROM kw_rank a FULL OUTER JOIN sim_rank b ON a.doc_id = b.doc_id
+)
+SELECT doc_id, rrf, kw_rank, sim_rank, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused
+) WHERE rk <= {_HY_TOPK}
+"""
+
+
+@register("rag_hybrid_retrieve", oracle=_hybrid_oracle())
+def rag_hybrid_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import dsum
+    from .text_ops import tfidf_vectors
+
+    tfidf = tfidf_vectors(spark, sf_dir).localCheckpoint(eager=False)
+
+    # leg A: keyword TF-IDF score over the fixed query-word set
+    kw = (
+        tfidf.where(F.col("word").isin(*_HY_WORDS))
+        .groupBy("doc_id")
+        .agg(dsum(F.col("tfidf")).alias("kscore"))
+    )
+    kw_top = kw.orderBy(F.desc("kscore"), F.asc("doc_id")).limit(_HY_CAND)
+    wa = Window.orderBy(F.desc("kscore"), F.asc("doc_id"))  # over <=CAND rows
+    kw_rank = kw_top.select(
+        "doc_id", F.row_number().over(wa).alias("kw_rank")
+    )
+
+    # leg B: more-like-this — sparse dot with the seed doc's vector
+    # (rows are l2-normalized by construction, so dot ~ cosine)
+    seed = tfidf.where(F.col("doc_id") == _HY_SEED).select(
+        "word", F.col("tfidf").alias("sw")
+    )
+    sim = (
+        tfidf.where(F.col("doc_id") != _HY_SEED)
+        .join(F.broadcast(seed), "word")
+        .groupBy("doc_id")
+        .agg(dsum(F.col("tfidf") * F.col("sw")).alias("sscore"))
+    )
+    sim_top = sim.orderBy(F.desc("sscore"), F.asc("doc_id")).limit(_HY_CAND)
+    wb = Window.orderBy(F.desc("sscore"), F.asc("doc_id"))  # over <=CAND rows
+    sim_rank = sim_top.select(
+        "doc_id", F.row_number().over(wb).alias("sim_rank")
+    )
+
+    fused = kw_rank.join(sim_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "sim_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(_HY_K) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_HY_K) + F.col("sim_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))  # over <=2*CAND rows
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _HY_TOPK)
+        .select("doc_id", "rrf", "kw_rank", "sim_rank", "rk")
+    )

@@ -366,7 +366,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_token_count — whitespace + BPE-ish regex tokenization counts.
 # ---------------------------------------------------------------------------
 
-_BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+from ..functions.tfidf import BPE_RE as _BPE_RE  # shared with corpus_data_card
 
 _TOKCOUNT_ORACLE = f"""
 SELECT doc_id,
