@@ -110,6 +110,16 @@ def main(argv: list[str] | None = None) -> int:
     p_warc.add_argument("warc_path")
     p_warc.add_argument("out_dir")
 
+    p_bloom = sub.add_parser(
+        "bloom", help="per-file Bloom skipping index: build / add / lookup / stats"
+    )
+    p_bloom.add_argument("bloom_cmd", choices=("build", "add", "lookup", "stats"))
+    p_bloom.add_argument("index_dir")
+    p_bloom.add_argument("--table-dir", help="parquet dir (build/add/lookup)")
+    p_bloom.add_argument("--key-col", help="key column (build)")
+    p_bloom.add_argument("--bits-per-key", type=int, default=16)
+    p_bloom.add_argument("--values", help="comma list of lookup keys")
+
     args = p.parse_args(argv)
 
     import os
@@ -269,6 +279,40 @@ def main(argv: list[str] | None = None) -> int:
         docs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(json.dumps({"documents": n, "out": args.out_dir}))
+        return 0
+
+    if args.cmd == "bloom":
+        import json
+
+        from .bloom import (
+            bloom_index_add,
+            bloom_index_stats,
+            bloom_lookup,
+            build_bloom_index,
+        )
+        from .session import get_spark
+
+        spark = get_spark("cli-bloom")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.bloom_cmd == "build":
+            build_bloom_index(
+                spark,
+                args.table_dir,
+                args.key_col,
+                args.index_dir,
+                bits_per_key=args.bits_per_key,
+            )
+            print(json.dumps({"built": args.index_dir}))
+        elif args.bloom_cmd == "add":
+            n = bloom_index_add(spark, args.table_dir, args.index_dir)
+            print(json.dumps({"new_files": n}))
+        elif args.bloom_cmd == "lookup":
+            vals = [int(v) if v.lstrip("-").isdigit() else v
+                    for v in args.values.split(",")]
+            rows, opened = bloom_lookup(spark, args.table_dir, args.index_dir, vals)
+            print(json.dumps({"rows": rows.count(), "files_opened": len(opened)}))
+        else:
+            bloom_index_stats(spark, args.index_dir).show(50, truncate=False)
         return 0
 
     if args.cmd == "job":

@@ -1,0 +1,231 @@
+"""Per-file Bloom-filter file skipping for point lookups.
+
+The manifest reader (sinks.write_with_manifest/read_pruned) prunes files
+by min/max RANGE — great for clustered columns, useless for a point
+lookup on a high-cardinality unclustered key (every file's [min, max]
+straddles every key). This module persists one Bloom filter per data
+file so a point lookup opens only the files whose filter admits the key:
+at 100 TB that turns "scan every footer + row group" into "test
+#files bitsets on the driver, then read ~1 file".
+
+Index layout under ``index_dir``:
+
+- ``files.parquet``  (f, n_keys, m_bits, k, bitmap)  one row per data file
+- ``manifest.json``  {key_col, bits_per_key, k}      knob provenance —
+  lookups refuse an index built with different knobs than they expect
+  (the dedup_index band-width discipline).
+
+Design notes:
+
+- ONE pass over the table builds the index: rows group by
+  ``input_file_name()`` and each group folds its keys into a numpy
+  bitset (applyInPandas — the group is one data file's keys, bounded by
+  file size, the same boundedness argument as a row-group scan).
+- Per-file sizing: ``m_bits`` is the next power of two ≥ bits_per_key ×
+  n_distinct(file), so small files get small filters and the false-put
+  rate stays ~constant as file sizes vary. Power-of-two keeps the
+  position computation a mask, and each file's m is stored with it.
+- Hashing is md5 double-hashing (h1 + i·h2 mod m, Kirsch-Mitzenmacher):
+  engine- and platform-deterministic, like every other cross-cutting
+  hash in this repo (functions/hashing.py rationale).
+- The index relation is #files rows of m/8 bytes — driver-side testing
+  of a lookup is bounded metadata, the same budget read_pruned spends.
+- ``bloom_index_add`` indexes only files absent from the index (an
+  append-only ingest adds files, never rewrites them), so maintenance
+  cost is O(new data).
+
+Reference basis: file-level Bloom skipping as in Parquet's bloom_filter
+column-index feature and the ORC/Iceberg equivalents — re-expressed
+engine-side so it works over plain parquet directories.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEFAULT_BITS_PER_KEY = 16
+_K = 4  # hash functions; with 16 bits/key the false-positive rate ~0.2%
+
+
+def _norm_path(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _positions(key: str, m_bits: int) -> list[int]:
+    d = hashlib.md5(key.encode("utf-8")).hexdigest()
+    h1 = int(d[:15], 16)
+    h2 = int(d[15:30], 16) | 1  # odd => full-period stride for 2^n m
+    return [(h1 + i * h2) % m_bits for i in range(_K)]
+
+
+def _m_bits_for(n_keys: int, bits_per_key: int) -> int:
+    target = max(64, n_keys * bits_per_key)
+    m = 64
+    while m < target:
+        m <<= 1
+    return m
+
+
+def _bitmap_for(keys: Iterable[str], m_bits: int) -> bytes:
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for key in keys:
+        for pos in _positions(key, m_bits):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits.tobytes()
+
+
+def _test(bitmap: bytes, key: str, m_bits: int) -> bool:
+    for pos in _positions(key, m_bits):
+        if not (bitmap[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _file_rows(
+    df: DataFrame, key_col: str, bits_per_key: int
+) -> DataFrame:
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.input_file_name().alias("f"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["key"].dropna().unique()
+        m = _m_bits_for(len(keys), bits_per_key)
+        return pd.DataFrame(
+            {
+                "f": [_norm_path(pdf["f"].iloc[0])],
+                "n_keys": [len(keys)],
+                "m_bits": [m],
+                "k": [_K],
+                "bitmap": [_bitmap_for(keys, m)],
+            }
+        )
+
+    return keyed.groupBy("f").applyInPandas(
+        fold, "f string, n_keys long, m_bits long, k int, bitmap binary"
+    )
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    index_dir: str,
+    bits_per_key: int = _DEFAULT_BITS_PER_KEY,
+) -> None:
+    """One table pass -> one Bloom filter per data file."""
+    df = spark.read.parquet(table_dir)
+    rows = _file_rows(df, key_col, bits_per_key)
+    rows.write.mode("overwrite").parquet(f"{index_dir}/files.parquet")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/manifest.json", "w") as fh:
+        json.dump(
+            {"key_col": key_col, "bits_per_key": bits_per_key, "k": _K}, fh
+        )
+
+
+def _load_manifest(index_dir: str) -> dict:
+    with open(f"{index_dir}/manifest.json") as fh:
+        return json.load(fh)
+
+
+def bloom_index_add(
+    spark: SparkSession, table_dir: str, index_dir: str
+) -> int:
+    """Index data files not yet covered (append-only ingest maintenance).
+    Returns the number of newly indexed files."""
+    man = _load_manifest(index_dir)
+    have = {
+        r.f
+        for r in spark.read.parquet(f"{index_dir}/files.parquet")
+        .select("f")
+        .collect()
+    }  # #files rows — bounded metadata
+    all_files = sorted(
+        os.path.join(table_dir, n)
+        for n in os.listdir(table_dir)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+    new = [f for f in all_files if os.path.abspath(f) not in {_norm_path(h) for h in have}]
+    if not new:
+        return 0
+    df = spark.read.parquet(*new)
+    rows = _file_rows(df, man["key_col"], man["bits_per_key"])
+    rows.write.mode("append").parquet(f"{index_dir}/files.parquet")
+    return len(new)
+
+
+def bloom_candidate_files(
+    spark: SparkSession, index_dir: str, values: Sequence
+) -> list[str]:
+    """Files whose filters admit ANY of the lookup values (driver-side
+    bitset tests over #files rows)."""
+    idx = spark.read.parquet(f"{index_dir}/files.parquet").collect()
+    keys = [str(v) for v in values]
+    out = []
+    for r in idx:
+        bm = bytes(r.bitmap)
+        if any(_test(bm, key, r.m_bits) for key in keys):
+            out.append(_norm_path(r.f))
+    return sorted(out)
+
+
+def bloom_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    index_dir: str,
+    values: Sequence,
+) -> tuple[DataFrame, list[str]]:
+    """Point lookup through the index: returns (rows, files_opened).
+
+    Only the candidate files are listed in the read; absent keys whose
+    filters all reject never touch a data file (an empty frame with the
+    table's schema comes back from a LIMIT-0 scan of the directory
+    footer, not a data read)."""
+    man = _load_manifest(index_dir)
+    key_col = man["key_col"]
+    cands = bloom_candidate_files(spark, index_dir, values)
+    if not cands:
+        empty = spark.read.parquet(table_dir).limit(0)
+        return empty.where(F.lit(False)), []
+    df = spark.read.parquet(*cands)
+    # native-typed isin so the equality predicate pushes down into the
+    # parquet scan of the surviving files (PushedFilters: In(key, ...))
+    return df.where(F.col(key_col).isin(list(values))), cands
+
+
+def bloom_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Occupancy tripwire: per-file fill fraction and implied
+    false-positive rate ((fill)^k). A fill far above ~0.5 means
+    bits_per_key was sized for a smaller file than the ingest produces —
+    rebuild with a bigger budget before lookups degrade to full scans."""
+    idx = spark.read.parquet(f"{index_dir}/files.parquet")
+
+    def fill(pdf_iter):
+        for pdf in pdf_iter:
+            fills = []
+            for bm in pdf["bitmap"]:
+                arr = np.frombuffer(bytes(bm), dtype=np.uint8)
+                fills.append(float(np.unpackbits(arr).mean()))
+            yield pd.DataFrame(
+                {
+                    "f": pdf["f"],
+                    "n_keys": pdf["n_keys"],
+                    "m_bits": pdf["m_bits"],
+                    "fill": fills,
+                    "fp_rate": [f_**_K for f_ in fills],
+                }
+            )
+
+    return idx.mapInPandas(
+        fill, "f string, n_keys long, m_bits long, fill double, fp_rate double"
+    )

@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_vector_search_spark.bloom import (
+    bloom_candidate_files,
+    bloom_index_add,
+    bloom_index_stats,
+    bloom_lookup,
+    build_bloom_index,
+)
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """documents spread over many small files so skipping is observable."""
+    d = str(tmp_path_factory.mktemp("bloom") / "docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(12, "doc_id").write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, table_dir, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("bloom") / "idx")
+    build_bloom_index(spark, table_dir, "doc_id", d)
+    return d
+
+
+def _data_files(table_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(table_dir, n)
+        for n in os.listdir(table_dir)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+
+
+def test_lookup_matches_full_filter(spark, table_dir, index_dir):
+    full = spark.read.parquet(table_dir)
+    keys = [r.doc_id for r in full.orderBy("doc_id").limit(3).collect()]
+    got, opened = bloom_lookup(spark, table_dir, index_dir, keys)
+    want = full.where(F.col("doc_id").isin(keys))
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    # the filter must actually skip: candidates are a strict subset
+    assert 0 < len(opened) < len(_data_files(table_dir))
+
+
+def test_candidates_cover_containing_file(spark, table_dir, index_dir):
+    # every key's TRUE containing file must be a candidate (no false
+    # negatives — the Bloom guarantee the reader relies on)
+    rows = (
+        spark.read.parquet(table_dir)
+        .select("doc_id", F.input_file_name().alias("f"))
+        .limit(50)
+        .collect()
+    )
+    for r in rows[:10]:
+        cands = bloom_candidate_files(spark, index_dir, [r.doc_id])
+        truth = r.f[7:] if r.f.startswith("file://") else r.f
+        assert truth in cands
+
+
+def test_absent_key_opens_almost_nothing(spark, table_dir, index_dir):
+    # a key far outside the domain: every filter should reject it (16
+    # bits/key, k=4 => ~0.2% fp per file; allow <=1 unlucky collision)
+    got, opened = bloom_lookup(spark, table_dir, index_dir, [10**15 + 17])
+    assert got.count() == 0
+    assert len(opened) <= 1
+
+
+def test_add_only_indexes_new_files(spark, table_dir, index_dir, sf_dir):
+    # append two more files, add-index them, and expect lookup coverage
+    extra = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .limit(40)
+    )
+    extra.repartition(2).write.mode("append").parquet(table_dir)
+    n_new = bloom_index_add(spark, table_dir, index_dir)
+    assert n_new == 2
+    # re-add is a no-op
+    assert bloom_index_add(spark, table_dir, index_dir) == 0
+    key = 1_000_000 + extra.agg(F.min("doc_id") - 1_000_000).collect()[0][0]
+    got, opened = bloom_lookup(spark, table_dir, index_dir, [key])
+    assert got.count() == 1
+    assert len(opened) < len(_data_files(table_dir))
+
+
+def test_stats_fill_sane(spark, index_dir):
+    stats = bloom_index_stats(spark, index_dir).collect()
+    assert stats
+    for r in stats:
+        assert 0.0 < r.fill < 0.6  # sized at 16 bits/key => well under half
+        assert r.fp_rate < 0.13
+
+
+def test_pushdown_in_candidate_scan(spark, table_dir, index_dir):
+    keys = [
+        r.doc_id
+        for r in spark.read.parquet(table_dir).orderBy("doc_id").limit(2).collect()
+    ]
+    got, opened = bloom_lookup(spark, table_dir, index_dir, keys)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
