@@ -237,6 +237,7 @@ def choose_join_strategy(
     small_row_bytes: int,
     broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
     salt_rows_per_key: float = 1_000_000.0,
+    hot_rows: float | None = None,
 ) -> str:
     """'broadcast' | 'salted' | 'shuffle' from persisted stats only.
 
@@ -253,10 +254,18 @@ def choose_join_strategy(
     an over-threshold small side degrades to 'shuffle'. ``big_stats``
     can also be a CALLABLE returning the stats dict: it is invoked only
     when the broadcast test fails, so the common broadcast-fits path
-    never triggers the big side's ANALYZE scan."""
+    never triggers the big side's ANALYZE scan.
+
+    ``hot_rows`` (optional, from ``hot_key_rows``'s Misra-Gries pass)
+    catches the skew shape the ndv average CANNOT see: a high-ndv key
+    column with one sentinel value holding a table-sized share. When the
+    hottest single key exceeds ``salt_rows_per_key``, salt regardless of
+    the average."""
     small_rows = next(iter(small_stats.values()))["n_rows"]
     if small_rows * small_row_bytes <= broadcast_max_bytes:
         return "broadcast"
+    if hot_rows is not None and hot_rows > salt_rows_per_key:
+        return "salted"
     if callable(big_stats):
         big_stats = big_stats()
     if big_stats is not None and (
@@ -525,3 +534,82 @@ def incremental_analyze(
         json.dump(merged, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries) — the skew signal avg_rows_per_key can't
+# see. ndv-based detection misses the classic production failure: a join
+# key with MILLIONS of distinct values (avg rows/key ~ 1) where one
+# sentinel value ('', 0, 'unknown') holds 10% of the table — the shuffle
+# partition for that key alone is what OOMs. Misra-Gries finds every
+# value with frequency > n/k in ONE pass with NO shuffle: each partition
+# keeps a k-counter summary (mapInPandas), the driver merges the
+# (#partitions × k)-row summaries — bounded metadata, like every other
+# stats artifact here. Guarantees (Misra-Gries '82): any value with true
+# count > n/k survives; reported count is a lower bound within n/k of
+# truth. Summaries merge associatively (union counters, then decrement
+# by the (k+1)-th largest and drop non-positive), so the same summary
+# rows fold into the incremental-ANALYZE flow.
+# ---------------------------------------------------------------------------
+
+MG_K = 64
+
+
+def _mg_fold(counts: dict, k: int) -> dict:
+    """Shrink a counter dict to at most k entries, MG-style."""
+    if len(counts) <= k:
+        return counts
+    dec = sorted(counts.values(), reverse=True)[k]
+    return {v: c - dec for v, c in counts.items() if c - dec > 0}
+
+
+def merge_mg(a: dict, b: dict, k: int = MG_K) -> dict:
+    out = dict(a)
+    for v, c in b.items():
+        out[v] = out.get(v, 0) + c
+    return _mg_fold(out, k)
+
+
+def column_heavy_hitters(
+    df: DataFrame, col: str, k: int = MG_K
+) -> tuple[dict, int]:
+    """(summary, n_rows): Misra-Gries k-summary of ``col`` plus the
+    non-null row count it covers. One pass, no shuffle: per-partition
+    summaries come back as (#partitions × k) rows."""
+    import pandas as pd
+
+    def summarize(pdf_iter):
+        counts: dict = {}
+        n = 0
+        for pdf in pdf_iter:
+            vals = pdf["v"].dropna()
+            n += len(vals)
+            for v, c in vals.value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            counts = _mg_fold(counts, MG_K if k <= 0 else k)
+        yield pd.DataFrame(
+            {"v": list(counts.keys()) + [None],
+             "c": list(counts.values()) + [n]}
+        )
+
+    rows = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .mapInPandas(summarize, "v string, c long")
+        .collect()
+    )
+    summary: dict = {}
+    n_rows = 0
+    for r in rows:
+        if r["v"] is None:
+            n_rows += r["c"]
+        else:
+            summary = merge_mg(summary, {r["v"]: r["c"]}, k)
+    return summary, n_rows
+
+
+def hot_key_rows(df: DataFrame, col: str, k: int = MG_K) -> float:
+    """Estimated row count of the hottest join-key value (lower bound;
+    within n/k of truth). Feed as ``choose_join_strategy``'s
+    ``hot_rows`` to catch single-sentinel skew ndv math misses."""
+    summary, n = column_heavy_hitters(df, col, k)
+    return float(max(summary.values())) if summary else 0.0

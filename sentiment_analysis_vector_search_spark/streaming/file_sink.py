@@ -601,3 +601,61 @@ def stream_emb_dedup_ingest(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_bloom_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    table_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    glob: str = "*.parquet",
+) -> None:
+    """Continuous ingest with Bloom-index maintenance: each micro-batch
+    appends its rows to ``table_dir`` and folds ONLY the newly appended
+    data files into the per-file Bloom skipping index (bloom.py) — point
+    lookups stay file-pruned as the table grows, and maintenance cost is
+    O(batch), never a table rescan.
+
+    Exactly-once: the table append uses the recorded-batch-id guard
+    (replayed batches would otherwise append duplicate files);
+    ``bloom_index_add`` itself is idempotent by construction — it
+    indexes the file-listing DIFF, so a crash between append and add is
+    healed by the next batch's add."""
+    import json
+    import os
+
+    from ..bloom import bloom_index_add, build_bloom_index
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_bloom_commits.json")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch: files already appended + indexed
+        batch_df.write.mode("append").parquet(table_dir)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            build_bloom_index(spark, table_dir, key_col, index_dir)
+        else:
+            bloom_index_add(spark, table_dir, index_dir)
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -113,3 +113,52 @@ def test_pushdown_in_candidate_scan(spark, table_dir, index_dir):
     got, opened = bloom_lookup(spark, table_dir, index_dir, keys)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+def test_stream_bloom_maintenance(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.bloom import (
+        bloom_candidate_files,
+        bloom_lookup,
+        build_bloom_index,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_bloom_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # three source files => three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    table_dir, index_dir, ck = (
+        str(tmp_path / "tbl"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    stream_bloom_maintenance(spark, src, table_dir, index_dir, ck)
+
+    full = spark.read.parquet(table_dir)
+    assert full.count() == docs.count()
+    keys = [r.doc_id for r in docs.orderBy("doc_id").limit(2).collect()]
+    got, opened = bloom_lookup(spark, table_dir, index_dir, keys)
+    want = full.where(F.col("doc_id").isin(keys))
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in want.collect()
+    )
+    assert opened  # and the index covers the streamed files
+
+    # streamed index == one-shot rebuild (same candidate sets)
+    rebuilt = str(tmp_path / "idx2")
+    build_bloom_index(spark, table_dir, "doc_id", rebuilt)
+    for k in keys + [10**15 + 3]:
+        assert bloom_candidate_files(
+            spark, index_dir, [k]
+        ) == bloom_candidate_files(spark, rebuilt, [k])
+
+    # re-drain: no new rows, no new index entries
+    n_idx = spark.read.parquet(f"{index_dir}/files.parquet").count()
+    stream_bloom_maintenance(spark, src, table_dir, index_dir, ck)
+    assert spark.read.parquet(table_dir).count() == docs.count()
+    assert spark.read.parquet(f"{index_dir}/files.parquet").count() == n_idx

@@ -424,3 +424,50 @@ def test_incremental_analyze_matches_full_scan(spark, tmp_path):
 
     est = estimated_equality_rows(persisted, "dup")
     assert abs(est - 9000 / 2000) / (9000 / 2000) < 0.15
+
+
+def test_misra_gries_finds_planted_hot_key(spark):
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_heavy_hitters,
+        hot_key_rows,
+    )
+
+    # 20% of rows share one key; the rest are unique (ndv-average ~1.25
+    # rows/key — the shape avg_rows_per_key calls "no skew")
+    n, hot = 10_000, 2_000
+    df = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(777777)).otherwise(F.col("id")).alias("k")
+    ).repartition(8)
+    summary, n_rows = column_heavy_hitters(df, "k", k=64)
+    assert n_rows == n
+    # MG guarantee: any value with count > n/k survives, reported count
+    # within n/k of truth (lower bound)
+    assert "777777" in summary
+    assert hot - n / 64 <= summary["777777"] <= hot
+    assert hot_key_rows(df, "k", k=64) >= hot - n / 64
+
+
+def test_misra_gries_merge_associative(spark):
+    from sentiment_analysis_vector_search_spark.stats import merge_mg
+
+    a = {"x": 100, "y": 40}
+    b = {"x": 60, "z": 55}
+    m1 = merge_mg(a, b, k=2)
+    # union then fold: x=160, y=40, z=55 -> decrement by 3rd largest (40)
+    assert m1 == {"x": 120, "z": 15}
+
+
+def test_chooser_salts_on_hot_key_signal():
+    from sentiment_analysis_vector_search_spark.stats import choose_join_strategy
+
+    # small side too big to broadcast; big side high-ndv (avg ~1 row/key,
+    # no salt from the average) but with a sentinel key holding 5M rows
+    small = {"k": {"n_rows": 50_000_000, "n_nulls": 0, "approx_ndv": 50_000_000}}
+    big = {"k": {"n_rows": 100_000_000, "n_nulls": 0, "approx_ndv": 90_000_000}}
+    assert (
+        choose_join_strategy(small, big, "k", small_row_bytes=100) == "shuffle"
+    )
+    assert (
+        choose_join_strategy(small, big, "k", small_row_bytes=100, hot_rows=5e6)
+        == "salted"
+    )
