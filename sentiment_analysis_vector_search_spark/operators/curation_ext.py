@@ -425,3 +425,107 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[1], 6).alias("p90_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_exact — exact-substring decontamination, the companion of
+# decontaminate_ngrams: n-gram overlap catches tokenized near-matches,
+# this catches VERBATIM benchmark leakage (the "exact match" pass every
+# eval-decontamination pipeline runs first). Eval probes are each held-out
+# doc's leading span — the benchmark-prompt stand-in (same data-derived
+# eval set as decontaminate_ngrams: doc_id < _EVAL_DOCS).
+#
+# Scale shape: the probe relation is ≤_EVAL_DOCS rows, broadcast into a
+# nested-loop contains() scan — corpus × |probes| map-side character
+# search, corpus touched once, nothing shuffles but the per-doc hit
+# count (and that at doc grain).
+# ---------------------------------------------------------------------------
+
+_EXACT_SPAN = 40  # probe length (chars) — the benchmark-prompt stand-in
+
+_EXACT_ORACLE = f"""
+WITH probes AS (
+  SELECT DISTINCT substring(text, 1, {_EXACT_SPAN}) AS s
+  FROM documents WHERE doc_id < {_EVAL_DOCS} AND length(text) > 0
+), hits AS (
+  SELECT d.doc_id, count(*) AS n
+  FROM documents d JOIN probes p ON contains(d.text, p.s)
+  WHERE d.doc_id >= {_EVAL_DOCS}
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(h.n, 0) as bigint) AS n_exact_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_EVAL_DOCS}) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("decontaminate_exact", oracle=_EXACT_ORACLE)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    probes = (
+        docs.where((F.col("doc_id") < _EVAL_DOCS) & (F.length("text") > 0))
+        .select(F.substring("text", 1, _EXACT_SPAN).alias("s"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") >= _EVAL_DOCS)
+    hits = (
+        corpus.select("doc_id", "text")
+        .join(F.broadcast(probes), F.col("text").contains(F.col("s")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_exact_hits"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_balance_gini — one-number imbalance summary of the per-source
+# mass distribution (Gini coefficient over char mass): the health metric
+# tracked alongside domain_mix_plan — a mix plan moves it, this measures
+# it. G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over sources sorted ascending.
+#
+# Scale shape: one map-side-combinable groupBy to |sources| rows; the
+# rank window and final fold run on that tiny aggregate only. All sums
+# are exact integers (char counts), so cross-engine parity needs no
+# decimal bridge — one double division at the end.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH agg AS (
+  SELECT source, sum(n_chars) AS x FROM documents GROUP BY source
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM agg
+)
+SELECT cast(count(*) as bigint) AS n_sources,
+       cast(sum(x) as bigint) AS total_chars,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+@register("corpus_balance_gini", oracle=_GINI_ORACLE)
+def corpus_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(F.sum("n_chars").alias("x"))
+    w = Window.orderBy(F.asc("x"), F.asc("source"))  # over |sources| rows
+    ranked = agg.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("x").cast("bigint").alias("total_chars"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

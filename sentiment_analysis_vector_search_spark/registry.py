@@ -161,8 +161,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #   new late-r8 (registered AFTER the r8 window froze, so never
 #     driver-graded this round — must-grade r9, same precedent as the
 #     r5-tail queries graded in r6): rag_hybrid_retrieve,
-#     chat_history_messages, corpus_data_card, emb_outlier_scores.
-#     All four are oracle-backed and verified green by builder
+#     chat_history_messages, corpus_data_card, emb_outlier_scores,
+#     decontaminate_exact, corpus_balance_gini.
+#     All six are oracle-backed and verified green by builder
 #     driver_sim sweeps at sf0.01 + sf0.1 on arrival.
 GRADED_WINDOW: list[str] = [
     # changed r8
