@@ -52,6 +52,11 @@ SHOW = [
     ("q_events_path_trigrams", "width-3 two-phase: chunk windows + <=4-edge-row boundary merge"),
     ("train_curriculum_order", "TeraSort-rank curriculum stages; no global ntile window"),
     ("chat_suggested_questions", "one scalar-aggregate scan; literal list algebra on a single row"),
+    # late-r8 additions
+    ("rag_hybrid_retrieve", "shared tfidf subtree; broadcast seed posting-list join; RRF over <=2k rows"),
+    ("emb_outlier_scores", "broadcast centroids; two-phase salted bottom-K (no data-sized per-label window)"),
+    ("chat_history_messages", "(user, day)-grain window, 2-row frame; bounded per-key state"),
+    ("decontaminate_exact", "broadcast probe relation; map-side contains scan; doc-grain hit agg"),
 ]
 
 
