@@ -177,6 +177,15 @@ HEADLINE = [
     "q_events_dau_wau",
     "docs_length_histogram",
     "text_char_trigram_score",
+    # late-r8 additions: retrieval fusion / chat history / curation cards /
+    # embedding audit / exact decontam / balance / BM25
+    "rag_hybrid_retrieve",
+    "chat_history_messages",
+    "corpus_data_card",
+    "emb_outlier_scores",
+    "decontaminate_exact",
+    "corpus_balance_gini",
+    "bm25_retrieve",
 ]
 
 

@@ -1,0 +1,245 @@
+"""BM25 keyword retrieval + a persisted, incrementally-maintained
+serving index for it.
+
+The reference serves retrieval over an in-memory matrix rebuilt per
+analysis run (Context_analyzer_RoBERTa_fun.py:73 builds vectors,
+chatbot_analyzer.py:20 retrieves context). ``rag_retrieve`` re-expressed
+the keyword leg as TF-IDF scoring; this module adds the ranking function
+production keyword search actually serves — Okapi BM25 — and, more
+importantly, the PERSISTED index that answers queries without touching
+the corpus:
+
+- ``bm25_retrieve`` (graded query): full-corpus BM25 top-k for a fixed
+  query-word set, DuckDB-oracle-checked.
+- ``build_text_index`` / ``text_index_query`` / ``text_index_add``:
+  word-bucket-partitioned postings with doc length denormalized inline,
+  so a query reads ONLY its query words' buckets (partition pruning),
+  joins nothing corpus-sized, and recomputes df from the pruned postings
+  (df/idf stay exact under incremental adds with no stored-weight
+  invalidation — the frozen-derivation property the IVF/PQ/dedup indexes
+  rely on). Corpus-level scalars (n_docs, total token count) live in a
+  tiny JSON manifest updated ADDITIVELY per ingest batch.
+
+Why BM25 and not persisted TF-IDF weights: a tfidf posting's weight
+depends on global df AND the doc's l2 norm over all its words — any
+ingest batch invalidates every stored weight. BM25's per-posting state
+(tf, dl) depends only on the posting's own document; everything global
+(df, N, avgdl) is cheap at query time. That is what makes the index
+incrementally maintainable at 100 TB: `add` appends postings for the
+new docs and bumps two counters, and a query after `add` is
+byte-identical to one against a full rebuild (pytest-pinned).
+
+Scale shape: the batch query's posting-list joins are word-keyed with
+the ≤|query| df relation broadcast; the index query reads only the
+query words' hash-bucket partitions (plan-asserted PartitionFilters);
+top-k is orderBy+limit. Nothing collects but the manifest scalars.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import sentiment as S
+from ..functions.stable import dsum, sql_dsum
+from ..registry import register
+
+_K1 = 1.2
+_B = 0.75
+_BM25_WORDS = ("slow", "query", "join")  # the rag_retrieve query-word set
+_BM25_K = 10
+_N_WORD_BUCKETS = 64
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in S.STOPWORDS)
+_words_sql = ", ".join(f"'{w}'" for w in _BM25_WORDS)
+
+# One shared scoring expression on each engine — identical operand types
+# (everything double) and identical parenthesization, so the two engines
+# execute the same IEEE operation sequence and 6-dp rounding can't flip
+# ranks. k1+1, 1-b are pre-folded literals.
+_TERM_SPARK = (
+    "ln(1.0 + (cast(n as double) - cast(df as double) + 0.5)"
+    " / (cast(df as double) + 0.5))"
+    " * (cast(tf as double) * 2.2)"
+    " / (cast(tf as double)"
+    "    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))"
+)
+_TERM_SQL = _TERM_SPARK  # same text parses on both engines by design
+
+_BM25_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words
+  WHERE word NOT IN ({_STOP_SQL}) AND word <> ''
+  GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, cast(sum(tf) as bigint) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), dfs AS (
+  SELECT word, count(*) AS df FROM tf
+  WHERE word IN ({_words_sql}) GROUP BY word
+), scores AS (
+  SELECT tf.doc_id, {sql_dsum(_TERM_SQL, 'score')}
+  FROM tf JOIN dfs USING (word) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scores
+) WHERE rk <= {_BM25_K}
+"""
+
+
+def _tf_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, tf) — the tfidf CTE's tokenization (split on
+    whitespace, lowercase, drop stopwords and empties)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')")
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    return (
+        toks.where(~F.col("word").isin(*S.STOPWORDS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _score_topk(postings: DataFrame, n: int, avgdl: float) -> DataFrame:
+    """(doc_id, tf, dl, df per word) postings -> rounded BM25 top-k.
+    Shared by the batch query and the index query so the two paths are
+    STRUCTURALLY identical (the pytest byte-identity pin)."""
+    scored = (
+        postings.withColumn("n", F.lit(n))
+        .withColumn("avgdl", F.lit(avgdl))
+        .groupBy("doc_id")
+        .agg(dsum(F.expr(_TERM_SPARK)).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over <=k rows
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 6).alias("score"), "rk"
+    )
+
+
+@register("bm25_retrieve", oracle=_BM25_ORACLE)
+def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # three consumers (dl, dfs, query postings) — one tf derivation
+    tf = _tf_rows(docs).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]  # two corpus scalars — bounded driver metadata
+    tfq = tf.where(F.col("word").isin(*_BM25_WORDS))
+    dfs = tfq.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    postings = tfq.join(F.broadcast(dfs), "word").join(dl, "doc_id")
+    return _score_topk(postings, int(st["n"]), float(st["avgdl"]))
+
+
+# ---------------------------------------------------------------------------
+# Persisted serving index
+# ---------------------------------------------------------------------------
+
+
+def _bucket_py(word: str) -> int:
+    """Python twin of functions.hashing.md5_int31 % buckets."""
+    return int(hashlib.md5(word.encode()).hexdigest()[:7], 16) % _N_WORD_BUCKETS
+
+
+def _postings_rows(docs: DataFrame) -> DataFrame:
+    from ..functions.hashing import md5_int31
+
+    tf = _tf_rows(docs).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    return tf.join(dl, "doc_id").select(
+        (md5_int31(F.col("word")) % _N_WORD_BUCKETS).alias("wb"),
+        "word",
+        "doc_id",
+        "tf",
+        "dl",
+    )
+
+
+def _write_manifest(index_dir: str, n_docs: int, sum_dl: int) -> None:
+    tmp = os.path.join(index_dir, "manifest.json.__tmp__")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"n_docs": n_docs, "sum_dl": sum_dl, "buckets": _N_WORD_BUCKETS}, f
+        )
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+
+def _read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    if man["buckets"] != _N_WORD_BUCKETS:
+        raise ValueError(
+            f"text index built with {man['buckets']} word buckets, "
+            f"engine expects {_N_WORD_BUCKETS} — rebuild the index"
+        )
+    return man
+
+
+def build_text_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
+    """One corpus pass -> bucket-partitioned postings + scalar manifest."""
+    rows = _postings_rows(docs).localCheckpoint(eager=True)
+    rows.repartition(F.col("wb")).write.mode("overwrite").partitionBy(
+        "wb"
+    ).parquet(os.path.join(index_dir, "postings"))
+    st = rows.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    os.makedirs(index_dir, exist_ok=True)
+    _write_manifest(index_dir, int(st["n"]), int(st["s"]))
+
+
+def text_index_add(spark: SparkSession, new_docs: DataFrame, index_dir: str) -> None:
+    """Append postings for NEW docs and bump the manifest counters —
+    cost is O(batch); every stored posting stays valid because its state
+    (tf, dl) depends only on its own document."""
+    man = _read_manifest(index_dir)
+    rows = _postings_rows(new_docs).localCheckpoint(eager=True)
+    rows.repartition(F.col("wb")).write.mode("append").partitionBy(
+        "wb"
+    ).parquet(os.path.join(index_dir, "postings"))
+    st = rows.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    _write_manifest(
+        index_dir, man["n_docs"] + int(st["n"]), man["sum_dl"] + int(st["s"])
+    )
+
+
+def text_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    words: tuple[str, ...] = _BM25_WORDS,
+    k: int = _BM25_K,
+) -> DataFrame:
+    """BM25 top-k from the index alone: reads ONLY the query words'
+    bucket partitions (plan-pinned PartitionFilters), computes df from
+    the pruned postings, and scores with the same shared expression as
+    the batch query — byte-identical results (pytest)."""
+    man = _read_manifest(index_dir)
+    buckets = sorted({_bucket_py(w) for w in words})
+    post = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(F.col("wb").isin(buckets))
+        .where(F.col("word").isin(*words))
+    )
+    dfs = post.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    postings = post.join(F.broadcast(dfs), "word")
+    avgdl = man["sum_dl"] * 1.0 / man["n_docs"]
+    return _score_topk(postings, man["n_docs"], avgdl)

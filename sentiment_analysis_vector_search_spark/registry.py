@@ -162,8 +162,8 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     driver-graded this round — must-grade r9, same precedent as the
 #     r5-tail queries graded in r6): rag_hybrid_retrieve,
 #     chat_history_messages, corpus_data_card, emb_outlier_scores,
-#     decontaminate_exact, corpus_balance_gini.
-#     All six are oracle-backed and verified green by builder
+#     decontaminate_exact, corpus_balance_gini, bm25_retrieve.
+#     All seven are oracle-backed and verified green by builder
 #     driver_sim sweeps at sf0.01 + sf0.1 on arrival.
 GRADED_WINDOW: list[str] = [
     # changed r8
@@ -254,6 +254,7 @@ def load_all_modules() -> None:
     from .operators import training_ops  # noqa: F401
     from .operators import chat_ops  # noqa: F401
     from .operators import analytics4  # noqa: F401
+    from .operators import text_index  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

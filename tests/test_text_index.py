@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentiment_analysis_vector_search_spark.operators.text_index import (
+    _BM25_WORDS,
+    bm25_retrieve,
+    build_text_index,
+    text_index_add,
+    text_index_query,
+)
+
+
+def _rows(df):
+    return [(r.doc_id, r.score, r.rk) for r in df.orderBy("rk").collect()]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("bm25") / "idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_text_index(spark, docs, d)
+    return d
+
+
+def test_index_query_matches_batch_query(spark, sf_dir, index_dir):
+    # the frozen-derivation pin: serving from the index is byte-identical
+    # to the full-corpus batch query
+    assert _rows(text_index_query(spark, index_dir)) == _rows(
+        bm25_retrieve(spark, sf_dir)
+    )
+
+
+def test_index_query_prunes_to_word_buckets(spark, index_dir):
+    df = text_index_query(spark, index_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # bucket partition pruning reaches the scan: PartitionFilters on wb
+    assert "PartitionFilters" in plan
+    assert "wb" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    build_text_index(spark, half1, inc)
+    text_index_add(spark, half2, inc)
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, docs, full)
+
+    assert _rows(text_index_query(spark, inc)) == _rows(
+        text_index_query(spark, full)
+    )
+
+
+def test_manifest_refuses_bucket_mismatch(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    d = str(tmp_path / "idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    build_text_index(spark, docs, d)
+    p = os.path.join(d, "manifest.json")
+    man = json.load(open(p))
+    man["buckets"] = 32
+    json.dump(man, open(p, "w"))
+    with pytest.raises(ValueError, match="word buckets"):
+        text_index_query(spark, d)
+
+
+def test_query_words_present_in_results(spark, sf_dir):
+    # every returned doc actually contains at least one query word
+    top = bm25_retrieve(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = top.join(docs, "doc_id").select("doc_id", F.lower("text").alias("t"))
+    for r in joined.collect():
+        assert any(w in r.t for w in _BM25_WORDS)
