@@ -659,3 +659,56 @@ def stream_bloom_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_text_index_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+) -> None:
+    """Continuously-maintained BM25 serving index: each micro-batch of
+    documents appends its postings and bumps the manifest counters
+    (operators/text_index.text_index_add) — O(batch) upkeep, and because
+    a posting's state (tf, dl) depends only on its own document, queries
+    after any number of batches are byte-identical to a full rebuild.
+
+    Exactly-once: the postings append + counter bump is NOT idempotent
+    under replay, so the recorded-batch-id guard (the
+    stream_rollup_maintenance discipline) gates the fold."""
+    import json
+    import os
+
+    from ..operators.text_index import build_text_index, text_index_add
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_text_index_commits.json")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch: postings already folded
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            build_text_index(spark, batch_df, index_dir)
+        else:
+            text_index_add(spark, batch_df, index_dir)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

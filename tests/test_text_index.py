@@ -79,3 +79,35 @@ def test_query_words_present_in_results(spark, sf_dir):
     joined = top.join(docs, "doc_id").select("doc_id", F.lower("text").alias("t"))
     for r in joined.collect():
         assert any(w in r.t for w in _BM25_WORDS)
+
+
+def test_stream_text_index_maintenance(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_text_index_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    idx, ck = str(tmp_path / "idx"), str(tmp_path / "ck")
+    stream_text_index_maintenance(spark, src, idx, ck)
+
+    # streamed index == rebuild over the whole corpus (order-insensitive
+    # batching is exactly what the frozen-derivation property promises)
+    full = str(tmp_path / "full")
+    build_text_index(spark, docs, full)
+    assert _rows(text_index_query(spark, idx)) == _rows(
+        text_index_query(spark, full)
+    )
+
+    # re-drain: counters unchanged (a replayed fold would inflate n_docs)
+    import json
+    import os
+
+    man_before = json.load(open(os.path.join(idx, "manifest.json")))
+    stream_text_index_maintenance(spark, src, idx, ck)
+    man_after = json.load(open(os.path.join(idx, "manifest.json")))
+    assert man_before == man_after
