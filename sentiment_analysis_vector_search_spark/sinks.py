@@ -806,7 +806,8 @@ def compact_index(
     """Compact a persisted ANN index's data files (maintenance verb).
 
     The streamed ingest loops (`stream_ivf_ingest` / `stream_pq_ingest`)
-    append one batch-stamped file per micro-batch (per cell for IVF) —
+    append one batch-stamped file per micro-batch (per cell for IVF,
+    per word bucket for the BM25 text index) —
     exactly-once by design, but after N batches a query opens N files
     per probed cell. This rewrites each leaf directory down to
     ``target_files`` via ``compact_dir``'s atomic swap. Safe w.r.t. the
@@ -816,9 +817,11 @@ def compact_index(
     """
     import os
 
-    sub = {"ivf": "assignments", "pq": "codes"}.get(kind)
+    sub = {"ivf": "assignments", "pq": "codes", "text": "postings"}.get(kind)
     if sub is None:
-        raise ValueError(f"unknown index kind {kind!r}; expected ivf or pq")
+        raise ValueError(
+            f"unknown index kind {kind!r}; expected ivf, pq, or text"
+        )
     root = os.path.join(index_dir, sub)
 
     def _count(d: str) -> int:

@@ -111,3 +111,26 @@ def test_stream_text_index_maintenance(spark, sf_dir, tmp_path):
     stream_text_index_maintenance(spark, src, idx, ck)
     man_after = json.load(open(os.path.join(idx, "manifest.json")))
     assert man_before == man_after
+
+
+def test_compact_text_index_preserves_answers(spark, sf_dir, tmp_path):
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import compact_index
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_text_index_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    idx, ck = str(tmp_path / "idx"), str(tmp_path / "ck")
+    stream_text_index_maintenance(spark, src, idx, ck)
+
+    before = _rows(text_index_query(spark, idx))
+    removed = compact_index(spark, idx, "text")
+    assert removed > 0  # 3 batches appended >1 file per touched bucket
+    assert _rows(text_index_query(spark, idx)) == before
