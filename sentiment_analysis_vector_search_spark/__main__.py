@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     p_warc.add_argument("warc_path")
     p_warc.add_argument("out_dir")
 
+    p_pipe = sub.add_parser(
+        "pipeline",
+        help="run/resume the training-data pipeline (gate->dedup->decontam->mix->pack/shards)",
+    )
+    p_pipe.add_argument("out_root")
+    p_pipe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     p_bloom = sub.add_parser(
         "bloom", help="per-file Bloom skipping index: build / add / lookup / stats"
     )
@@ -279,6 +286,18 @@ def main(argv: list[str] | None = None) -> int:
         docs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(json.dumps({"documents": n, "out": args.out_dir}))
+        return 0
+
+    if args.cmd == "pipeline":
+        import json
+
+        from .session import get_spark
+        from .training_pipeline import run_training_pipeline
+
+        spark = get_spark("cli-pipeline")
+        spark.sparkContext.setLogLevel("ERROR")
+        man = run_training_pipeline(spark, args.sf_dir, args.out_root)
+        print(json.dumps(man, indent=1, sort_keys=True))
         return 0
 
     if args.cmd == "bloom":
