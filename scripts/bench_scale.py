@@ -91,7 +91,7 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # it are SKIPPED AND NAMED (no silent truncation) — the smoke is an
     # order-of-magnitude ratio check, not a completeness gate, and it must
     # not starve the main bench of its capture window.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "720"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "840"))
     out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
 
     detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}
@@ -233,6 +233,56 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
             print(f"  [scale] ivf_index block skipped: {e}", file=sys.stderr)
     else:
         skipped.append("ivf_index")
+
+    # Persisted-BM25 serving path (late r8): same treatment as ivf_index —
+    # build + bucket-pruned query at sf0.1 AND at the tiled corpus, both
+    # ratios pinned (expected << 1: build is one tf pass + one
+    # bucket-partitioned write; query reads only the query words' bucket
+    # partitions, so its cost follows posting volume for three words, not
+    # corpus size).
+    if time.perf_counter() - started <= budget:
+        import shutil
+
+        from sentiment_analysis_vector_search_spark.operators.text_index import (
+            build_text_index,
+            text_index_query,
+        )
+
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+        def _time_text_index(docs_path: str, tag: str) -> tuple[float, float]:
+            idx = os.path.join(os.path.dirname(out), f"text_idx_{tag}")
+            shutil.rmtree(idx, ignore_errors=True)
+            docs = spark.read.parquet(docs_path)
+            t0 = time.perf_counter()
+            build_text_index(spark, docs, idx)
+            tb = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            text_index_query(spark, idx).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tq = round(time.perf_counter() - t0, 2)
+            shutil.rmtree(idx, ignore_errors=True)
+            return tb, tq
+
+        try:
+            _time_text_index(f"{src}/documents.parquet", "warm")  # untimed
+            bb, bq = _time_text_index(f"{src}/documents.parquet", "base")
+            sb, sq = _time_text_index(f"{out}/documents.parquet", "scale")
+            detail["text_index"] = {
+                "base_build": bb,
+                "base_query": bq,
+                "scale_build": sb,
+                "scale_query": sq,
+                "build_ratio": round(sb / (bb * tiles), 2),
+                "query_ratio": round(sq / (bq * tiles), 2),
+            }
+            total += bb + bq + sb + sq
+            print(f"  [scale] text_index: {detail['text_index']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — smoke extra, never fatal
+            print(f"  [scale] text_index block skipped: {e}", file=sys.stderr)
+    else:
+        skipped.append("text_index")
 
     detail["total"] = round(total, 2)
     if skipped:
