@@ -186,6 +186,7 @@ HEADLINE = [
     "decontaminate_exact",
     "corpus_balance_gini",
     "bm25_retrieve",
+    "tok_bigram_pmi",
 ]
 
 

@@ -12,7 +12,7 @@ explode work at VOCABULARY grain (bounded), never corpus grain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
@@ -170,4 +170,113 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wc").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(_BPE_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# tok_bigram_pmi — PMI-ranked collocations: the adjacent-word-pair table a
+# tokenizer/vocab designer reads to decide which multi-word units deserve
+# merged tokens (and a corpus-quality signal: machine-generated text shows
+# degenerate collocation structure). PMI(a,b) = ln(P(ab) / (P(a)P(b))),
+# computed from one tokenized pass, min-count-filtered, top-K.
+#
+# Scale shape: the token relation is derived once (lazy localCheckpoint,
+# two consumers); the bigram generate is map-side over the token arrays
+# (one struct per adjacent pair), both aggregates are partial-agg
+# groupBys, and the unigram joins are vocabulary-grain equi-joins
+# (Heaps-bounded, never corpus-sized). Scalar totals broadcast as 1-row
+# relations. Top-K via orderBy+limit.
+#
+# Parity: all PMI arithmetic happens in doubles with ratios formed FIRST
+# (each factor ~O(1), far from the 2^53 edge at any SF) and an identical
+# operation order in both engines; round 6 before ranking, ties by pair.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 30
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+), uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), nu AS (
+  SELECT cast(sum(c) as double) AS n_uni FROM uc
+), bi AS (
+  SELECT t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
+  FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS p FROM toks)
+), bc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
+), nb AS (
+  SELECT cast(sum(n_pair) as double) AS n_bi FROM bc
+), scored AS (
+  SELECT w1, w2, n_pair,
+         round(ln((cast(n_pair as double) / n_bi)
+                  / ((cast(a.c as double) / n_uni)
+                     * (cast(b.c as double) / n_uni))), 6) AS pmi
+  FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, nu, nb
+  WHERE n_pair >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, n_pair, pmi, rk FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM scored
+) WHERE rk <= {_PMI_TOP}
+"""
+
+
+@register("tok_bigram_pmi", oracle=_PMI_ORACLE)
+def tok_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')").alias("t")
+    ).localCheckpoint(eager=False)  # two consumers: unigrams + bigrams
+    uc = (
+        toks.select(F.explode_outer("t").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # three consumers: nu, ca, cb
+    )
+    nu = uc.agg(F.sum("c").cast("double").alias("n_uni"))
+    pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+        "ELSE array() END"
+    )
+    bc = (
+        toks.select(F.explode_outer(F.expr(pair_expr)).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)  # two consumers: nb + the scored join
+    )
+    nb = bc.agg(F.sum("n_pair").cast("double").alias("n_bi"))
+    ca = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bc.where(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("ca").cast("double") / F.col("n_uni"))
+                        * (F.col("cb").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOP)
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))  # <=K rows
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "w1", "w2", "n_pair", "pmi", "rk"
     )

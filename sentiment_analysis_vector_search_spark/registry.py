@@ -162,8 +162,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     driver-graded this round — must-grade r9, same precedent as the
 #     r5-tail queries graded in r6): rag_hybrid_retrieve,
 #     chat_history_messages, corpus_data_card, emb_outlier_scores,
-#     decontaminate_exact, corpus_balance_gini, bm25_retrieve.
-#     All seven are oracle-backed and verified green by builder
+#     decontaminate_exact, corpus_balance_gini, bm25_retrieve,
+#     tok_bigram_pmi.
+#     All eight are oracle-backed and verified green by builder
 #     driver_sim sweeps at sf0.01 + sf0.1 on arrival.
 GRADED_WINDOW: list[str] = [
     # changed r8
