@@ -57,6 +57,8 @@ SHOW = [
     ("emb_outlier_scores", "broadcast centroids; two-phase salted bottom-K (no data-sized per-label window)"),
     ("chat_history_messages", "(user, day)-grain window, 2-row frame; bounded per-key state"),
     ("decontaminate_exact", "broadcast probe relation; map-side contains scan; doc-grain hit agg"),
+    ("bm25_retrieve", "word-keyed posting joins; broadcast df; shared scoring expr with the index"),
+    ("tok_bigram_pmi", "one tokenized pass; vocabulary-grain unigram joins; broadcast scalars"),
 ]
 
 
