@@ -110,6 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     p_warc.add_argument("warc_path")
     p_warc.add_argument("out_dir")
 
+    p_search = sub.add_parser(
+        "search", help="BM25 keyword search against a persisted text index"
+    )
+    p_search.add_argument("index_dir")
+    p_search.add_argument("words", help="comma-separated query words")
+    p_search.add_argument("--k", type=int, default=10)
+    p_search.add_argument("--build-from", help="parquet docs dir: build index first")
+
     p_pipe = sub.add_parser(
         "pipeline",
         help="run/resume the training-data pipeline (gate->dedup->decontam->mix->pack/shards)",
@@ -286,6 +294,21 @@ def main(argv: list[str] | None = None) -> int:
         docs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(json.dumps({"documents": n, "out": args.out_dir}))
+        return 0
+
+    if args.cmd == "search":
+        import json
+
+        from .operators.text_index import build_text_index, text_index_query
+        from .session import get_spark
+
+        spark = get_spark("cli-search")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.build_from:
+            build_text_index(spark, spark.read.parquet(args.build_from), args.index_dir)
+        words = tuple(w for w in args.words.split(",") if w)
+        rows = text_index_query(spark, args.index_dir, words=words, k=args.k).collect()
+        print(json.dumps([{"doc_id": r.doc_id, "score": r.score, "rk": r.rk} for r in rows]))
         return 0
 
     if args.cmd == "pipeline":

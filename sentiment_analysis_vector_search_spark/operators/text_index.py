@@ -115,7 +115,9 @@ def _tf_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _score_topk(postings: DataFrame, n: int, avgdl: float) -> DataFrame:
+def _score_topk(
+    postings: DataFrame, n: int, avgdl: float, k: int = _BM25_K
+) -> DataFrame:
     """(doc_id, tf, dl, df per word) postings -> rounded BM25 top-k.
     Shared by the batch query and the index query so the two paths are
     STRUCTURALLY identical (the pytest byte-identity pin)."""
@@ -125,7 +127,7 @@ def _score_topk(postings: DataFrame, n: int, avgdl: float) -> DataFrame:
         .groupBy("doc_id")
         .agg(dsum(F.expr(_TERM_SPARK)).alias("score"))
     )
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over <=k rows
     return topk.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", F.round("score", 6).alias("score"), "rk"
@@ -242,4 +244,4 @@ def text_index_query(
     dfs = post.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     postings = post.join(F.broadcast(dfs), "word")
     avgdl = man["sum_dl"] * 1.0 / man["n_docs"]
-    return _score_topk(postings, man["n_docs"], avgdl)
+    return _score_topk(postings, man["n_docs"], avgdl, k=k)
