@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,15 +105,18 @@ def run_training_pipeline(
 
     # 1. quality gate ------------------------------------------------------
     if not man.get("gate", {}).get("done"):
+        t0 = time.perf_counter()
         docs = table(spark, cur, "documents")
         keep = text_quality_gate(spark, cur).where(F.col("keep")).select("doc_id")
         kept = docs.join(keep, "doc_id")
         n_in, n_out = docs.count(), _write_docs(kept, stage_dir("gate"))
-        _mark(out_root, man, "gate", {"rows_in": n_in, "rows_out": n_out})
+        _mark(out_root, man, "gate", {"rows_in": n_in, "rows_out": n_out,
+                                      "seconds": round(time.perf_counter() - t0, 2)})
     cur = stage_dir("gate")
 
     # 2. near-dup removal --------------------------------------------------
     if not man.get("dedup", {}).get("done"):
+        t0 = time.perf_counter()
         docs = table(spark, cur, "documents")
         # one fixpoint run, materialized: two consumers below would
         # otherwise each replay the whole driver-side components loop
@@ -127,11 +131,13 @@ def run_training_pipeline(
             survivors.unionByName(no_candidates).distinct(), "doc_id"
         )
         n_in, n_out = docs.count(), _write_docs(kept, stage_dir("dedup"))
-        _mark(out_root, man, "dedup", {"rows_in": n_in, "rows_out": n_out})
+        _mark(out_root, man, "dedup", {"rows_in": n_in, "rows_out": n_out,
+                                       "seconds": round(time.perf_counter() - t0, 2)})
     cur = stage_dir("dedup")
 
     # 3. decontamination ---------------------------------------------------
     if not man.get("decontaminate", {}).get("done"):
+        t0 = time.perf_counter()
         docs = table(spark, cur, "documents")
         clean = (
             decontaminate_ngrams(spark, cur)
@@ -140,13 +146,14 @@ def run_training_pipeline(
         )
         kept = docs.join(clean, "doc_id")
         n_in, n_out = docs.count(), _write_docs(kept, stage_dir("decontaminate"))
-        _mark(
-            out_root, man, "decontaminate", {"rows_in": n_in, "rows_out": n_out}
-        )
+        _mark(out_root, man, "decontaminate",
+              {"rows_in": n_in, "rows_out": n_out,
+               "seconds": round(time.perf_counter() - t0, 2)})
     cur = stage_dir("decontaminate")
 
     # 4. domain mix --------------------------------------------------------
     if not man.get("mix", {}).get("done"):
+        t0 = time.perf_counter()
         docs = table(spark, cur, "documents")
         rates = domain_mix_plan(spark, cur).select("source", "sampling_rate")
         u = (md5_int31(F.col("doc_id").cast("string")) * F.lit(1.0)) / MOD31
@@ -154,20 +161,24 @@ def run_training_pipeline(
             u < F.col("sampling_rate")
         ).select(*docs.columns)
         n_in, n_out = docs.count(), _write_docs(kept, stage_dir("mix"))
-        _mark(out_root, man, "mix", {"rows_in": n_in, "rows_out": n_out})
+        _mark(out_root, man, "mix", {"rows_in": n_in, "rows_out": n_out,
+                                     "seconds": round(time.perf_counter() - t0, 2)})
     cur = stage_dir("mix")
 
     # 5a. sequence packing table ------------------------------------------
     if not man.get("pack", {}).get("done"):
+        t0 = time.perf_counter()
         packed = pack_sequences(spark, cur)
         pdir = stage_dir("pack")
         os.makedirs(pdir, exist_ok=True)
         packed.write.mode("overwrite").parquet(os.path.join(pdir, "sequences.parquet"))
         n = spark.read.parquet(os.path.join(pdir, "sequences.parquet")).count()
-        _mark(out_root, man, "pack", {"rows_out": n})
+        _mark(out_root, man, "pack",
+              {"rows_out": n, "seconds": round(time.perf_counter() - t0, 2)})
 
     # 5b. training-order shards -------------------------------------------
     if not man.get("shards", {}).get("done"):
+        t0 = time.perf_counter()
         docs = table(spark, cur, "documents")
         sharded = docs.join(
             train_shuffle_shards(spark, cur).select("doc_id", "shard"), "doc_id"
@@ -180,6 +191,18 @@ def run_training_pipeline(
             .parquet(sdir)
         )
         n = spark.read.parquet(sdir).count()
-        _mark(out_root, man, "shards", {"rows_in": docs.count(), "rows_out": n})
+        _mark(out_root, man, "shards",
+              {"rows_in": docs.count(), "rows_out": n,
+               "seconds": round(time.perf_counter() - t0, 2)})
+
+    # release-notes artifact: the dataset card of what actually shipped
+    # (per-source volumes / lang mix / length quantiles of the MIX stage,
+    # i.e. the corpus the shards lay out) — the sheet a training run's
+    # data lineage points at.
+    from .operators.curation_ext import corpus_data_card
+
+    card_path = os.path.join(out_root, "data_card.parquet")
+    if not os.path.exists(card_path):
+        corpus_data_card(spark, cur).write.mode("overwrite").parquet(card_path)
 
     return _load_manifest(out_root)

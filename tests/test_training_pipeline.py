@@ -39,6 +39,12 @@ def test_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
     assert sharded.select("shard").distinct().count() > 1
     packed = spark.read.parquet(os.path.join(out, "pack", "sequences.parquet"))
     assert packed.count() == man["pack"]["rows_out"] > 0
+    assert all(man[s]["seconds"] > 0 for s in STAGES)
+
+    # the shipped-corpus data card covers exactly the mix stage's sources
+    card = spark.read.parquet(os.path.join(out, "data_card.parquet"))
+    mix_docs = spark.read.parquet(os.path.join(out, "mix", "documents.parquet"))
+    assert card.agg(F.sum("n_docs")).collect()[0][0] == mix_docs.count()
 
     # survivors of dedup contain no near-dup pair: re-running the dedup
     # operator over the mix output (a valid sf_dir) finds no duplicates
