@@ -127,106 +127,99 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     r6); file_sink staging moved under the index root (pytest
 #     components, not graded queries); catalog.refresh added (new API,
 #     no existing call-path change).
-# r8 window (50), per the r7 verdict's priority order:
-#   changed r8 — 6: q_events_transitions (the staged swap to
-#     analytics2.transitions_two_phase, pytest-pinned equal r7);
-#     dedup_embedding + dedup_components + dedup_keep_canonical
-#     (stats-informed embedding-LSH band width — r7 verdict #2 — and the
-#     keep_canonical convergence-probe batching — verdict #7);
-#     q5_local_supplier + q18_large_orders (dimension sides routed
-#     through stats_informed_join — verdict #6; q9_product_profit's
-#     routing is covered by its aging slot below)
-#   new in r8 (must-grade on arrival) — 6: chat_suggested_questions,
-#     chat_context_summary, run_params (reference-surface residues,
-#     r7 verdict "What's missing" #1/#2) + q_orders_market_basket,
-#     q_events_path_trigrams, train_curriculum_order (analytics4 —
-#     basket lift, skew-safe width-3 paths, curriculum staging)
-#   aging r5 — 30 (the r7 verdict's deferred list): relational_tpch2 8,
-#     analytics_ext 7, text_ops 7, curation2 3, rag_prep 3,
-#     q_running_revenue, q_revenue_moving_avg
-#   aging r6 (pre-rotated into spare slots so the r9 window isn't
-#     overloaded) — 8: relational_ext 7 of 10 (q18 counted under
-#     changed; q4_priority_exists / q17_small_quantity / q_sql_text_api
-#     yielded their slots to the analytics4 must-grades and defer to
-#     r9), q_cube_revenue
-#   deferred to r9 (r6-graded, unchanged): pipeline_ops 8, streaming 6,
-#     analytics2 4 (rfm/ltv/chi2/backtest + ab_test_lift),
-#     analytics3 3, dq_expectations, source_html_extract,
+# r8 window (50) was: changed r8 6 (q_events_transitions, dedup_embedding,
+#   dedup_components, dedup_keep_canonical, q5_local_supplier,
+#   q18_large_orders) + new r8 6 (chat trio, analytics4 trio) + aging r5
+#   30 (relational_tpch2 8, analytics_ext 7, text_ops 7, curation2 3,
+#   rag_prep 3, running-revenue pair) + aging r6 pre-rotation 8
+#   (relational_ext 7, q_cube_revenue). All 50 graded green in
+#   CORRECTNESS_r08.json.
+#
+# r9 window (50), exactly as the r8 verdict item #1 stages it:
+#   never driver-graded (late-r8 registrations; judge-verified green at
+#     both SFs but no driver row yet — must-grade) — 8:
+#     rag_hybrid_retrieve, chat_history_messages, corpus_data_card,
+#     emb_outlier_scores, decontaminate_exact, corpus_balance_gini,
+#     bm25_retrieve, tok_bigram_pmi
+#   aging r6 (the registry's own deferred list from r8) — 38:
+#     pipeline_ops 8, streaming 6, analytics2 5 (rfm/ltv/chi2/backtest/
+#     ab_test_lift), analytics3 3, dq_expectations, source_html_extract,
 #     q_events_seasonality, q_nation_segment_pivot, q_churned_buyers,
 #     tokenizer_fertility, text_char_diversity, cap_per_source,
 #     ann_range_search, ann_pq_adc_topk, dedup_minhash_quality_audit,
-#     q_events_asof_attribution, q_value_percentiles,
-#     q4_priority_exists, q17_small_quantity, q_sql_text_api —
-#     fits one r9 window with room for new ops.
-#   new late-r8 (registered AFTER the r8 window froze, so never
-#     driver-graded this round — must-grade r9, same precedent as the
-#     r5-tail queries graded in r6): rag_hybrid_retrieve,
-#     chat_history_messages, corpus_data_card, emb_outlier_scores,
-#     decontaminate_exact, corpus_balance_gini, bm25_retrieve,
-#     tok_bigram_pmi.
-#     All eight are oracle-backed and verified green by builder
-#     driver_sim sweeps at sf0.01 + sf0.1 on arrival.
+#     q_events_asof_attribution, q_value_percentiles, q4_priority_exists,
+#     q17_small_quantity, q_sql_text_api
+#   aging r6, missed by the staged list (the one r6 query it omitted;
+#     grading it now leaves ZERO queries older than r7) — 1:
+#     ml_grouped_linreg
+#   new in r9 (must-grade on arrival) — 3: fix_source_name,
+#     q_source_report (reference PDF-header source normalization —
+#     r8 verdict "What's missing" #1), q_events_hot_user_join
+#     (Misra-Gries-driven salted join — r8 verdict #8)
+#   After r9: every one of the 146 queries has a driver CORRECTNESS row
+#   and none predates r7 (multimodal 4 / sentiment_ops 10 / relational 9
+#   / dedup r7 tail / similarity r7 tail are the r7-graded cohort that
+#   rotates in r10).
 GRADED_WINDOW: list[str] = [
-    # changed r8
-    "q_events_transitions",
-    "dedup_embedding",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "q5_local_supplier",
-    "q18_large_orders",
-    # new in r8 (must-grade on arrival)
-    "chat_suggested_questions",
-    "chat_context_summary",
-    "run_params",
-    "q_orders_market_basket",
-    "q_events_path_trigrams",
-    "train_curriculum_order",
-    # aging r5: relational_tpch2 (q9 also changes r8: stats join routing)
-    "q2_min_cost_supplier",
-    "q8_national_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    # aging r5: analytics_ext
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_gapfill",
-    "q_events_anomaly",
-    "q_user_overlap",
-    "emb_label_centroids",
-    "pipeline_curate_stats",
-    # aging r5: text_ops
-    "text_extract_blocks",
-    "text_extract_dates",
-    "top_words",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    # aging r5: curation2
-    "pack_sequences",
-    "corpus_vocab_stats",
-    "emb_quality_audit",
-    # aging r5: rag_prep
-    "chunk_documents",
-    "contrastive_pairs",
-    "split_train_holdout",
-    # aging r5: running-revenue pair
-    "q_running_revenue",
-    "q_revenue_moving_avg",
-    # aging r6 (pre-rotation): relational_ext + cube
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_disjunctive_filter",
-    "q22_dormant_customers",
-    "q_revenue_rollup",
-    "q16_supplier_breadth",
-    "q_cube_revenue",
+    # never driver-graded: late-r8 registrations
+    "rag_hybrid_retrieve",
+    "chat_history_messages",
+    "corpus_data_card",
+    "emb_outlier_scores",
+    "decontaminate_exact",
+    "corpus_balance_gini",
+    "bm25_retrieve",
+    "tok_bigram_pmi",
+    # aging r6: pipeline_ops
+    "text_pii_redact",
+    "text_quality_gate",
+    "sample_stratified",
+    "run_metrics",
+    "text_char_trigram_score",
+    "docs_source_profile",
+    "sample_importance",
+    "fix_company_name",
+    # aging r6: streaming
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "stream_stateful_user_stats",
+    "stream_dedup_exact",
+    "stream_interval_join",
+    "stream_quality_gate",
+    # aging r6: analytics2
+    "q_customer_rfm",
+    "q_cohort_ltv",
+    "q_events_chi2",
+    "q_forecast_backtest",
+    "ab_test_lift",
+    # aging r6: analytics3
+    "text_repetition_score",
+    "q_events_dau_wau",
+    "docs_length_histogram",
+    # aging r6: singles
+    "dq_expectations",
+    "source_html_extract",
+    "q_events_seasonality",
+    "q_nation_segment_pivot",
+    "q_churned_buyers",
+    "tokenizer_fertility",
+    "text_char_diversity",
+    "cap_per_source",
+    "ann_range_search",
+    "ann_pq_adc_topk",
+    "dedup_minhash_quality_audit",
+    "q_events_asof_attribution",
+    "q_value_percentiles",
+    "q4_priority_exists",
+    "q17_small_quantity",
+    "q_sql_text_api",
+    "ml_grouped_linreg",
+    # new in r9 (must-grade on arrival)
+    "fix_source_name",
+    "q_source_report",
+    "q_events_hot_user_join",
 ]
+
 
 def load_all_modules() -> None:
     """Import every operator module, then order the registry so the
@@ -256,6 +249,7 @@ def load_all_modules() -> None:
     from .operators import chat_ops  # noqa: F401
     from .operators import analytics4  # noqa: F401
     from .operators import text_index  # noqa: F401
+    from .operators import report_ops  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

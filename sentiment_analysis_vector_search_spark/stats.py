@@ -323,10 +323,13 @@ def stats_informed_join(
     broadcast_max_bytes: int = DEFAULT_BROADCAST_MAX_BYTES,
     salt_rows_per_key: float = 1_000_000.0,
     how: str = "inner",
+    hot_rows: float | None = None,
 ) -> DataFrame:
     """Equi-join with the strategy picked by :func:`choose_join_strategy`.
     Result rows are identical under every strategy (pytest-pinned); only
-    the physical plan differs."""
+    the physical plan differs. ``hot_rows`` (a ``hot_key_rows``
+    Misra-Gries measurement of the big side's key) triggers the salted
+    rewrite on single-sentinel skew the ndv average cannot see."""
     strategy = choose_join_strategy(
         small_stats,
         big_stats,
@@ -334,6 +337,7 @@ def stats_informed_join(
         schema_row_bytes(small, small_stats),
         broadcast_max_bytes,
         salt_rows_per_key,
+        hot_rows=hot_rows,
     )
     if strategy == "broadcast":
         return big.join(F.broadcast(small), on=key_col, how=how)

@@ -471,3 +471,46 @@ def test_chooser_salts_on_hot_key_signal():
         choose_join_strategy(small, big, "k", small_row_bytes=100, hot_rows=5e6)
         == "salted"
     )
+
+
+def test_mg_signal_flips_join_plan_end_to_end(spark):
+    """r8 verdict #8 'Done' condition: REAL Misra-Gries output (not a
+    fabricated number) drives the chooser's plan flip shuffle -> salted
+    inside stats_informed_join, on a planted-sentinel fixture, with
+    values identical either way."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        hot_key_rows,
+        stats_informed_join,
+    )
+
+    n = 10_000
+    big = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 10 < 3, F.lit(-1))
+            .otherwise(F.col("id"))
+            .cast("bigint")
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+    )
+    small = big.select("k").distinct().select(
+        "k", (F.col("k") % 7).alias("w")
+    )
+    hot = hot_key_rows(big, "k")  # the measured signal
+    assert hot >= 0.3 * n - n / 64  # MG lower bound sees the sentinel
+
+    # small side "too big to broadcast" per its (fabricated) stats; big
+    # side never ANALYZEd -> without the MG signal the chooser says
+    # shuffle, with it salted. The flip must show in the physical plan.
+    small_st = _mkstats(10**8, 10**8)
+    plain = stats_informed_join(big, small, "k", None, small_st)
+    salted = stats_informed_join(
+        big, small, "k", None, small_st, salt_rows_per_key=n / 8, hot_rows=hot
+    )
+    assert "_salt" not in plain._jdf.queryExecution().toString()
+    assert "_salt" in salted._jdf.queryExecution().toString()
+    exp = sorted((r["k"], r["v"], r["w"]) for r in plain.collect())
+    got = sorted((r["k"], r["v"], r["w"]) for r in salted.collect())
+    assert got == exp
