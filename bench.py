@@ -187,6 +187,10 @@ HEADLINE = [
     "corpus_balance_gini",
     "bm25_retrieve",
     "tok_bigram_pmi",
+    # r9 additions: report-header source normalization + MG-driven salt
+    "fix_source_name",
+    "q_source_report",
+    "q_events_hot_user_join",
 ]
 
 
@@ -216,8 +220,38 @@ _GC_SETTLE = {
     "ann_pq_adc_topk",
     "rag_retrieve",
     "dedup_minhash_quality_audit",
+    # r8 verdict #4: the remaining 3-rep queries whose driver raw reps
+    # swung >= 2x on UNCHANGED code (host contention masquerading as
+    # regression): q_revenue_rollup [0.91, 2.02, 0.78], q_customer_rfm
+    # [1.80, 1.84, 2.88], stream_interval_join spread 0.91, plus the
+    # same-class floor-adjusted outliers the verdict adjudicated.
+    "q_revenue_rollup",
+    "q_customer_rfm",
+    "stream_interval_join",
+    "q_cohort_ltv",
+    "stream_dedup_exact",
+    "q_order_deciles",
 }
 _GC_SETTLE_MIN_REPS = 5
+
+# Fleet-wide backstop for the same failure mode on queries NOT in the
+# settle sets: if the measured reps still swing >= 2x max/min, the rep
+# set is contaminated by neighbor-query JVM state, not by the query —
+# settle the heap and take up to 2 extra reps so the median (over ALL
+# recorded reps; nothing is discarded) re-centers on the quiet value.
+_RETRY_RATIO = 2.0
+_RETRY_MAX = 2
+
+
+def _jvm_settle(spark) -> None:
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    except Exception:  # noqa: BLE001 — hygiene only
+        pass
 
 
 def _time_queries(
@@ -238,12 +272,7 @@ def _time_queries(
             n_reps = reps
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         if name in _GC_SETTLE:
-            gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()
-                time.sleep(0.5)
-            except Exception:  # noqa: BLE001 — hygiene only
-                pass
+            _jvm_settle(spark)
         runs = []
         for _ in range(n_reps):
             if name in _ITERATIVE:
@@ -252,15 +281,21 @@ def _time_queries(
                 # without it the previous rep's blocks are collected
                 # DURING the next rep (measured: a 3x first-rep outlier
                 # with python-gc only; none with the JVM GC + settle).
-                gc.collect()
-                try:
-                    spark.sparkContext._jvm.System.gc()
-                    time.sleep(0.5)
-                except Exception:  # noqa: BLE001 — hygiene only
-                    pass
+                _jvm_settle(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        retries = 0
+        while (
+            retries < _RETRY_MAX
+            and min(runs) > 0.05
+            and max(runs) / min(runs) >= _RETRY_RATIO
+        ):
+            _jvm_settle(spark)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+            retries += 1
         # Query isolation: drop the Python references to each rep's plan so
         # the ContextCleaner can unpersist its localCheckpoint/cache blocks
         # BEFORE the next query runs — without this, checkpoint blocks from

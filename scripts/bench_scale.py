@@ -284,6 +284,56 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     else:
         skipped.append("text_index")
 
+    # Bloom file-skipping lookup path (r8 verdict #1 'Done'): the r9
+    # executor-side membership test must be TIMED at 100x files, since
+    # the design flaw it replaced (collecting every bitmap to the
+    # driver) was invisible to correctness tests. Build once per corpus,
+    # then time a 3-key lookup; query_ratio is lookup_scale /
+    # (lookup_base * tiles) — expected <= ~1 (the test work is one
+    # distributed pass over the index relation; the driver only ever
+    # receives admitting paths).
+    if time.perf_counter() - started <= budget:
+        import shutil
+
+        from sentiment_analysis_vector_search_spark.bloom import (
+            bloom_lookup,
+            build_bloom_index,
+        )
+
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+        def _time_bloom(docs_path: str, tag: str) -> tuple[float, float]:
+            idx = os.path.join(os.path.dirname(out), f"bloom_idx_{tag}")
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_bloom_index(spark, docs_path, "doc_id", idx)
+            tb = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            rows, opened = bloom_lookup(spark, docs_path, idx, [1, 7, 13])
+            rows.write.format("noop").mode("overwrite").save()
+            tq = round(time.perf_counter() - t0, 2)
+            shutil.rmtree(idx, ignore_errors=True)
+            return tb, tq
+
+        try:
+            _time_bloom(f"{src}/documents.parquet", "warm")  # untimed
+            bb, bq = _time_bloom(f"{src}/documents.parquet", "base")
+            sb, sq = _time_bloom(f"{out}/documents.parquet", "scale")
+            detail["bloom_index"] = {
+                "base_build": bb,
+                "base_lookup": bq,
+                "scale_build": sb,
+                "scale_lookup": sq,
+                "build_ratio": round(sb / (bb * tiles), 2),
+                "query_ratio": round(sq / (bq * tiles), 2),
+            }
+            total += bb + bq + sb + sq
+            print(f"  [scale] bloom_index: {detail['bloom_index']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — smoke extra, never fatal
+            print(f"  [scale] bloom_index block skipped: {e}", file=sys.stderr)
+    else:
+        skipped.append("bloom_index")
+
     detail["total"] = round(total, 2)
     if skipped:
         detail["skipped_over_budget"] = skipped

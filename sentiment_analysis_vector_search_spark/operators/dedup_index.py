@@ -100,9 +100,12 @@ def _write(sh: DataFrame, index_dir: str, mode: str) -> None:
         .write.mode(mode)
         .parquet(f"{index_dir}/sizes")
     )
+    from ..sinks import spread_repartition
+
+    # (band, bh) shuffle so the band-partitioned write scales with
+    # executors instead of capping at #bands tasks (r8 verdict #2 shape)
     (
-        _band_rows(sh)
-        .repartition(F.col("band"))
+        spread_repartition(_band_rows(sh), "band", "bh")
         .write.mode(mode)
         .partitionBy("band")
         .parquet(f"{index_dir}/bands")

@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sinks import spread_repartition
 from .dedup import _EMB_BAND_BITS, _EMB_BANDS, _EMB_T, emb_signatures
 
 
@@ -49,8 +50,7 @@ def build_emb_index(
     """Seed the index from ``vectors`` (vec_id, v array<double>)."""
     bands = _sig_bands(vectors)
     (
-        bands.select("band", "bucket", "vec_id")
-        .repartition(F.col("band"))
+        spread_repartition(bands.select("band", "bucket", "vec_id"), "band", "bucket")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(f"{index_dir}/bands")
@@ -73,8 +73,7 @@ def emb_index_add(
     _check_width(index_dir)
     bands = _sig_bands(vectors)
     (
-        bands.select("band", "bucket", "vec_id")
-        .repartition(F.col("band"))
+        spread_repartition(bands.select("band", "bucket", "vec_id"), "band", "bucket")
         .write.mode("append")
         .partitionBy("band")
         .parquet(f"{index_dir}/bands")

@@ -738,10 +738,16 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     """Materialize the trained-IVF index: codebook + cell-partitioned
     assignments (vec_id, v, nrm, cell)."""
     cents_n = _trained_codebook(spark, sf_dir)
+    from ..sinks import spread_repartition
+
     cents_n.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    # (cell, vec_id) shuffle: write parallelism scales with executors,
+    # not with the ~16-cell codebook (r8 verdict #2); partitionBy keeps
+    # the cell=... pruning layout and compact_index('ivf') re-tidies.
     (
-        _trained_assignments(spark, sf_dir, cents_n)
-        .repartition(F.col("cell"))
+        spread_repartition(
+            _trained_assignments(spark, sf_dir, cents_n), "cell", "vec_id"
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
@@ -841,7 +847,9 @@ def ivf_index_add(
         .where(F.col("rk") == 1)
         .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
     )
-    writer = assigned.repartition(F.col("cell")).write.partitionBy("cell")
+    from ..sinks import spread_repartition
+
+    writer = spread_repartition(assigned, "cell", "vec_id").write.partitionBy("cell")
     if stage_dir is None:
         writer.mode("append").parquet(f"{index_dir}/assignments")
     else:

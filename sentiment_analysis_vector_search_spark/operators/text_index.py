@@ -195,9 +195,16 @@ def _read_manifest(index_dir: str) -> dict:
 
 
 def build_text_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> None:
-    """One corpus pass -> bucket-partitioned postings + scalar manifest."""
+    """One corpus pass -> bucket-partitioned postings + scalar manifest.
+
+    The write shuffle hashes (wb, word) — not wb alone — so build
+    parallelism scales with executors instead of capping at
+    ``_N_WORD_BUCKETS`` tasks (r8 verdict #2); ``compact_index('text')``
+    re-tidies the extra per-bucket files."""
+    from ..sinks import spread_repartition
+
     rows = _postings_rows(docs).localCheckpoint(eager=True)
-    rows.repartition(F.col("wb")).write.mode("overwrite").partitionBy(
+    spread_repartition(rows, "wb", "word").write.mode("overwrite").partitionBy(
         "wb"
     ).parquet(os.path.join(index_dir, "postings"))
     st = rows.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
@@ -211,9 +218,11 @@ def text_index_add(spark: SparkSession, new_docs: DataFrame, index_dir: str) -> 
     """Append postings for NEW docs and bump the manifest counters —
     cost is O(batch); every stored posting stays valid because its state
     (tf, dl) depends only on its own document."""
+    from ..sinks import spread_repartition
+
     man = _read_manifest(index_dir)
     rows = _postings_rows(new_docs).localCheckpoint(eager=True)
-    rows.repartition(F.col("wb")).write.mode("append").partitionBy(
+    spread_repartition(rows, "wb", "word").write.mode("append").partitionBy(
         "wb"
     ).parquet(os.path.join(index_dir, "postings"))
     st = rows.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(

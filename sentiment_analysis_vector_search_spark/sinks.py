@@ -25,6 +25,26 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def spread_repartition(
+    df: DataFrame, part_col: str, spreader_col: str, n: int | None = None
+) -> DataFrame:
+    """Shuffle for a ``partitionBy(part_col)`` write WITHOUT capping the
+    write parallelism at the partition key's cardinality (r8 verdict #2).
+
+    ``repartition(F.col(part_col))`` hashes on the partition column
+    alone, so at most #distinct(part_col) shuffle tasks are non-empty —
+    a 64-bucket index build funnels ~1.5 TB per writer task at 100 TB
+    regardless of cluster size. Hashing on (part_col, spreader_col)
+    instead spreads each partition value over many tasks while
+    ``partitionBy`` still lays files out under ``part_col=...``
+    directories for pruning; writes now scale with executors and
+    ``compact_index`` re-tidies the extra per-bucket files. ``n``
+    defaults to the session's shuffle parallelism."""
+    if n is None:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(part_col), F.col(spreader_col))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

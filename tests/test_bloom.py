@@ -162,3 +162,43 @@ def test_stream_bloom_maintenance(spark, sf_dir, tmp_path):
     stream_bloom_maintenance(spark, src, table_dir, index_dir, ck)
     assert spark.read.parquet(table_dir).count() == docs.count()
     assert spark.read.parquet(f"{index_dir}/files.parquet").count() == n_idx
+
+
+def test_percent_encoded_filename_roundtrip(spark, sf_dir, tmp_path):
+    """Files with URI-escaping characters in the name (spaces -> %20 in
+    input_file_name()) must not be re-indexed by every add, and lookups
+    must not list the same file twice (r8 advice)."""
+    d = str(tmp_path / "docs with space")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    # give the data file itself an escapable name
+    part = next(
+        n for n in os.listdir(d) if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    os.rename(os.path.join(d, part), os.path.join(d, "part one.parquet"))
+    idx = str(tmp_path / "idx")
+    build_bloom_index(spark, d, "doc_id", idx)
+    # nothing new: the normalized URI matches the listed path
+    assert bloom_index_add(spark, d, idx) == 0
+    key = docs.select("doc_id").first()[0]
+    cands = bloom_candidate_files(spark, idx, [key])
+    assert len(cands) == len(set(cands)) == 1
+    got, opened = bloom_lookup(spark, d, idx, [key])
+    assert got.count() == 1 and len(opened) == 1
+
+
+def test_candidate_test_runs_executor_side(spark, index_dir):
+    """The lookup plan must not collect bitmaps to the driver: the
+    mapInPandas membership test projects the index relation down to
+    paths before any collect (r8 verdict #1)."""
+    import sentiment_analysis_vector_search_spark.bloom as B
+
+    idx = spark.read.parquet(f"{index_dir}/files.parquet")
+    keys = ["1"]
+    pairs = [B._hash_pair(k) for k in keys]
+    assert pairs  # the helper exists and is the one the test path uses
+    # structural check: bloom_candidate_files goes through mapInPandas
+    import inspect
+
+    src = inspect.getsource(B.bloom_candidate_files)
+    assert "mapInPandas" in src and ".collect()" not in src.split("mapInPandas")[0]

@@ -134,3 +134,47 @@ def test_compact_text_index_preserves_answers(spark, sf_dir, tmp_path):
     removed = compact_index(spark, idx, "text")
     assert removed > 0  # 3 batches appended >1 file per touched bucket
     assert _rows(text_index_query(spark, idx)) == before
+
+
+def test_index_build_shuffle_not_capped_by_buckets(spark, sf_dir):
+    """r8 verdict #2 'Done': the build-side write shuffle must scale
+    with the session's parallelism, not cap at the partition-key
+    cardinality. repartition(part) can never exceed #distinct(part)
+    non-empty tasks; spread_repartition(part, spreader) must spread one
+    partition value over MANY tasks while keeping partitionBy pruning."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.sinks import spread_repartition
+
+    # 4 "buckets" x 10k high-cardinality spreader values — the 100 TB
+    # shape (a handful of cells/buckets, vast per-bucket volume)
+    rows = spark.range(40_000).select(
+        (F.col("id") % 4).alias("wb"), F.col("id").alias("word")
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        capped = rows.repartition(F.col("wb"))
+        spread = spread_repartition(rows, "wb", "word")
+        per_task_caps = capped.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]
+        ).collect()
+        per_task_spread = spread.rdd.mapPartitions(
+            lambda it: [sum(1 for _ in it)]
+        ).collect()
+        # old shape: at most 4 non-empty tasks. new: ~all 64 busy.
+        assert sum(1 for c in per_task_caps if c) <= 4
+        assert sum(1 for c in per_task_spread if c) > 32
+        # and every bucket spans many tasks (write parallelism per bucket)
+        buckets_per_task = spread.rdd.mapPartitions(
+            lambda it: [set(r["wb"] for r in it)]
+        ).collect()
+        from collections import Counter
+
+        tasks_per_bucket = Counter()
+        for s_ in buckets_per_task:
+            for b in s_:
+                tasks_per_bucket[b] += 1
+        assert min(tasks_per_bucket[b] for b in range(4)) > 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
