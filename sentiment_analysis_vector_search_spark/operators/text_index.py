@@ -174,12 +174,21 @@ def _postings_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_manifest(index_dir: str, n_docs: int, sum_dl: int) -> None:
+def _write_manifest(
+    index_dir: str, n_docs: int, sum_dl: int, applied: list[int] | None = None
+) -> None:
+    """Atomic manifest write. ``applied`` (streaming maintenance) rides
+    in the SAME os.replace as the counters, so recording a batch and
+    applying its counter bump are one indivisible effect — a crash can
+    never leave counters bumped but the batch unrecorded (or vice
+    versa), which is what made the old separate commits file only
+    at-least-once (r8 advice, medium)."""
     tmp = os.path.join(index_dir, "manifest.json.__tmp__")
+    man: dict = {"n_docs": n_docs, "sum_dl": sum_dl, "buckets": _N_WORD_BUCKETS}
+    if applied is not None:
+        man["applied_batch_ids"] = applied
     with open(tmp, "w") as f:
-        json.dump(
-            {"n_docs": n_docs, "sum_dl": sum_dl, "buckets": _N_WORD_BUCKETS}, f
-        )
+        json.dump(man, f)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
 
 
@@ -214,23 +223,44 @@ def build_text_index(spark: SparkSession, docs: DataFrame, index_dir: str) -> No
     _write_manifest(index_dir, int(st["n"]), int(st["s"]))
 
 
-def text_index_add(spark: SparkSession, new_docs: DataFrame, index_dir: str) -> None:
+def text_index_add(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    stage_dir: str | None = None,
+) -> tuple[int, int]:
     """Append postings for NEW docs and bump the manifest counters —
     cost is O(batch); every stored posting stays valid because its state
-    (tf, dl) depends only on its own document."""
+    (tf, dl) depends only on its own document.
+
+    ``stage_dir`` (streaming maintenance): write the batch's postings
+    THERE instead of appending, and do NOT touch the manifest — the
+    caller promotes the staged files via batch-stamped atomic renames
+    and commits the counter bump + batch record in one manifest
+    os.replace. Returns the (doc-count, doc-length) increments."""
     from ..sinks import spread_repartition
 
-    man = _read_manifest(index_dir)
+    if stage_dir is None:
+        _read_manifest(index_dir)  # knob check before any write
     rows = _postings_rows(new_docs).localCheckpoint(eager=True)
-    spread_repartition(rows, "wb", "word").write.mode("append").partitionBy(
-        "wb"
-    ).parquet(os.path.join(index_dir, "postings"))
+    writer = spread_repartition(rows, "wb", "word").write.partitionBy("wb")
+    if stage_dir is None:
+        writer.mode("append").parquet(os.path.join(index_dir, "postings"))
+    else:
+        writer.mode("overwrite").parquet(stage_dir)
     st = rows.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
-    _write_manifest(
-        index_dir, man["n_docs"] + int(st["n"]), man["sum_dl"] + int(st["s"])
-    )
+    dn, ds = int(st["n"]), int(st["s"] or 0)
+    if stage_dir is None:
+        man = _read_manifest(index_dir)
+        _write_manifest(
+            index_dir,
+            man["n_docs"] + dn,
+            man["sum_dl"] + ds,
+            applied=man.get("applied_batch_ids"),
+        )
+    return dn, ds
 
 
 def text_index_query(

@@ -273,6 +273,29 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     return spark.read.parquet(*kept).where(F.col(col).between(lo, hi))
 
 
+def _late_evolved_columns(base: str) -> set[str]:
+    """Columns absent from at least one stored data file's footer —
+    i.e. added AFTER some of the table was written (additive schema
+    evolution). One footer read per leaf directory: bounded metadata."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    seen: list[set[str]] = []
+    for root, _dirs, files in os.walk(base):
+        if "__merge_" in root or "__old_" in root:
+            continue
+        parts = sorted(f for f in files if f.endswith(".parquet"))
+        if parts:
+            schema = pq.read_schema(os.path.join(root, parts[0]))
+            seen.append(set(schema.names))
+    if not seen:
+        return set()
+    all_cols = set().union(*seen)
+    common = set.intersection(*seen)
+    return all_cols - common
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -280,6 +303,7 @@ def merge_upsert(
     keys: Sequence[str],
     partition_col: str,
     allow_new_columns: bool = False,
+    allow_missing_columns: bool = False,
 ) -> list[str]:
     """MERGE (upsert) into a hive-partitioned parquet dir: rows matching
     ``keys`` are replaced, new keys inserted, and ONLY the partitions
@@ -332,6 +356,23 @@ def merge_upsert(
         if c in want_types and want_types[c] != t:
             old = old.withColumn(c, F.col(c).cast(want_types[c]))
     old = old.where(F.col(partition_col).isin(parts))
+    # Batch-side MISSING columns are only legitimate when the column is
+    # provably LATE-EVOLVED (absent from at least one stored partition's
+    # footer — i.e. the table itself predates it); a batch omitting a
+    # base-schema column is almost always upstream schema drift or a
+    # typo, and silently writing NULL over stored values for every
+    # upserted key is data loss (r8 advice, low). Hard error by default;
+    # ``allow_missing_columns=True`` is the explicit opt-in.
+    batch_missing = [c for c in old.columns if c not in updates.columns]
+    if batch_missing and not allow_missing_columns:
+        late = _late_evolved_columns(base)
+        hard = [c for c in batch_missing if c not in late]
+        if hard:
+            raise ValueError(
+                f"update batch omits base-schema columns {hard}; upserted "
+                "keys would silently lose their stored values — pass "
+                "allow_missing_columns=True only if that is intended"
+            )
     # allowMissingColumns=True here is NOT the evolution opt-in (that is
     # the explicit new_cols check above): it lets an UNevolved update
     # batch merge into an evolved table — the batch's rows take NULL for

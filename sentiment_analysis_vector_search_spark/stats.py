@@ -211,7 +211,12 @@ def load_table_stats(stats_dir: str, name: str) -> dict[str, dict] | None:
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        stats = json.load(f)
+    # maintenance metadata (applied streaming batch ids) rides inside the
+    # same atomically-replaced file but is NOT a column: strip it so every
+    # consumer keeps iterating pure column stats
+    stats.pop("__meta__", None)
+    return stats
 
 
 # ---------------------------------------------------------------------------
@@ -518,24 +523,47 @@ def incremental_analyze(
     name: str,
     new_df: DataFrame,
     k: int = KMV_K,
+    batch_id: int | None = None,
 ) -> dict[str, dict]:
     """Fold a new partition/batch into the persisted stats for ``name``
     (atomic JSON, same surface ``load_table_stats`` consumers read):
     scans ONLY ``new_df``, merges against the stored stats, writes back.
     Returns the merged dict. The persisted ``approx_ndv`` stays
     consumer-compatible (choose_join_strategy / dim_hint read it
-    unchanged); the extra ``kmv`` key is the mergeable state."""
+    unchanged); the extra ``kmv`` key is the mergeable state.
+
+    ``batch_id`` (streaming maintenance): the additive fold is NOT
+    idempotent, so the applied-batch record must be INDIVISIBLE from the
+    fold itself — it is stored under the reserved ``__meta__`` key of
+    the SAME atomically-replaced JSON (r8 advice, medium: a separate
+    commits file written after the fold left a crash window that
+    double-counted the batch on replay). A batch already recorded
+    returns the stored stats unchanged."""
     import json
     import os
 
-    prev = load_table_stats(stats_dir, name)
+    path = os.path.join(stats_dir, f"{name}.json")
+    meta: dict = {}
+    prev = None
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.pop("__meta__", {})
+        prev = raw
+    applied: list[int] = meta.get("applied_batch_ids", [])
+    if batch_id is not None and batch_id in applied:
+        return prev or {}  # replayed batch: fold already committed
     fresh = partition_stats(new_df, k)
     merged = merge_stats(prev, fresh, k) if prev else fresh
+    out = dict(merged)
+    if batch_id is not None:
+        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+    elif meta:
+        out["__meta__"] = meta
     os.makedirs(stats_dir, exist_ok=True)
-    path = os.path.join(stats_dir, f"{name}.json")
     tmp = f"{path}.__tmp__"
     with open(tmp, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
+        json.dump(out, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
     return merged
 

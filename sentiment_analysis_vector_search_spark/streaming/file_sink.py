@@ -479,14 +479,14 @@ def stream_stats_maintenance(
     gates read (``load_table_stats`` surface) — the ANALYZE never
     re-reads the table, which is the whole scalable-maintenance story.
 
-    Exactly-once: the stats merge is ADDITIVE (counts sum, sketches
-    union), so a replayed batch would double-count rows — the same
-    RECORDED-BATCH-ID guard as stream_rollup_maintenance makes the
-    fold idempotent under the source checkpoint's at-least-once
-    delivery."""
-    import json
-    import os
-
+    Exactly-once, with NO crash window (r8 advice, medium): the stats
+    merge is ADDITIVE (counts sum, sketches union), so a replayed batch
+    would double-count — and a commit record written AFTER the fold
+    (the old separate commits file) left exactly that window. The
+    applied-batch record now rides inside the stats JSON itself
+    (``incremental_analyze(batch_id=...)``): fold and record are one
+    os.replace, so a crash either committed the batch fully or not at
+    all, and the replay check reads the same file it would update."""
     from ..stats import incremental_analyze
 
     src = (
@@ -495,18 +495,11 @@ def stream_stats_maintenance(
         .option("maxFilesPerTrigger", "1")  # one source file per batch
         .parquet(sf_dir)
     )
-    commits_path = os.path.join(checkpoint_dir, "_stats_commits.json")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        applied: list[int] = []
-        if os.path.exists(commits_path):
-            with open(commits_path) as f:
-                applied = json.load(f)
-        if batch_id in applied:
-            return  # replayed batch: stats already folded (idempotence)
-        incremental_analyze(spark, stats_dir, table_name, batch_df, k=kmv_k)
-        with open(commits_path, "w") as f:
-            json.dump(applied + [batch_id], f)
+        incremental_analyze(
+            spark, stats_dir, table_name, batch_df, k=kmv_k, batch_id=batch_id
+        )
 
     with _stream_confs(spark):
         q = (
@@ -544,8 +537,21 @@ def stream_emb_dedup_ingest(
         emb_index_check,
     )
 
+    from ..operators.dedup import _EMB_T
+
     if cosine_t is None:
-        from ..operators.dedup import _EMB_T as cosine_t
+        cosine_t = _EMB_T
+    elif cosine_t < _EMB_T:
+        # the candidate generators (emb_candidate_pairs / emb_index_check)
+        # already filter at the module threshold BEFORE this loop's
+        # re-filter, so a looser value would silently behave as _EMB_T —
+        # refuse a parameter the pipeline cannot honor (r8 advice, low)
+        raise ValueError(
+            f"cosine_t={cosine_t} is below the candidate generators' "
+            f"threshold {_EMB_T}; pairs under {_EMB_T} are never generated, "
+            "so the looser gate would silently not apply — lower "
+            "dedup._EMB_T (rebuild the index) to loosen the pipeline"
+        )
 
     src = (
         spark.readStream.schema("vec_id bigint, embedding array<double>")
@@ -674,13 +680,18 @@ def stream_text_index_maintenance(
     a posting's state (tf, dl) depends only on its own document, queries
     after any number of batches are byte-identical to a full rebuild.
 
-    Exactly-once: the postings append + counter bump is NOT idempotent
-    under replay, so the recorded-batch-id guard (the
-    stream_rollup_maintenance discipline) gates the fold."""
-    import json
+    Exactly-once, with NO crash window (r8 advice, medium): the batch's
+    postings land via stage -> batch-stamped atomic renames (the
+    `_idempotent_append_dir` protocol the IVF/PQ loops use — a replay
+    re-stages the same deterministic files and re-replaces the same
+    names), and the counter bump + applied-batch record travel in ONE
+    manifest os.replace. The old shape (append postings, bump counters,
+    THEN write a separate commits file) replayed the whole batch on a
+    crash in between, permanently inflating tf/df/N."""
     import os
+    import shutil
 
-    from ..operators.text_index import build_text_index, text_index_add
+    from ..operators.text_index import _read_manifest, _write_manifest, text_index_add
 
     src = (
         spark.readStream.schema(_DOC_SCHEMA)
@@ -688,21 +699,27 @@ def stream_text_index_maintenance(
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    commits_path = os.path.join(checkpoint_dir, "_text_index_commits.json")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        applied: list[int] = []
-        if os.path.exists(commits_path):
-            with open(commits_path) as f:
-                applied = json.load(f)
-        if batch_id in applied:
-            return  # replayed batch: postings already folded
         if not os.path.exists(os.path.join(index_dir, "manifest.json")):
-            build_text_index(spark, batch_df, index_dir)
-        else:
-            text_index_add(spark, batch_df, index_dir)
-        with open(commits_path, "w") as f:
-            json.dump(applied + [batch_id], f)
+            # bootstrap an EMPTY manifest (no data side effects), so every
+            # batch — including the first — takes the staged-commit path
+            os.makedirs(index_dir, exist_ok=True)
+            _write_manifest(index_dir, 0, 0, applied=[])
+        man = _read_manifest(index_dir)
+        applied = man.get("applied_batch_ids", [])
+        if batch_id in applied:
+            return  # replayed batch: postings + counters already committed
+        stage = os.path.join(index_dir, f"_stage_text_{batch_id}")
+        dn, ds = text_index_add(spark, batch_df, index_dir, stage_dir=stage)
+        _idempotent_append_dir(stage, os.path.join(index_dir, "postings"), batch_id)
+        _write_manifest(
+            index_dir,
+            man["n_docs"] + dn,
+            man["sum_dl"] + ds,
+            applied=applied + [batch_id],
+        )
+        shutil.rmtree(stage, ignore_errors=True)
 
     with _stream_confs(spark):
         q = (

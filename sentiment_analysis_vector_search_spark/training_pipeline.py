@@ -2,7 +2,8 @@
 document corpus into training shards, using the engine's own graded
 operators as stages.
 
-    gate -> dedup -> decontaminate -> mix -> pack + shards
+    gate -> dedup -> decontaminate_exact -> decontaminate -> mix
+         -> pack + shards
 
 Composition trick: every stage materializes its survivors as
 ``<stage_dir>/documents.parquet``, which makes the stage directory a
@@ -24,13 +25,21 @@ Stage semantics (each citing the operator that owns the logic):
 2. ``dedup`` — keep only canonical docs per near-dup component
    (dedup.dedup_keep_canonical: LSH candidates -> exact verify ->
    connected components -> min-id survivor).
-3. ``decontaminate`` — drop docs overlapping the held-out eval set by
-   word-8-grams (curation_ext.decontaminate_ngrams); eval docs
-   themselves leave the training corpus here too.
-4. ``mix`` — apply domain_mix_plan's per-source sampling rates with the
+3. ``decontaminate_exact`` — the cheap EXACT-substring pass runs first
+   (curation_ext.decontaminate_exact; the module's own ordering doc —
+   exact-match is the pass that precedes the n-gram one, so the
+   expensive gram explode never pays for verbatim leaks). Contaminated
+   corpus docs drop via anti-join; the EVAL docs themselves stay in the
+   intermediate corpus — both decontam operators derive their probe set
+   from ``doc_id < _EVAL_DOCS`` of the corpus they read, so removing
+   eval docs here would silently empty the n-gram stage's probe set.
+4. ``decontaminate`` — drop docs overlapping the held-out eval set by
+   word-8-grams (curation_ext.decontaminate_ngrams); eval docs leave
+   the training corpus here, as before.
+5. ``mix`` — apply domain_mix_plan's per-source sampling rates with the
    deterministic md5-percentile coin (sample_importance's device):
    down-sample overrepresented sources, never upsample.
-5. ``pack`` + ``shards`` — pack_sequences' token-budget packing table
+6. ``pack`` + ``shards`` — pack_sequences' token-budget packing table
    and train_shuffle_shards' training-order shard assignment, written
    as the terminal artifacts (packed/ and shards/ with the shard column
    partitioning the layout).
@@ -52,7 +61,15 @@ from pyspark.sql import functions as F
 from . import catalog
 from .catalog import table
 
-STAGES = ("gate", "dedup", "decontaminate", "mix", "pack", "shards")
+STAGES = (
+    "gate",
+    "dedup",
+    "decontaminate_exact",
+    "decontaminate",
+    "mix",
+    "pack",
+    "shards",
+)
 
 
 def _manifest_path(out_root: str) -> str:
@@ -135,7 +152,32 @@ def run_training_pipeline(
                                        "seconds": round(time.perf_counter() - t0, 2)})
     cur = stage_dir("dedup")
 
-    # 3. decontamination ---------------------------------------------------
+    # 3. exact decontamination (runs BEFORE the n-gram pass: verbatim
+    # eval leaks are caught by a broadcast substring probe without
+    # paying the gram explode; curation_ext.decontaminate_exact's own
+    # ordering doc) ---------------------------------------------------
+    if not man.get("decontaminate_exact", {}).get("done"):
+        t0 = time.perf_counter()
+        from .operators.curation_ext import decontaminate_exact
+
+        docs = table(spark, cur, "documents")
+        # anti-join on CONTAMINATED ids (the operator emits corpus docs
+        # only): eval docs stay, so the n-gram stage's probe set survives
+        bad = (
+            decontaminate_exact(spark, cur)
+            .where(F.col("contaminated"))
+            .select("doc_id")
+        )
+        kept = docs.join(bad, "doc_id", "left_anti")
+        n_in, n_out = docs.count(), _write_docs(
+            kept, stage_dir("decontaminate_exact")
+        )
+        _mark(out_root, man, "decontaminate_exact",
+              {"rows_in": n_in, "rows_out": n_out,
+               "seconds": round(time.perf_counter() - t0, 2)})
+    cur = stage_dir("decontaminate_exact")
+
+    # 4. n-gram decontamination --------------------------------------------
     if not man.get("decontaminate", {}).get("done"):
         t0 = time.perf_counter()
         docs = table(spark, cur, "documents")

@@ -247,11 +247,21 @@ def test_stream_stats_maintenance_matches_batch_analyze(spark, sf_dir, tmp_path)
     again = load_table_stats(stats_dir, "documents")
     assert again["doc_id"]["n_rows"] == want["doc_id"]["n_rows"]
 
-    # crash-replay: wipe the RECORDED ids but keep the source checkpoint
-    # offsets — nothing new to read, stats unchanged
-    commits = os.path.join(ckpt, "_stats_commits.json")
-    with open(commits) as f:
-        assert len(json.load(f)) >= 2  # two files -> >= two batches
+    # the applied-batch record lives INSIDE the atomically-replaced stats
+    # JSON (r8 advice: fold + record are one os.replace, no crash window)
+    with open(os.path.join(stats_dir, "documents.json")) as f:
+        raw = json.load(f)
+    recorded = raw["__meta__"]["applied_batch_ids"]
+    assert len(recorded) >= 2  # two files -> >= two batches
+    # crash-replay of an ALREADY-RECORDED batch id: the fold is a no-op
+    # even without the stream's own guard (the record IS the guard)
+    from sentiment_analysis_vector_search_spark.stats import incremental_analyze
+
+    incremental_analyze(
+        spark, stats_dir, "documents", docs.limit(50), k=256, batch_id=recorded[0]
+    )
+    replayed = load_table_stats(stats_dir, "documents")
+    assert replayed["doc_id"]["n_rows"] == want["doc_id"]["n_rows"]
     shutil.rmtree(stats_dir)  # and a fresh stats dir rebuilds from zero
     ckpt2 = str(tmp_path / "ckpt2")
     stream_stats_maintenance(spark, src_dir, stats_dir, ckpt2, kmv_k=256)

@@ -805,3 +805,62 @@ def test_jsonl_shards_roundtrip_through_read_documents(spark, sf_dir, tmp_path):
         back = read_documents(spark, out, fmt="json")
         assert sorted(r["doc_id"] for r in back.collect()) == want
         assert back.columns == docs.columns
+
+
+def test_merge_upsert_refuses_missing_base_columns(spark, tmp_path):
+    """r8 advice (low): an update batch omitting a BASE-schema column
+    must hard-error (silent NULL-backfill destroys stored values);
+    late-evolved columns and the explicit opt-in still merge."""
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.sinks import merge_upsert
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10, "d1"), (2, "b", 20, "d1"), (3, "c", 30, "d2")],
+        "id int, name string, score int, day string",
+    )
+    df.write.partitionBy("day").parquet(base)
+
+    # batch omits 'score' (a base column): refuse
+    bad = spark.createDataFrame([(1, "A", "d1")], "id int, name string, day string")
+    with pytest.raises(ValueError, match="omits base-schema"):
+        merge_upsert(spark, base, bad, ["id"], "day")
+
+    # explicit opt-in still allowed
+    merge_upsert(spark, base, bad, ["id"], "day", allow_missing_columns=True)
+    got = spark.read.option("mergeSchema", "true").parquet(base)
+    assert got.where("id = 1").first()["score"] is None
+
+    # late-evolved column: a batch WITHOUT it merges fine by default
+    base2 = str(tmp_path / "t2")
+    df.write.partitionBy("day").parquet(base2)
+    evolve = spark.createDataFrame(
+        [(9, "z", 90, "tag", "d2")],
+        "id int, name string, score int, extra string, day string",
+    )
+    merge_upsert(spark, base2, evolve, ["id"], "day", allow_new_columns=True)
+    plain = spark.createDataFrame(
+        [(2, "B", 21, "d1")], "id int, name string, score int, day string"
+    )
+    merge_upsert(spark, base2, plain, ["id"], "day")  # extra is late-evolved
+    got2 = spark.read.option("mergeSchema", "true").parquet(base2)
+    assert got2.where("id = 2").first()["name"] == "B"
+
+
+def test_stream_emb_dedup_rejects_unhonorable_threshold(spark, tmp_path):
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_emb_dedup_ingest,
+    )
+
+    with pytest.raises(ValueError, match="never generated"):
+        stream_emb_dedup_ingest(
+            spark,
+            str(tmp_path / "src"),
+            str(tmp_path / "idx"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            cosine_t=0.01,
+        )

@@ -178,3 +178,65 @@ def test_index_build_shuffle_not_capped_by_buckets(spark, sf_dir):
         assert min(tasks_per_bucket[b] for b in range(4)) > 8
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_text_index_crash_window_replay_is_exact(spark, sf_dir, tmp_path):
+    """r8 advice (medium): a crash BETWEEN the postings landing and the
+    manifest commit must not double the batch on replay. Simulate the
+    worst window — postings promoted, manifest NOT yet bumped — then
+    replay the whole fold and pin byte-identity to a clean build."""
+    import json
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.operators.text_index import (
+        _read_manifest,
+        _write_manifest,
+        text_index_add,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        _idempotent_append_dir,
+        stream_text_index_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    _write_manifest(idx, 0, 0, applied=[])
+    # batch 0 committed cleanly through the staged protocol
+    stage0 = os.path.join(idx, "_stage_text_0")
+    dn, ds = text_index_add(spark, a, idx, stage_dir=stage0)
+    _idempotent_append_dir(stage0, os.path.join(idx, "postings"), 0)
+    _write_manifest(idx, dn, ds, applied=[0])
+    shutil.rmtree(stage0)
+
+    # batch 1 CRASHES mid-commit: postings promoted, manifest untouched
+    stage1 = os.path.join(idx, "_stage_text_1")
+    dn1, ds1 = text_index_add(spark, b, idx, stage_dir=stage1)
+    _idempotent_append_dir(stage1, os.path.join(idx, "postings"), 1)
+    # (no manifest write, stage left behind — the crash state)
+
+    # replay of batch 1: re-stage, re-promote (same batch-stamped names
+    # -> replaces, never duplicates), then the commit lands once
+    man = _read_manifest(idx)
+    assert 1 not in man.get("applied_batch_ids", [])
+    dn1r, ds1r = text_index_add(spark, b, idx, stage_dir=stage1)
+    assert (dn1r, ds1r) == (dn1, ds1)
+    _idempotent_append_dir(stage1, os.path.join(idx, "postings"), 1)
+    _write_manifest(
+        idx, man["n_docs"] + dn1r, man["sum_dl"] + ds1r,
+        applied=man.get("applied_batch_ids", []) + [1],
+    )
+    shutil.rmtree(stage1)
+
+    clean = str(tmp_path / "clean")
+    build_text_index(spark, docs, clean)
+    assert _rows(text_index_query(spark, idx)) == _rows(
+        text_index_query(spark, clean)
+    )
+    man = json.load(open(os.path.join(idx, "manifest.json")))
+    cman = json.load(open(os.path.join(clean, "manifest.json")))
+    assert man["n_docs"] == cman["n_docs"] and man["sum_dl"] == cman["sum_dl"]

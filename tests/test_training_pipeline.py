@@ -26,7 +26,14 @@ def test_pipeline_end_to_end_and_resume(spark, sf_dir, tmp_path):
     assert 0 < man["gate"]["rows_out"] <= n_raw
     assert man["dedup"]["rows_in"] == man["gate"]["rows_out"]
     assert man["dedup"]["rows_out"] <= man["dedup"]["rows_in"]
-    assert man["decontaminate"]["rows_in"] == man["dedup"]["rows_out"]
+    # exact pass precedes the n-gram pass (r8 verdict #5); eval docs stay
+    # through it (they seed BOTH probe sets) and retire at the n-gram stage
+    assert man["decontaminate_exact"]["rows_in"] == man["dedup"]["rows_out"]
+    assert (
+        man["decontaminate_exact"]["rows_out"]
+        <= man["decontaminate_exact"]["rows_in"]
+    )
+    assert man["decontaminate"]["rows_in"] == man["decontaminate_exact"]["rows_out"]
     # decontamination also retires the held-out eval docs from training
     assert man["decontaminate"]["rows_out"] < man["decontaminate"]["rows_in"]
     assert man["mix"]["rows_in"] == man["decontaminate"]["rows_out"]
