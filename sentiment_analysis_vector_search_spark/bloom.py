@@ -59,6 +59,30 @@ _DEFAULT_BITS_PER_KEY = 16
 _K = 4  # hash functions; with 16 bits/key the false-positive rate ~0.2%
 
 
+def bloom_bits_per_key_for(n_files: int, extra_opens_per_lookup: float = 1.0) -> int:
+    """Stats-informed ``bits_per_key`` (r8 verdict #7, the
+    ``emb_band_bits_for`` discipline): a false positive costs one
+    needless file open, and a lookup tests EVERY file's filter, so the
+    budget that matters scales with file count — expected extra opens
+    = n_files x fp(bits). Smallest bits with
+    (1 - e^(-K/bits))^K <= extra_opens_per_lookup / n_files, clamped to
+    [16, 64]: never below the hand default (whose ~0.2% fp already
+    covers hundreds of files), never past the point where wider filters
+    beat just manifest-listing the keys. Feed the table's file count
+    (``len(files.parquet)`` rows, or total_rows / rows_per_file from
+    ``stats.table_stats``); the chosen value lands in ``manifest.json``
+    and mismatched lookups refuse (existing provenance discipline)."""
+    import math
+
+    if n_files <= 1:
+        return _DEFAULT_BITS_PER_KEY
+    target = extra_opens_per_lookup / n_files
+    bits = _DEFAULT_BITS_PER_KEY
+    while bits < 64 and (1.0 - math.exp(-_K / bits)) ** _K > target:
+        bits += 4
+    return bits
+
+
 def _norm_path(p: str) -> str:
     """Canonical local path for a file URI or path: strip the scheme AND
     percent-decoding (input_file_name() returns file:-URIs with %-escaped

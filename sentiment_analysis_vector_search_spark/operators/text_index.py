@@ -53,7 +53,26 @@ _K1 = 1.2
 _B = 0.75
 _BM25_WORDS = ("slow", "query", "join")  # the rag_retrieve query-word set
 _BM25_K = 10
-_N_WORD_BUCKETS = 64
+_N_WORD_BUCKETS = int(os.environ.get("SPARK_GRAFT_TEXT_INDEX_BUCKETS", "64"))
+
+
+def word_buckets_for(n_postings: int, rows_per_bucket: int = 125_000) -> int:
+    """Stats-informed word-bucket count (r8 verdict #7): the query-side
+    read opens the query words' bucket partitions, so the budget to hold
+    ~constant as the corpus grows is PER-BUCKET posting volume — bucket
+    count scales as next-pow2(n_postings / rows_per_bucket), floored at
+    the hand default 64 (pruning granularity) and capped at 4096 (past
+    that, per-bucket file counts beat per-bucket volume as the cost
+    driver and compaction is the right lever). Feed total postings
+    (n_docs x mean tokens/doc from ``stats.table_stats``, or the built
+    index's own row count); the chosen value lands in ``manifest.json``
+    and a mismatched reader refuses (existing provenance discipline).
+    Export as SPARK_GRAFT_TEXT_INDEX_BUCKETS — the knob is read at
+    import like the embedding band width."""
+    want = 64
+    while want < 4096 and n_postings > rows_per_bucket * want:
+        want <<= 1
+    return want
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in S.STOPWORDS)
 _words_sql = ", ".join(f"'{w}'" for w in _BM25_WORDS)

@@ -240,3 +240,26 @@ def test_text_index_crash_window_replay_is_exact(spark, sf_dir, tmp_path):
     man = json.load(open(os.path.join(idx, "manifest.json")))
     cman = json.load(open(os.path.join(clean, "manifest.json")))
     assert man["n_docs"] == cman["n_docs"] and man["sum_dl"] == cman["sum_dl"]
+
+
+def test_word_buckets_knob_matches_default_and_grows(spark, sf_dir):
+    """r8 verdict #7 'Done': derived bucket count == hand default at the
+    test corpus's posting volume, grows at 100x."""
+    from sentiment_analysis_vector_search_spark.operators.text_index import (
+        _N_WORD_BUCKETS,
+        _postings_rows,
+        word_buckets_for,
+    )
+
+    import os
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(f"{bench_sf}/documents.parquet")
+    n_postings = _postings_rows(docs).count()  # the real stats signal
+    assert word_buckets_for(n_postings) == _N_WORD_BUCKETS == 64
+    assert word_buckets_for(n_postings * 100) > 64  # bench corpus x100
+    assert word_buckets_for(10**12) == 4096  # 100 TB-class corpus: capped
+    # monotone and pow2 throughout (partition-count sanity)
+    vals = [word_buckets_for(10**e) for e in range(4, 13)]
+    assert vals == sorted(vals)
+    assert all(v & (v - 1) == 0 for v in vals)
