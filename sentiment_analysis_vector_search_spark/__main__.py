@@ -125,6 +125,17 @@ def main(argv: list[str] | None = None) -> int:
     p_pipe.add_argument("out_root")
     p_pipe.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_sqlite = sub.add_parser(
+        "sqlite", help="ingest a reference SQLite comments store as documents parquet"
+    )
+    p_sqlite.add_argument("db_path")
+    p_sqlite.add_argument("out_dir")
+    p_sqlite.add_argument(
+        "--table", default="comment_blocks", help="comment_blocks | extracted_text_data"
+    )
+    p_sqlite.add_argument("--min-score", type=float, default=0.3)
+    p_sqlite.add_argument("--min-length", type=int, default=30)
+
     p_bloom = sub.add_parser(
         "bloom", help="per-file Bloom skipping index: build / add / lookup / stats"
     )
@@ -291,6 +302,34 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("cli-warc")
         spark.sparkContext.setLogLevel("ERROR")
         docs = warc_documents(spark, args.warc_path)
+        docs.write.mode("overwrite").parquet(args.out_dir)
+        n = spark.read.parquet(args.out_dir).count()
+        print(json.dumps({"documents": n, "out": args.out_dir}))
+        return 0
+
+    if args.cmd == "sqlite":
+        import json
+
+        from .session import get_spark
+        from .sources.sqlite_store import (
+            read_sqlite_comments,
+            read_sqlite_extracted_text,
+        )
+
+        spark = get_spark("cli-sqlite")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.table == "extracted_text_data":
+            docs = read_sqlite_extracted_text(
+                spark, args.db_path, min_length=args.min_length
+            )
+        else:
+            docs = read_sqlite_comments(
+                spark,
+                args.db_path,
+                table=args.table,
+                min_score=args.min_score,
+                min_length=args.min_length,
+            )
         docs.write.mode("overwrite").parquet(args.out_dir)
         n = spark.read.parquet(args.out_dir).count()
         print(json.dumps({"documents": n, "out": args.out_dir}))

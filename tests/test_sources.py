@@ -230,3 +230,25 @@ def test_sqlite_comments_roundtrip(spark, sf_dir, tmp_path):
     assert filt.count() == sum(
         1 for r in docs.select("n_chars").collect() if r[0] >= 30
     )
+
+
+def test_cli_sqlite_verb(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.sources.sqlite_store import (
+        write_sqlite_comments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    db = str(tmp_path / "c.db")
+    write_sqlite_comments(docs, db)
+    out = str(tmp_path / "out")
+    rc = main(["sqlite", db, out, "--min-score", "0", "--min-length", "0"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["documents"] == 40
+    back = spark.read.parquet(out)
+    assert {r["text"] for r in back.select("text").collect()} == {
+        r["text"] for r in docs.select("text").collect()
+    }
