@@ -350,7 +350,10 @@ def q_events_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     summary, n_rows = column_heavy_hitters(ev, "skew_key")
     hot = float(max(summary.values())) if summary else 0.0
-    n_dim = dim.count()
+    # dim cardinality only feeds the broadcast-fits test, which this query
+    # pins OFF — use the fact row count as a free upper bound instead of
+    # paying a count() job for a number the chooser will not act on
+    n_dim = int(n_rows)
     small_stats = {"skew_key": {"n_rows": n_dim, "n_nulls": 0, "approx_ndv": n_dim}}
     strategy = choose_join_strategy(
         small_stats,
