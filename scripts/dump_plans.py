@@ -59,6 +59,10 @@ SHOW = [
     ("decontaminate_exact", "broadcast probe relation; map-side contains scan; doc-grain hit agg"),
     ("bm25_retrieve", "word-keyed posting joins; broadcast df; shared scoring expr with the index"),
     ("tok_bigram_pmi", "one tokenized pass; vocabulary-grain unigram joins; broadcast scalars"),
+    # r9 additions
+    ("fix_source_name", "pure narrow projection; whole mapping in one codegen stage, zero Exchange"),
+    ("q_source_report", "map-side-combined groupBy on a ~#sources-row key"),
+    ("q_events_hot_user_join", "MG-measured sentinel skew -> salted join (16-way hot-key spread); decimal rollup"),
 ]
 
 
