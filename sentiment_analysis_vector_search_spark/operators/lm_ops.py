@@ -1,0 +1,207 @@
+"""Language-model quality scoring and weighted corpus sampling — the
+KenLM-style perplexity gate and the Efraimidis–Spirakis weighted pick
+every large-scale pretraining pipeline runs between dedup and packing.
+
+Reference scope note: the reference scores documents with a transformer
+classifier (RoBERTa fine-tune, Data_preprocessing/Fine_tune_RoBERTa.py)
+— a per-doc quality score used to gate ingestion. The statistical LM
+gate here is the corpus-derived analogue of that signal (CCNet/KenLM
+practice) built entirely from one tokenized pass, so it runs at corpus
+scale with no model server.
+
+``text_bigram_lm_score`` — train an add-one-smoothed bigram LM on the
+corpus itself and score every document by mean log-probability:
+P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Degenerate/machine-looping text
+scores high (too predictable), lexicon-noise scores low; both tails get
+flagged by the ``keep`` band, mirroring CCNet's head/middle/tail split.
+
+``sample_weighted`` — weighted sampling without replacement per source
+(Efraimidis–Spirakis A-ES): key = ln(u)/w with u a deterministic
+md5-derived uniform and w the document weight; the top-K keys per
+source are exactly a w-weighted draw. Deterministic across engines,
+partitioning, and retries — the property a resumable 100 TB sampling
+job needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import fan_out, table
+from ..functions.hashing import MOD31, md5_long, sql_md5_long
+from ..functions.stable import dsum, sql_dec2double, sql_vardec
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm_score
+# ---------------------------------------------------------------------------
+
+# CCNet-style keep band on mean log-prob: the tails are suspect — too
+# predictable (looping/boilerplate) or too surprising (lexicon noise).
+_LM_LO = -7.5
+_LM_HI = -2.5
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+), uc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), vsize AS (
+  SELECT cast(count(*) as double) AS v FROM uc
+), bi AS (
+  SELECT doc_id, t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS p FROM toks)
+), bc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
+), scored AS (
+  SELECT bi.doc_id,
+         round(ln((cast(bc.n_pair as double) + 1.0)
+                  / (cast(uc.c as double) + vsize.v)), 6) AS logp
+  FROM bi
+  JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+  JOIN uc ON bi.w1 = uc.w, vsize
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         {sql_dec2double(f"sum({sql_vardec('logp')})")} / count(*) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logp,
+       (avg_logp >= {_LM_LO} AND avg_logp <= {_LM_HI}) AS keep
+FROM agg
+"""
+
+
+@register("text_bigram_lm_score", oracle=_LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM, plus the CCNet-style keep band.
+
+    Scale shape: the corpus is tokenized ONCE (lazy localCheckpoint, two
+    consumers); unigram and bigram count relations are vocabulary-grain
+    (Heaps-bounded — sub-linear in corpus size) so at 100 TB they are
+    far smaller than the fact side, but NOT broadcast-safe (word vocab
+    is unbounded, unlike charset^3 trigrams), so the scoring joins are
+    plain shuffled equi-joins on (w1, w2) / w1 — AQE handles skewed stop
+    words. The per-doc aggregate is a partial-agg groupBy. Parity: each
+    log-prob is a double ratio of exact integers rounded to 6dp per row,
+    then decimal-summed (order-independent at any partitioning)."""
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')").alias("t"),
+    ).localCheckpoint(eager=False)  # two consumers: unigram counts + bigrams
+    uc = (
+        toks.select(F.explode_outer("t").alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two consumers: vsize + scoring join
+    )
+    vsize = uc.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    pair_expr = (
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+        "ELSE array() END"
+    )
+    bi = (
+        toks.select("doc_id", F.explode_outer(F.expr(pair_expr)).alias("b"))
+        .where(F.col("b").isNotNull())
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # two consumers: bc + scoring join
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    scored = (
+        bi.join(bc, ["w1", "w2"])
+        .join(uc.select(F.col("w").alias("w1"), "c"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") + F.lit(1.0))
+                    / (F.col("c").cast("double") + F.col("v"))
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    # NO final round: the decimal sum is exact and order-independent, the
+    # double division is correctly rounded on both engines, so the raw
+    # double is bit-identical everywhere — while an explicit round(x, 6)
+    # can land on a half-way boundary where Spark's shortest-repr HALF_UP
+    # and DuckDB's binary round disagree (seen at sf0.1: -3.4140895).
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (dsum(F.col("logp")) / F.count(F.lit(1))).alias("avg_logp"),
+    )
+    return agg.withColumn(
+        "keep",
+        (F.col("avg_logp") >= F.lit(_LM_LO)) & (F.col("avg_logp") <= F.lit(_LM_HI)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted
+# ---------------------------------------------------------------------------
+
+_WS_K = 5  # draws per source
+_WS_SALTS = 8  # phase-1 fan-out (two-phase top-K, no data-sized window)
+
+
+def _ws_key_sql() -> str:
+    h = sql_md5_long("'wsamp:' || cast(doc_id as varchar)")
+    u = f"(({h} % {MOD31}) + 1) * 1.0 / {MOD31 + 1}"
+    return f"ln({u}) / greatest(n_chars, 1)"
+
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars, {_ws_key_sql()} AS wkey
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(wkey, 6) AS wkey, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= {_WS_K}
+"""
+
+
+@register("sample_weighted", oracle=_WS_ORACLE)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of K documents per source
+    (Efraimidis–Spirakis A-ES, log-space): key = ln(u)/w with u a
+    deterministic md5 uniform in (0, 1], w = n_chars; top-K keys per
+    source ARE a w-weighted draw without replacement. Deterministic
+    under repartition, append-only growth, and engine choice — a crashed
+    100 TB sampling job resumes to the identical sample.
+
+    Scale shape: the key is one codegen expression over the scan; the
+    per-source top-K runs two-phase (per-(source, salt) candidates
+    first, then a final rank over |salts|x K rows per source) so no
+    window ever sees a data-sized partition."""
+    docs = table(spark, sf_dir, "documents")
+    h = md5_long(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    u = ((h % F.lit(MOD31)) + F.lit(1)) * F.lit(1.0) / F.lit(MOD31 + 1)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))).alias("wkey"),
+    )
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(_WS_SALTS))
+    ).orderBy(F.desc("wkey"), F.asc("doc_id"))
+    cand = keyed.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= _WS_K
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("wkey"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _WS_K)
+        .select("doc_id", "source", "n_chars", F.round("wkey", 6).alias("wkey"), "rk")
+    )
