@@ -18,7 +18,8 @@ JSON object per line with --json — the shape a shell pipeline wants);
 broadcasts/pushdown before running at scale); `oracle` prints the
 DuckDB-executable SQL contract; `index` materializes a persisted serving
 index (the BASELINE north star's "batch index build"): `ivf` (codebook +
-cell-partitioned assignments), `pq` (codebook + compressed codes), or
+cell-partitioned assignments), `pq` (codebook + compressed codes),
+`ivfpq` (composed IVFADC: cell-pruned compressed codes), or
 `dedup` (MinHash/LSH signature index for incremental ingest dedup).
 """
 
@@ -47,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     p_oracle.add_argument("query")
 
     p_idx = sub.add_parser("index", help="build a persisted serving index")
-    p_idx.add_argument("kind", choices=("ivf", "pq", "dedup"))
+    p_idx.add_argument("kind", choices=("ivf", "pq", "ivfpq", "dedup"))
     p_idx.add_argument("out_dir")
     p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
@@ -168,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.similarity2 import build_pq_index
 
             build_pq_index(spark, args.sf_dir, args.out_dir)
+        elif args.kind == "ivfpq":
+            from .operators.ivfpq import build_ivfpq_index
+
+            build_ivfpq_index(spark, args.sf_dir, args.out_dir)
         else:
             from .catalog import table
             from .operators.dedup_index import build_dedup_index

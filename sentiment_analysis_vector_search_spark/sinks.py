@@ -878,10 +878,15 @@ def compact_index(
     """
     import os
 
-    sub = {"ivf": "assignments", "pq": "codes", "text": "postings"}.get(kind)
+    sub = {
+        "ivf": "assignments",
+        "pq": "codes",
+        "ivfpq": "codes",
+        "text": "postings",
+    }.get(kind)
     if sub is None:
         raise ValueError(
-            f"unknown index kind {kind!r}; expected ivf, pq, or text"
+            f"unknown index kind {kind!r}; expected ivf, pq, ivfpq, or text"
         )
     root = os.path.join(index_dir, sub)
 
