@@ -253,6 +253,7 @@ def load_all_modules() -> None:
     from .operators import lm_ops  # noqa: F401
     from .operators import graph_ops  # noqa: F401
     from .operators import rag_rerank  # noqa: F401
+    from .operators import dedup2  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]
