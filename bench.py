@@ -191,6 +191,13 @@ HEADLINE = [
     "fix_source_name",
     "q_source_report",
     "q_events_hot_user_join",
+    # late-r9 additions: LM gate / weighted sampling / graph centrality /
+    # MMR rerank / winnowing dedup
+    "text_bigram_lm_score",
+    "sample_weighted",
+    "q_nation_pagerank",
+    "rag_mmr_rerank",
+    "dedup_winnow",
 ]
 
 

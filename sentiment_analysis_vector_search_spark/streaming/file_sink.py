@@ -379,6 +379,69 @@ def stream_pq_ingest(
         q.awaitTermination()
 
 
+def stream_ivfpq_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuously-maintained IVFADC index: streaming embedding batches
+    → ``foreachBatch`` → ``ivfpq_index_add`` against BOTH frozen
+    codebooks (coarse cells + PQ subspaces).
+
+    The composed twin of ``stream_ivf_ingest``/``stream_pq_ingest``: the
+    maintained store is the cell-partitioned CODES table, so each batch
+    pays one broadcast assign + one broadcast encode and the serving
+    reader keeps its static cell pruning. Frozen codebooks make every
+    batch reproducible → the streamed index stays IDENTICAL to a full
+    rebuild (pinned by pytest). Exactly-once: recorded-batch-id guard
+    plus the staged batch-stamped-rename append, the shared protocol."""
+    import json
+    import os
+
+    from ..operators.ivfpq import ivfpq_index_add
+
+    src_schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(src_schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(src_dir)
+    )
+    commits_path = os.path.join(checkpoint_dir, "_ivfpq_commits.json")
+
+    def add_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        applied: list[int] = []
+        if os.path.exists(commits_path):
+            with open(commits_path) as f:
+                applied = json.load(f)
+        if batch_id in applied:
+            return  # replayed batch is already in the index
+        stage = os.path.join(index_dir, f"_stage_ivfpq_{batch_id}")
+        ivfpq_index_add(
+            spark,
+            index_dir,
+            batch_df.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            stage_dir=stage,
+        )
+        _idempotent_append_dir(stage, f"{index_dir}/codes", batch_id)
+        with open(commits_path, "w") as f:
+            json.dump(applied + [batch_id], f)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(add_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_ingest_dedup(
     spark: SparkSession,
     src_dir: str,

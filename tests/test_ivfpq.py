@@ -105,6 +105,49 @@ def test_incremental_add_equals_rebuild(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_ivfpq_ingest_equals_rebuild(spark, sf_dir, tmp_path):
+    """Embedding batches on a stream, applied via foreachBatch
+    ivfpq_index_add, must produce a codes table identical to a full
+    rebuild; a re-drain with no new files must not change it."""
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_ivfpq_ingest,
+    )
+
+    full_dir = str(tmp_path / "full")
+    build_ivfpq_index(spark, sf_dir, full_dir)
+
+    stream_idx = str(tmp_path / "streamed")
+    os.makedirs(stream_idx)
+    shutil.copytree(f"{full_dir}/coarse_codebook", f"{stream_idx}/coarse_codebook")
+    shutil.copytree(f"{full_dir}/pq_codebook", f"{stream_idx}/pq_codebook")
+
+    src_dir = str(tmp_path / "emb_src")
+    ckpt = str(tmp_path / "ckpt")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    os.makedirs(src_dir)
+    for tag, pred in (("a", F.col("vec_id") % 2 == 0), ("b", F.col("vec_id") % 2 == 1)):
+        staging = str(tmp_path / f"_{tag}")
+        emb.where(pred).coalesce(1).write.parquet(staging)
+        part = next(n for n in os.listdir(staging) if n.endswith(".parquet"))
+        shutil.copy(
+            os.path.join(staging, part),
+            os.path.join(src_dir, f"embeddings_{tag}.parquet"),
+        )
+        stream_ivfpq_ingest(spark, src_dir, stream_idx, ckpt)
+
+    def codes(d):
+        return sorted(
+            (r.vec_id, r.s, r.code, r.cell)
+            for r in spark.read.parquet(f"{d}/codes").collect()
+        )
+
+    assert codes(stream_idx) == codes(full_dir)
+
+    n_before = spark.read.parquet(f"{stream_idx}/codes").count()
+    stream_ivfpq_ingest(spark, src_dir, stream_idx, ckpt)
+    assert spark.read.parquet(f"{stream_idx}/codes").count() == n_before
+
+
 def test_compact_preserves_answers(spark, sf_dir, tmp_path):
     from sentiment_analysis_vector_search_spark.sinks import compact_index
 
