@@ -146,6 +146,115 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_zipf_fit — Zipf's-law diagnostic: OLS fit of ln(freq) against
+# ln(rank) over the top-N vocabulary. Natural corpora run slope ≈ -1;
+# machine-generated/looping text flattens or steepens the curve, so the
+# (slope, r2) pair is a one-row corpus-health signal (and a drift check
+# between ingest batches). Heaps/Zipf diagnostics are standard corpus
+# cards in LLM-data pipelines.
+# ---------------------------------------------------------------------------
+
+_ZF_N = 100  # fit over the top-N ranks (the power-law head)
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents
+), uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), nt AS (
+  SELECT count(*) AS n_types FROM uc
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY c DESC, w) AS rk, c
+  FROM (SELECT * FROM uc ORDER BY c DESC, w LIMIT {_ZF_N})
+), pts AS (
+  SELECT round(ln(cast(rk as double)), 6) AS x,
+         round(ln(cast(c as double)), 6) AS y
+  FROM ranked
+), s AS (
+  SELECT cast(count(*) as double) AS n,
+         {sql_dec2double(f"sum({sql_vardec('x')})")} AS sx,
+         {sql_dec2double(f"sum({sql_vardec('y')})")} AS sy,
+         {sql_dec2double(f"sum({sql_vardec('x * y')})")} AS sxy,
+         {sql_dec2double(f"sum({sql_vardec('x * x')})")} AS sxx,
+         {sql_dec2double(f"sum({sql_vardec('y * y')})")} AS syy
+  FROM pts
+)
+SELECT nt.n_types,
+       cast(s.n as int) AS top_n,
+       (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) AS slope,
+       (s.sy - ((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)) * s.sx)
+         / s.n AS intercept,
+       ((s.n * s.sxy - s.sx * s.sy) * (s.n * s.sxy - s.sx * s.sy))
+         / ((s.n * s.sxx - s.sx * s.sx) * (s.n * s.syy - s.sy * s.sy)) AS r2
+FROM s, nt
+"""
+
+
+@register("corpus_zipf_fit", oracle=_ZIPF_ORACLE)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Zipf diagnostic: OLS slope/intercept/r² of the log-log
+    rank-frequency curve over the top-N vocabulary, plus total type
+    count.
+
+    Scale shape: one tokenized pass → vocabulary-grain counts (Heaps-
+    bounded); the top-N head comes via orderBy+limit (TakeOrdered, no
+    global window) and ranking/fitting run over N rows. Per-point logs
+    round to 6dp (the pmi parity device), the OLS sums are exact
+    decimals, and the closed-form arithmetic is ordered identically on
+    both engines — raw doubles out, no final round."""
+    docs = fan_out(spark, table(spark, sf_dir, "documents"))
+    uc = (
+        docs.select(
+            F.explode_outer(
+                F.expr(r"filter(split(lower(text), '\\s+'), w -> w <> '')")
+            ).alias("w")
+        )
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two consumers: type count + top-N
+    )
+    nt = uc.agg(F.count(F.lit(1)).alias("n_types"))
+    top = uc.orderBy(F.desc("c"), F.asc("w")).limit(_ZF_N)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.crossJoin(F.broadcast(nt))
+        .select(
+            "n_types",
+            F.col("n").cast("int").alias("top_n"),
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                )
+            ).alias("r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sample_weighted
 # ---------------------------------------------------------------------------
 

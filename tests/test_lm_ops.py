@@ -89,6 +89,54 @@ def test_bigram_lm_repetition_scores_higher_than_noise(spark, tmp_path):
     assert got[0] > got[99]
 
 
+def test_zipf_fit_matches_python_reference(spark, tmp_path):
+    from sentiment_analysis_vector_search_spark.operators.lm_ops import (
+        corpus_zipf_fit,
+    )
+
+    # planted power-lawish corpus: word wi appears ~ceil(32/2^i) times
+    words = []
+    for i in range(6):
+        words += [f"w{i}"] * max(32 >> i, 1)
+    d = _mk_sf_dir(
+        tmp_path, [{"doc_id": 1, "text": " ".join(words), "lang": "en", "source": "s"}]
+    )
+    row = corpus_zipf_fit(spark, d).collect()[0]
+    assert row["n_types"] == 6 and row["top_n"] == 6
+
+    # python OLS over the same (ln rank, ln freq) points
+    from collections import Counter
+
+    cnt = Counter(words)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(rk + 1), 6), round(math.log(c), 6))
+        for rk, (_, c) in enumerate(ordered)
+    ]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["slope"] == pytest.approx(slope, abs=1e-9)
+    assert row["slope"] < -0.5  # decaying frequencies -> negative slope
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_zipf_fit_flat_corpus_has_near_zero_slope(spark, tmp_path):
+    from sentiment_analysis_vector_search_spark.operators.lm_ops import (
+        corpus_zipf_fit,
+    )
+
+    words = [f"u{i}" for i in range(20)] * 5  # every type equally frequent
+    d = _mk_sf_dir(
+        tmp_path, [{"doc_id": 1, "text": " ".join(words), "lang": "en", "source": "s"}]
+    )
+    row = corpus_zipf_fit(spark, d).collect()[0]
+    assert row["slope"] == pytest.approx(0.0, abs=1e-9)
+
+
 def _py_wkey(doc_id: int, n_chars: int) -> float:
     h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:15], 16)
     u = ((h % MOD31) + 1) * 1.0 / (MOD31 + 1)
