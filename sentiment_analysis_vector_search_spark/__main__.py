@@ -11,6 +11,7 @@
     python -m sentiment_analysis_vector_search_spark analyze-incremental <table> <batch-path> <stats-dir>
     python -m sentiment_analysis_vector_search_spark rollup build|answer|add <rollup-dir> [...]
     python -m sentiment_analysis_vector_search_spark warc <warc-path> <out-dir>
+    python -m sentiment_analysis_vector_search_spark knn <kind> <index-dir> --vectors-dir D [--query-vec-id N] [--k K]
 
 `run` executes the operator end-to-end and prints rows (tabular, or one
 JSON object per line with --json — the shape a shell pipeline wants);
@@ -118,6 +119,22 @@ def main(argv: list[str] | None = None) -> int:
     p_search.add_argument("words", help="comma-separated query words")
     p_search.add_argument("--k", type=int, default=10)
     p_search.add_argument("--build-from", help="parquet docs dir: build index first")
+
+    p_knn = sub.add_parser(
+        "knn", help="vector top-k search against a persisted ANN index"
+    )
+    p_knn.add_argument("kind", choices=("ivf", "pq", "ivfpq"))
+    p_knn.add_argument("index_dir")
+    p_knn.add_argument(
+        "--vectors-dir",
+        help="embeddings parquet dir (primary store; REQUIRED for pq/ivfpq rerank,"
+        " and the source of --query-vec-id)",
+    )
+    p_knn.add_argument(
+        "--query-vec-id", type=int, default=0,
+        help="use this corpus vector as the query (self-match excluded)",
+    )
+    p_knn.add_argument("--k", type=int, default=10)
 
     p_pipe = sub.add_parser(
         "pipeline",
@@ -353,6 +370,47 @@ def main(argv: list[str] | None = None) -> int:
         words = tuple(w for w in args.words.split(",") if w)
         rows = text_index_query(spark, args.index_dir, words=words, k=args.k).collect()
         print(json.dumps([{"doc_id": r.doc_id, "score": r.score, "rk": r.rk} for r in rows]))
+        return 0
+
+    if args.cmd == "knn":
+        import json
+
+        from pyspark.sql import functions as F
+
+        from .session import get_spark
+
+        spark = get_spark("cli-knn")
+        spark.sparkContext.setLogLevel("ERROR")
+        if not args.vectors_dir:
+            p.error("knn requires --vectors-dir (the primary embeddings store)")
+        vecs = spark.read.parquet(args.vectors_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = vecs.where(F.col("vec_id") == args.query_vec_id).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        if args.kind == "ivf":
+            from .operators.similarity import ann_ivf_index_query
+
+            res = ann_ivf_index_query(spark, args.index_dir, q, k=args.k)
+        elif args.kind == "pq":
+            from .operators.similarity2 import ann_pq_index_query
+
+            res = ann_pq_index_query(
+                spark, args.index_dir, q, vecs, k=args.k, exclude_self=True
+            )
+        else:
+            from .operators.ivfpq import ann_ivfpq_index_query
+
+            res = ann_ivfpq_index_query(
+                spark, args.index_dir, q, vecs, k=args.k, exclude_self=True
+            )
+        rows = res.orderBy("rk").collect()
+        print(
+            json.dumps(
+                [{"vec_id": r.vec_id, "cosine": r.cosine, "rk": r.rk} for r in rows]
+            )
+        )
         return 0
 
     if args.cmd == "pipeline":

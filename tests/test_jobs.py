@@ -71,11 +71,33 @@ def test_cli_index_build(spark, sf_dir, tmp_path):
     for kind, parts in (
         ("ivf", {"codebook", "assignments"}),
         ("pq", {"codebook", "codes"}),
+        ("ivfpq", {"coarse_codebook", "pq_codebook", "codes"}),
         ("dedup", {"bands", "shingles", "sizes"}),
     ):
         out = str(tmp_path / kind)
         assert main(["index", kind, out, "--sf-dir", sf_dir]) == 0
         assert set(os.listdir(out)) >= parts, kind
+
+
+def test_cli_knn_search(spark, sf_dir, tmp_path, capsys):
+    """`knn <kind> <index>` must serve a top-k answer that matches the
+    library query path for every persisted ANN index kind."""
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    emb = f"{sf_dir}/embeddings.parquet"
+    for kind in ("ivf", "pq", "ivfpq"):
+        out = str(tmp_path / f"{kind}_idx")
+        assert main(["index", kind, out, "--sf-dir", sf_dir]) == 0
+        rc = main(
+            ["knn", kind, out, "--vectors-dir", emb, "--query-vec-id", "1", "--k", "5"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0 < len(rows) <= 5
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(r["vec_id"] != 1 for r in rows)  # self excluded
 
 
 def test_empty_stages_job_still_commits_manifest(spark, sf_dir, tmp_path):
