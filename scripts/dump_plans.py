@@ -63,6 +63,11 @@ SHOW = [
     ("fix_source_name", "pure narrow projection; whole mapping in one codegen stage, zero Exchange"),
     ("q_source_report", "map-side-combined groupBy on a ~#sources-row key"),
     ("q_events_hot_user_join", "MG-measured sentinel skew -> salted join (16-way hot-key spread); decimal rollup"),
+    # late-r9 additions
+    ("text_bigram_lm_score", "one tokenized pass; Heaps-bounded count joins (shuffled, vocab not broadcast-safe)"),
+    ("q_nation_pagerank", "Q7 fact spine once behind lineage cut; 3 node-grain join iterations"),
+    ("dedup_winnow", "per-doc window minima; fp-keyed pair join bounded by the boilerplate cap"),
+    ("rag_mmr_rerank", "one corpus-sized TakeOrdered pool; greedy picks join 10-row relation"),
 ]
 
 
