@@ -219,6 +219,14 @@ GRADED_WINDOW: list[str] = [
     "q_source_report",
     "q_events_hot_user_join",
 ]
+# Staged r10 must-grades (late-r9 registrations — judge-sweep green at
+# both SFs this round, but past the 50-slot freeze; same precedent as
+# the late-r8 tail): text_bigram_lm_score, sample_weighted,
+# corpus_zipf_fit, q_nation_pagerank, rag_mmr_rerank, dedup_winnow.
+# The r10 window = these 6 + the r7-graded cohort due for rotation
+# (multimodal 4, sentiment_ops 10, relational r7 tail, dedup r7 tail,
+# similarity r7 tail, text_ops pair, representatives 2, rag pair,
+# training trio) — trims to 50 by age.
 
 
 def load_all_modules() -> None:
