@@ -198,6 +198,8 @@ HEADLINE = [
     "q_nation_pagerank",
     "rag_mmr_rerank",
     "dedup_winnow",
+    "q_events_kmv_distinct",
+    "mm_audio_energy_stub",
 ]
 
 

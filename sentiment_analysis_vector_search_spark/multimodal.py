@@ -263,3 +263,91 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_batches,
         schema="doc_id bigint, orig_bytes bigint, resized_bytes bigint, resized_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_energy_stub — windowed audio feature extraction (the VAD /
+# silence-trim plumbing shape): payload bytes read as 8-bit PCM samples,
+# cut into fixed non-overlapping windows, each window reduced to integer
+# energy + zero-crossing count and gated by an energy threshold. A real
+# pipeline swaps the byte interpretation for a librosa/torchaudio decode
+# at decode_image()'s plug-point; the windowing, the Arrow 1-to-many
+# fan-out, and the per-window feature contract are the real parts — and
+# every feature is EXACT INTEGER arithmetic, so the oracle hash-matches
+# with zero float-parity surface.
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 16  # samples per window (trailing partial window dropped)
+_AUDIO_VAD_T = 8000  # integer energy gate: sum((v-128)^2) over the window
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, win_idx bigint, energy bigint, zero_crossings int,"
+    " is_voiced boolean"
+)
+
+
+def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, es, zs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+            for w in range(len(x) // _AUDIO_WIN):
+                seg = x[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+                ids.append(doc_id)
+                ws.append(w)
+                es.append(int((seg * seg).sum()))
+                zs.append(int(((seg[:-1] * seg[1:]) < 0).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(ws, dtype="int64"),
+                "energy": pd.Series(es, dtype="int64"),
+                "zero_crossings": pd.Series(zs, dtype="int32"),
+                "is_voiced": pd.Series(
+                    [e >= _AUDIO_VAD_T for e in es], dtype="bool"
+                ),
+            }
+        )
+
+
+_AUDIO_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), samples AS (
+  SELECT doc_id,
+         cast(s // {_AUDIO_WIN} as bigint) AS win_idx,
+         cast(s % {_AUDIO_WIN} as int) AS j,
+         cast(concat('0x', substr(hx, cast(2 * s + 1 as int), 2)) as int) - 128 AS v
+  FROM b, unnest(range(0, (n // {_AUDIO_WIN}) * {_AUDIO_WIN})) AS t(s)
+), signed AS (
+  SELECT doc_id, win_idx, j, v,
+         lead(v) OVER (PARTITION BY doc_id, win_idx ORDER BY j) AS nv
+  FROM samples
+), agg AS (
+  SELECT doc_id, win_idx,
+         cast(sum(v * v) as bigint) AS energy,
+         cast(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0 THEN 1 ELSE 0 END)
+              as int) AS zero_crossings
+  FROM signed GROUP BY doc_id, win_idx
+)
+SELECT doc_id, win_idx, energy, zero_crossings,
+       energy >= {_AUDIO_VAD_T} AS is_voiced
+FROM agg
+"""
+
+
+@register("mm_audio_energy_stub", oracle=_AUDIO_ORACLE)
+def mm_audio_energy_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy/ZCR features over text-as-bytes payloads
+    (genuine binary column; decode is the declared plug-point).
+
+    Scale shape: inherited scan partitioning → one Arrow crossing →
+    windows-per-payload fan-out, no shuffle anywhere; features are exact
+    integers (no float parity surface at any SF)."""
+    docs = table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return binary.mapInPandas(_audio_windows, schema=_AUDIO_SCHEMA)

@@ -1,0 +1,110 @@
+"""Sketch-backed analytics as graded queries.
+
+``q_events_kmv_distinct`` runs the K-Minimum-Values cardinality sketch
+(Bar-Yossef et al.; the mergeable estimator behind stats.column_kmv's
+incremental ANALYZE) as a first-class query, next to the exact answer:
+per event type, the KMV estimate of distinct users, the exact distinct
+count, and the relative error — the sketch-calibration audit a table
+owner runs before trusting sketch-backed planning stats.
+
+Unlike approx_count_distinct (HLL++, whose binary registers are not
+reproducible across engines), KMV over the md5 hash family is fully
+DETERMINISTIC: the k smallest hash values of a set are a pure function
+of the set, so the DuckDB oracle reproduces the estimate bit-for-bit —
+a sketch you can hash-verify, merge across partitions (keep the k
+smallest of the union), and re-derive after any repartition.
+
+Scale shape: one distinct-shuffle at (event_type, user_id) grain, then
+a two-phase salted bottom-K so no window ever sees a data-sized
+partition (the emb_outlier_scores device); the estimate arithmetic is
+per-group over k rows. The exact count rides the same distinct
+relation — at 100 TB you would DROP the exact column (it is the
+expensive part; the sketch is the cheap one) — kept here because the
+calibration audit is the point of the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.hashing import md5_long, sql_md5_long
+from ..registry import register
+
+_KMV_K = 64
+_H_SPACE = float(1 << 60)  # md5_long is 60 bits: u = h / 2^60 in [0, 1)
+_KMV_SALTS = 8
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, user_id,
+         {sql_md5_long("'kmv:' || cast(user_id as varchar)")} / {_H_SPACE} AS u
+  FROM events
+), ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rk
+  FROM hashed
+), sk AS (
+  SELECT event_type, count(*) AS n_seen, max(u) AS kth
+  FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events
+  GROUP BY event_type
+)
+SELECT ex.event_type, ex.exact_distinct,
+       CASE WHEN sk.n_seen < {_KMV_K} THEN cast(sk.n_seen as bigint)
+            ELSE cast(floor(({_KMV_K} - 1) / sk.kth) as bigint) END AS kmv_estimate,
+       round(abs(CASE WHEN sk.n_seen < {_KMV_K} THEN cast(sk.n_seen as double)
+                      ELSE floor(({_KMV_K} - 1) / sk.kth) END
+                 - ex.exact_distinct) / ex.exact_distinct, 6) AS rel_error
+FROM ex JOIN sk ON ex.event_type = sk.event_type
+"""
+
+
+@register("q_events_kmv_distinct", oracle=_KMV_ORACLE)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV distinct-user estimate vs the exact count.
+
+    Both engines hash identically (md5 → 60-bit → [0,1) by one exact
+    division), select the identical k-minimum set, and compute the
+    identical estimate floor((k-1)/u_(k)) — deterministic end to end."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.distinct().select(
+        "event_type",
+        "user_id",
+        (
+            md5_long(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+            / F.lit(_H_SPACE)
+        ).alias("u"),
+    )
+    # two-phase bottom-K: per-(type, salt) candidates, then the final
+    # rank over |salts| x K rows per type
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("user_id"), F.lit(_KMV_SALTS))
+    ).orderBy(F.asc("u"), F.asc("user_id"))
+    cand = hashed.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= _KMV_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("u"), F.asc("user_id"))
+    sk = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("u").alias("kth"))
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(F.floor(F.lit(float(_KMV_K - 1)) / F.col("kth")).cast("double"))
+    return ex.join(sk, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        est.cast("bigint").alias("kmv_estimate"),
+        F.round(
+            F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_error"),
+    )

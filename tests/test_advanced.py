@@ -192,3 +192,38 @@ def test_every_query_has_valid_oracle():
         except Exception as e:  # noqa: BLE001 — collect every failure
             bad[name] = str(e).splitlines()[0]
     assert not bad, f"oracle SQL fails to plan: {bad}"
+
+
+def test_mm_audio_energy_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "mm_audio_energy_stub", sf_dir)
+
+
+def test_mm_audio_energy_python_reference(spark, sf_dir):
+    """Exact-integer window features must equal a plain-Python pass over
+    the same bytes (fan-out count, energy, ZCR, VAD gate)."""
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.multimodal import (
+        _AUDIO_VAD_T,
+        _AUDIO_WIN,
+        mm_audio_energy_stub,
+    )
+
+    got = {
+        (r["doc_id"], r["win_idx"]): (
+            r["energy"], r["zero_crossings"], r["is_voiced"]
+        )
+        for r in mm_audio_energy_stub(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    expected = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        b = [v - 128 for v in text.encode()]
+        for w in range(len(b) // _AUDIO_WIN):
+            seg = b[w * _AUDIO_WIN : (w + 1) * _AUDIO_WIN]
+            e = sum(v * v for v in seg)
+            z = sum(1 for a, c in zip(seg, seg[1:]) if a * c < 0)
+            expected[(doc_id, w)] = (e, z, e >= _AUDIO_VAD_T)
+    assert got == expected

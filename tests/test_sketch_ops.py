@@ -1,0 +1,65 @@
+"""KMV sketch-query pins: python-reference estimate equality, the
+exact-column ground truth, and the small-set exact-passthrough branch."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import pandas as pd
+
+from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+    _H_SPACE,
+    _KMV_K,
+    q_events_kmv_distinct,
+)
+
+
+def _u(user_id: int) -> float:
+    h = int(hashlib.md5(f"kmv:{user_id}".encode()).hexdigest()[:15], 16)
+    return h / _H_SPACE
+
+
+def _py_kmv(users) -> int:
+    us = sorted((_u(x), x) for x in set(users))
+    if len(us) < _KMV_K:
+        return len(us)
+    return math.floor((_KMV_K - 1) / us[_KMV_K - 1][0])
+
+
+def test_kmv_matches_python_reference(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["exact_distinct"], r["kmv_estimate"])
+        for r in q_events_kmv_distinct(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    for et, g in ev.groupby("event_type"):
+        exact = g.user_id.nunique()
+        assert got[et][0] == exact
+        assert got[et][1] == _py_kmv(g.user_id)
+
+
+def test_kmv_small_set_is_exact(spark, tmp_path):
+    # fewer than K distinct users -> the sketch returns the exact count
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    rows = [
+        {"event_id": i, "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=i),
+         "user_id": i % 10, "event_type": "view", "value": 1.0, "props": "{}"}
+        for i in range(100)
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    row = q_events_kmv_distinct(spark, d).collect()[0]
+    assert row["exact_distinct"] == 10
+    assert row["kmv_estimate"] == 10
+    assert row["rel_error"] == 0.0
+
+
+def test_kmv_error_is_bounded_at_test_sf(spark, sf_dir):
+    # KMV relative error concentrates around 1/sqrt(k-2) ~ 0.13 at k=64;
+    # a generous 3-sigma-ish bound catches hash/selection regressions
+    # without flaking on honest variance
+    for r in q_events_kmv_distinct(spark, sf_dir).collect():
+        if r["exact_distinct"] >= _KMV_K:
+            assert r["rel_error"] <= 0.45, (r["event_type"], r["rel_error"])
