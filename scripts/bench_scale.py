@@ -118,6 +118,68 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         del fn
         gc.collect()
 
+    def _components_subprocess(band_bits: str | None) -> float | None:
+        """Time dedup_components over the tiled corpus in a FRESH
+        interpreter/JVM. The parent JVM after a full smoke holds GBs of
+        checkpoint garbage and its iterative driver jobs interleave with
+        GC — the in-bench measurement of this query read 2.5-3.7x its
+        isolated cost across rounds (r5: 65s vs 26s; r9: 32.8s in-bench
+        vs 15.3s isolated at the DEFAULT knob). Force a parent full GC
+        (G1 returns regions to the OS) so the child measures the query,
+        not the neighbor."""
+        import subprocess
+
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2.0)
+        except Exception:  # noqa: BLE001 — measurement hygiene only
+            pass
+        code = (
+            "import sys, time; sys.path.insert(0, %r)\n"
+            "import __spark_entry__ as e\n"
+            "from sentiment_analysis_vector_search_spark.session import get_spark\n"
+            "spark = get_spark('scale-knob')\n"
+            "fn = e.queries()['dedup_components']\n"
+            "t0 = time.perf_counter()\n"
+            "fn(spark, %r).write.format('noop').mode('overwrite').save()\n"
+            "print('KNOB_SECS', round(time.perf_counter() - t0, 2))\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out)
+        env = dict(os.environ)
+        if band_bits is not None:
+            env["SPARK_GRAFT_EMB_BAND_BITS"] = band_bits
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=max(60.0, budget - (time.perf_counter() - started)),
+                env=env,
+            )
+            for ln in res.stdout.splitlines():
+                if ln.startswith("KNOB_SECS"):
+                    return float(ln.split()[1])
+        except (subprocess.TimeoutExpired, OSError) as e:
+            print(f"  [scale] components subprocess skipped: {e}", file=sys.stderr)
+        return None
+
+    # The DEFAULT-knob grade for dedup_components comes from the same
+    # fresh-interpreter isolation (r9: the in-bench number masqueraded as
+    # a 2.3x super-linear regression that did not reproduce isolated).
+    if (
+        "dedup_components" in detail["queries"]
+        and time.perf_counter() - started <= budget
+    ):
+        inbench = detail["queries"]["dedup_components"]
+        secs = _components_subprocess(None)
+        if secs is not None:
+            detail["queries"]["dedup_components"] = secs
+            total += secs - inbench
+            print(
+                f"  [scale] dedup_components isolated: {secs}s"
+                f" (in-bench read {inbench}s)",
+                file=sys.stderr,
+            )
+
     # Band-width knob demonstration, INVERTED since r8 (default flipped
     # to the scale-safe 8 bits): re-run dedup_components in a subprocess
     # with SPARK_GRAFT_EMB_BAND_BITS=5 (the knob is read at import,
@@ -129,51 +191,14 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         and "dedup_components" in detail["queries"]
         and time.perf_counter() - started <= budget
     ):
-        import subprocess
-
-        # The knob subprocess runs CONCURRENTLY with this (idle) parent
-        # JVM; after a full smoke the parent's heap holds GBs of garbage
-        # from the checkpointed relations, and the memory pressure
-        # contaminated the subprocess measurement 3-4x (r6: 57.6s in-bench
-        # vs 15.4s standalone). Force a parent full GC first — Java 17's
-        # G1 returns freed regions to the OS — so the child measures the
-        # query, not the neighbor.
-        try:
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(2.0)
-        except Exception:  # noqa: BLE001 — measurement hygiene only
-            pass
-
-        code = (
-            "import sys, time; sys.path.insert(0, %r)\n"
-            "import __spark_entry__ as e\n"
-            "from sentiment_analysis_vector_search_spark.session import get_spark\n"
-            "spark = get_spark('scale-knob')\n"
-            "fn = e.queries()['dedup_components']\n"
-            "t0 = time.perf_counter()\n"
-            "fn(spark, %r).write.format('noop').mode('overwrite').save()\n"
-            "print('KNOB_SECS', round(time.perf_counter() - t0, 2))\n"
-        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out)
-        env = dict(os.environ, SPARK_GRAFT_EMB_BAND_BITS=knob_bits)
-        try:
-            res = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True,
-                text=True,
-                timeout=max(60.0, budget - (time.perf_counter() - started)),
-                env=env,
+        secs = _components_subprocess(knob_bits)
+        if secs is not None:
+            detail["queries"][f"dedup_components@{knob_bits}bit"] = secs
+            total += secs
+            print(
+                f"  [scale] dedup_components@{knob_bits}bit: {secs}s",
+                file=sys.stderr,
             )
-            for ln in res.stdout.splitlines():
-                if ln.startswith("KNOB_SECS"):
-                    secs = float(ln.split()[1])
-                    detail["queries"][f"dedup_components@{knob_bits}bit"] = secs
-                    total += secs
-                    print(
-                        f"  [scale] dedup_components@{knob_bits}bit: {secs}s",
-                        file=sys.stderr,
-                    )
-        except (subprocess.TimeoutExpired, OSError) as e:
-            print(f"  [scale] knob demo skipped: {e}", file=sys.stderr)
 
     # Persisted-IVF serving path (r7 verdict #8): the partition-pruned
     # index probe is the 100 TB serving story but was never smoke-timed.
