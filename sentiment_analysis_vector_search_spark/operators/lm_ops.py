@@ -108,11 +108,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
         "ELSE array() END"
     )
+    # bi is consumed twice (bc + the scoring join) and deliberately NOT
+    # checkpointed: the pair explode recomputes from the checkpointed
+    # token arrays instead. Measured A/B at sf0.1: recompute 1.65-2.0s vs
+    # checkpoint 1.5-1.8s — ~8% for not materializing a CORPUS-sized
+    # per-doc bigram relation, which at 100 TB is storage-prohibitive
+    # while a second pass over the (columnar) token relation is not (the
+    # text_char_trigram_score precedent, measured there at 1.66 vs 2.09).
     bi = (
         toks.select("doc_id", F.explode_outer(F.expr(pair_expr)).alias("b"))
         .where(F.col("b").isNotNull())
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .localCheckpoint(eager=False)  # two consumers: bc + scoring join
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     scored = (
