@@ -200,6 +200,8 @@ HEADLINE = [
     "dedup_winnow",
     "q_events_kmv_distinct",
     "mm_audio_energy_stub",
+    "batch_by_length",
+    "domain_temperature_mix",
 ]
 
 

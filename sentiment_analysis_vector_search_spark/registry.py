@@ -223,7 +223,8 @@ GRADED_WINDOW: list[str] = [
 # both SFs this round, but past the 50-slot freeze; same precedent as
 # the late-r8 tail): text_bigram_lm_score, sample_weighted,
 # corpus_zipf_fit, q_nation_pagerank, rag_mmr_rerank, dedup_winnow,
-# q_events_kmv_distinct, mm_audio_energy_stub.
+# q_events_kmv_distinct, mm_audio_energy_stub, batch_by_length,
+# domain_temperature_mix (and any later-r9 tail).
 # The r10 window = these 6 + the r7-graded cohort due for rotation
 # (multimodal 4, sentiment_ops 10, relational r7 tail, dedup r7 tail,
 # similarity r7 tail, text_ops pair, representatives 2, rag pair,
@@ -264,6 +265,7 @@ def load_all_modules() -> None:
     from .operators import rag_rerank  # noqa: F401
     from .operators import dedup2  # noqa: F401
     from .operators import sketch_ops  # noqa: F401
+    from .operators import curation3  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]

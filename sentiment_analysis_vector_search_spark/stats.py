@@ -645,3 +645,71 @@ def hot_key_rows(df: DataFrame, col: str, k: int = MG_K) -> float:
     ``hot_rows`` to catch single-sentinel skew ndv math misses."""
     summary, n = column_heavy_hitters(df, col, k)
     return float(max(summary.values())) if summary else 0.0
+
+
+def incremental_heavy_hitters(
+    stats_dir: str,
+    name: str,
+    col: str,
+    batch_df: DataFrame,
+    k: int = MG_K,
+    batch_id: int | None = None,
+) -> tuple[dict, int]:
+    """Fold one batch's Misra-Gries summary into a persisted hot-key
+    sketch (``{name}__hh_{col}.json``) — the incremental-ANALYZE story
+    for the skew signal: each batch is scanned ONCE (shuffle-free
+    ``column_heavy_hitters``), summaries merge associatively, and the
+    stored result keeps the MG guarantee over the UNION of all folded
+    batches (any value with total count > N/k survives; counts are
+    lower bounds within N/k).
+
+    Exactly-once with no crash window (the ``incremental_analyze``
+    protocol): MG counts are additive, so a replayed batch would
+    inflate the sketch — the applied-batch record rides INSIDE the
+    sketch JSON and lands in the same single os.replace as the fold.
+    Returns (summary, total_rows)."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__hh_{col}.json")
+    meta: dict = {}
+    summary: dict = {}
+    n_rows = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        summary = raw.get("summary", {})
+        n_rows = int(raw.get("n_rows", 0))
+    applied: list[int] = meta.get("applied_batch_ids", [])
+    if batch_id is not None and batch_id in applied:
+        return summary, n_rows  # replayed batch: fold already committed
+    fresh, fresh_n = column_heavy_hitters(batch_df, col, k)
+    summary = merge_mg(summary, fresh, k)
+    n_rows += fresh_n
+    out = {"summary": summary, "n_rows": n_rows, "col": col, "k": k}
+    if batch_id is not None:
+        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return summary, n_rows
+
+
+def load_heavy_hitters(stats_dir: str, name: str, col: str) -> tuple[dict, int]:
+    """Read back a persisted hot-key sketch: (summary, n_rows). The
+    max summary value feeds ``choose_join_strategy(hot_rows=...)`` the
+    way ``hot_key_rows`` does from a live DataFrame."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__hh_{col}.json")
+    if not os.path.exists(path):
+        return {}, 0
+    with open(path) as f:
+        raw = json.load(f)
+    return raw.get("summary", {}), int(raw.get("n_rows", 0))

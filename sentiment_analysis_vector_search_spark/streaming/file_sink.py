@@ -792,3 +792,48 @@ def stream_text_index_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_hot_keys_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "documents",
+    col: str = "source",
+    k: int = 64,
+) -> None:
+    """Continuously-maintained hot-key (Misra-Gries) skew signal:
+    streaming files → ``foreachBatch`` → ``stats.incremental_heavy_hitters``.
+    Each micro-batch is scanned once, shuffle-free (per-partition MG
+    summaries, bounded driver metadata), and folded into the persisted
+    sketch that feeds ``choose_join_strategy(hot_rows=...)`` — so the
+    salted-join trigger stays current as the corpus grows, without ever
+    re-reading the table (the same scalable-maintenance story as
+    ``stream_stats_maintenance``).
+
+    Exactly-once with NO crash window: MG counts are additive, so the
+    applied-batch record rides inside the sketch JSON's single
+    os.replace (fold and record commit together, r9 protocol)."""
+    from ..stats import incremental_heavy_hitters
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", f"{table_name}*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one source file per batch
+        .parquet(sf_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_heavy_hitters(
+            stats_dir, table_name, col, batch_df, k=k, batch_id=batch_id
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -326,3 +326,67 @@ def test_stream_emb_dedup_ingest_gates_against_history(spark, tmp_path):
     # exactly-once: re-drain appends nothing
     stream_emb_dedup_ingest(spark, src, idx, out, ckpt)
     assert {r.vec_id for r in spark.read.parquet(out).collect()} == want
+
+
+def test_stream_hot_keys_maintenance(spark, sf_dir, tmp_path):
+    """Streamed MG hot-key sketch: the planted heavy value must survive
+    with an in-bound count, n_rows must be exact, re-drain must be a
+    no-op, and a crash-replayed batch id must not re-fold (the record
+    rides inside the sketch JSON's single atomic write)."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        incremental_heavy_hitters,
+        load_heavy_hitters,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_hot_keys_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    # plant a heavy sentinel source on ~40% of rows, then split into two
+    # files so maxFilesPerTrigger=1 yields multiple batches
+    planted = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 < 2, F.lit("hot-src")).otherwise(
+            F.col("source")
+        ),
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    planted.where(F.col("doc_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/documents_a.parquet", index=False
+    )
+    planted.where(F.col("doc_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/documents_b.parquet", index=False
+    )
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    stream_hot_keys_maintenance(spark, src_dir, stats_dir, ckpt, k=16)
+
+    summary, n_rows = load_heavy_hitters(stats_dir, "documents", "source")
+    assert n_rows == n_docs
+    true_hot = planted.where(F.col("source") == "hot-src").count()
+    # MG guarantee over the union of folded batches: count > N/k survives,
+    # reported count is a lower bound within N/k of truth
+    assert "hot-src" in summary
+    assert true_hot - n_docs / 16 <= summary["hot-src"] <= true_hot
+
+    # re-drain: checkpoint makes it a no-op
+    stream_hot_keys_maintenance(spark, src_dir, stats_dir, ckpt, k=16)
+    again, n2 = load_heavy_hitters(stats_dir, "documents", "source")
+    assert n2 == n_docs and again == summary
+
+    # crash-replay of a RECORDED batch id: the fold is a no-op even
+    # without the stream's own guard (the record IS the guard)
+    path = os.path.join(stats_dir, "documents__hh_source.json")
+    with open(path) as f:
+        recorded = json.load(f)["__meta__"]["applied_batch_ids"]
+    assert len(recorded) >= 2
+    incremental_heavy_hitters(
+        stats_dir, "documents", "source", planted, k=16, batch_id=recorded[0]
+    )
+    after, n3 = load_heavy_hitters(stats_dir, "documents", "source")
+    assert n3 == n_docs and after == summary
