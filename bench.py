@@ -202,6 +202,7 @@ HEADLINE = [
     "mm_audio_energy_stub",
     "batch_by_length",
     "domain_temperature_mix",
+    "q_value_quantile_sketch",
 ]
 
 

@@ -108,3 +108,101 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_value_quantile_sketch — uniform bottom-k-hash sample quantiles vs the
+# exact answer: the KMV device pointed at QUANTILES. A deterministic
+# uniform sample of each group is the k rows with the smallest md5(event
+# id) — a pure function of the row set (identical across engines,
+# partitionings, and retries; mergeable: the bottom-k of a union is the
+# bottom-k of the parts' bottom-k's) — and sample quantiles converge at
+# O(1/sqrt(k)). Unlike percentile_approx (whose KLL-ish sketch is not
+# reproducible across engines), this sample quantile hash-verifies.
+#
+# Scale shape: the sample selection is the KMV two-phase salted bottom-K
+# (no data-sized window); exact percentiles ride a percentile() aggregate
+# per group. The exact columns are the expensive leg — at 100 TB keep the
+# sketch, drop the exact (they are here because calibration is the point).
+# ---------------------------------------------------------------------------
+
+_QS_K = 256
+_QS_SALTS = 8
+
+_QS_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, value,
+         {sql_md5_long("'qs:' || cast(event_id as varchar)")} AS h, event_id
+  FROM events
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk
+  FROM hashed
+), samp AS (
+  SELECT event_type,
+         count(*) AS n_sample,
+         round(cast(quantile_cont(value, 0.5) as double), 6) AS approx_p50,
+         round(cast(quantile_cont(value, 0.95) as double), 6) AS approx_p95
+  FROM ranked WHERE rk <= {_QS_K} GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(*) AS n_rows,
+         round(cast(quantile_cont(value, 0.5) as double), 6) AS exact_p50,
+         round(cast(quantile_cont(value, 0.95) as double), 6) AS exact_p95
+  FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.n_rows, samp.n_sample,
+       ex.exact_p50, samp.approx_p50,
+       round(abs(samp.approx_p50 - ex.exact_p50), 6) AS err_p50,
+       ex.exact_p95, samp.approx_p95,
+       round(abs(samp.approx_p95 - ex.exact_p95), 6) AS err_p95
+FROM ex JOIN samp ON ex.event_type = samp.event_type
+"""
+
+
+@register("q_value_quantile_sketch", oracle=_QS_ORACLE)
+def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample quantiles from a deterministic bottom-k-hash row sample vs
+    exact percentiles, per event type — the quantile-calibration audit.
+    Sample selection is the two-phase salted bottom-K; both engines pick
+    the identical sample and interpolate identically."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    hashed = ev.withColumn(
+        "h", md5_long(F.concat(F.lit("qs:"), F.col("event_id").cast("string")))
+    )
+    w1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(_QS_SALTS))
+    ).orderBy(F.asc("h"), F.asc("event_id"))
+    cand = hashed.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= _QS_K
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("event_id"))
+    samp = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _QS_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("approx_p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("approx_p95"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+    )
+    return ex.join(samp, "event_type").select(
+        "event_type",
+        "n_rows",
+        "n_sample",
+        "exact_p50",
+        "approx_p50",
+        F.round(F.abs(F.col("approx_p50") - F.col("exact_p50")), 6).alias(
+            "err_p50"
+        ),
+        "exact_p95",
+        "approx_p95",
+        F.round(F.abs(F.col("approx_p95") - F.col("exact_p95")), 6).alias(
+            "err_p95"
+        ),
+    )

@@ -64,6 +64,10 @@ def read_documents(spark: SparkSession, path: str, fmt: str = "parquet") -> Data
         ).csv(path)
     elif fmt == "json":
         df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
+    elif fmt == "orc":
+        # Spark-native columnar alternative (predicate pushdown + column
+        # pruning work the same as parquet; no extra package needed)
+        df = spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
     elif fmt == "text":
         # One document per line; ids are stable only per-file-order, so use
         # the (file, offset)-deterministic metadata columns.

@@ -837,3 +837,53 @@ def stream_hot_keys_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_cdc_apply(
+    spark: SparkSession,
+    cdc_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    partition_col: str = "lang",
+) -> None:
+    """Continuous change-data-capture apply: a stream of change records
+    (``_op`` in I/U/D plus a ``_seq`` log position) lands against a
+    hive-partitioned table via ``sinks.apply_cdc`` — each micro-batch
+    rewrites ONLY the partitions its changes touch, so apply cost
+    follows the batch's partition spread, not table size (the
+    merge_upsert maintenance story, extended to deletes).
+
+    Exactly-once WITHOUT a commit record: ``apply_cdc`` is idempotent
+    per identical batch — last-wins keyed on ``_seq``, upserts replace
+    the same rows, deletes of absent keys are no-ops — and the
+    checkpointed file source re-delivers a crashed batch byte-identical.
+    A replay therefore converges to the same table state (the
+    "idempotent effect" leg of the r9 atomic-commit protocol; no
+    effect-then-record crash window exists because there is no record)."""
+    from ..sinks import apply_cdc
+
+    probe = spark.read.parquet(cdc_dir)
+    src = (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", "cdc_*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one CDC file per batch
+        .parquet(cdc_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_cdc(
+            spark, table_dir, batch_df, keys=list(keys),
+            partition_col=partition_col,
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -390,3 +390,78 @@ def test_stream_hot_keys_maintenance(spark, sf_dir, tmp_path):
     )
     after, n3 = load_heavy_hitters(stats_dir, "documents", "source")
     assert n3 == n_docs and after == summary
+
+
+def test_stream_cdc_apply_matches_sequential_batch(spark, sf_dir, tmp_path):
+    """Streamed CDC apply must equal applying the same change files
+    sequentially with batch apply_cdc, and a re-drain must be a no-op
+    (apply_cdc is idempotent per identical batch — the replay-safety
+    leg that needs no commit record)."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.sinks import apply_cdc
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_cdc_apply,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+    streamed_dir = str(tmp_path / "streamed")
+    batch_dir = str(tmp_path / "batch")
+    for d in (streamed_dir, batch_dir):
+        docs.repartition("lang").write.partitionBy("lang").parquet(d)
+
+    # two CDC files: updates + deletes, then inserts + a later re-update
+    some = docs.limit(20).collect()
+    c1 = spark.createDataFrame(
+        [
+            {**r.asDict(), "text": r.text + " v2", "_op": "U", "_seq": 1}
+            for r in some[:10]
+        ]
+        + [{**r.asDict(), "_op": "D", "_seq": 2} for r in some[10:15]]
+    )
+    c2 = spark.createDataFrame(
+        [
+            {
+                "doc_id": 10_000_000 + i,
+                "text": f"new doc {i}",
+                "lang": "en",
+                "source": "cdc",
+                "n_chars": 9,
+                "_op": "I",
+                "_seq": 3,
+            }
+            for i in range(5)
+        ]
+        + [
+            {**some[0].asDict(), "text": some[0].text + " v3", "_op": "U", "_seq": 4}
+        ]
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "_op", "_seq"]
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    c1.select(cols).toPandas().to_parquet(f"{cdc_dir}/cdc_001.parquet", index=False)
+    c2.select(cols).toPandas().to_parquet(f"{cdc_dir}/cdc_002.parquet", index=False)
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_cdc_apply(spark, cdc_dir, streamed_dir, ckpt)
+    apply_cdc(spark, batch_dir, c1.select(cols), ["doc_id"], "lang")
+    apply_cdc(spark, batch_dir, c2.select(cols), ["doc_id"], "lang")
+
+    def snap(d):
+        return sorted(
+            (r.doc_id, r.text, r.lang, r.source, r.n_chars)
+            for r in spark.read.parquet(d).collect()
+        )
+
+    want = snap(batch_dir)
+    assert snap(streamed_dir) == want
+    # deletes really gone, inserts really in, last-wins re-update applied
+    ids = {t[0] for t in want}
+    assert not {r.doc_id for r in some[10:15]} & ids
+    assert {10_000_000 + i for i in range(5)} <= ids
+    text0 = {t[0]: t[1] for t in want}[some[0].doc_id]
+    assert text0.endswith(" v3")
+
+    # re-drain: checkpoint makes it a no-op
+    stream_cdc_apply(spark, cdc_dir, streamed_dir, ckpt)
+    assert snap(streamed_dir) == want

@@ -63,3 +63,35 @@ def test_kmv_error_is_bounded_at_test_sf(spark, sf_dir):
     for r in q_events_kmv_distinct(spark, sf_dir).collect():
         if r["exact_distinct"] >= _KMV_K:
             assert r["rel_error"] <= 0.45, (r["event_type"], r["rel_error"])
+
+
+def test_quantile_sketch_sample_is_deterministic_bottom_k(spark, sf_dir):
+    """The sample quantile must equal a python re-derivation of the same
+    bottom-k-hash sample (pins both the selection and the interpolation),
+    and the exact columns must match numpy's linear interpolation."""
+    import numpy as np
+
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        _QS_K,
+        q_value_quantile_sketch,
+    )
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {r["event_type"]: r for r in q_value_quantile_sketch(spark, sf_dir).collect()}
+    for et, g in ev.groupby("event_type"):
+        h = g.event_id.map(
+            lambda i: int(hashlib.md5(f"qs:{i}".encode()).hexdigest()[:15], 16)
+        )
+        samp = g.assign(h=h).sort_values(["h", "event_id"]).head(_QS_K)
+        r = got[et]
+        assert r["n_rows"] == len(g)
+        assert r["n_sample"] == min(len(g), _QS_K)
+        assert r["approx_p50"] == round(
+            float(np.percentile(samp.value, 50, method="linear")), 6
+        )
+        assert r["exact_p95"] == round(
+            float(np.percentile(g.value, 95, method="linear")), 6
+        )
+        # O(1/sqrt(k)) convergence: generous bound against selection bugs
+        spread = float(g.value.max() - g.value.min()) or 1.0
+        assert r["err_p50"] <= 0.35 * spread, (et, r["err_p50"], spread)

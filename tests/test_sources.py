@@ -25,6 +25,11 @@ def test_read_documents_formats_roundtrip(spark, sf_dir, tmp_path):
     assert [r.asDict() for r in got_csv] == rows
     assert [r.asDict() for r in got_json] == rows
 
+    orc_dir = str(tmp_path / "orc")
+    ref.write.orc(orc_dir)
+    got_orc = read_documents(spark, orc_dir, "orc").orderBy("doc_id").collect()
+    assert [r.asDict() for r in got_orc] == rows
+
 
 def test_read_documents_text_lines(spark, tmp_path):
     from sentiment_analysis_vector_search_spark.sources import read_documents
