@@ -266,6 +266,31 @@ def _jvm_settle(spark) -> None:
         pass
 
 
+# Periodic deep settle: per-query gc keeps REFERENCES clean, but the
+# ContextCleaner's shuffle/checkpoint deletions are asynchronous — over
+# a ~134-query suite the deletion backlog plus old-gen growth degrades a
+# sustained mid-suite WINDOW (r9 measured: the dedup block's in-suite
+# rep floor 4.9s vs 3.0s on a fresh JVM; one rep hit 41.7s on a full
+# GC). Every _DEEP_EVERY queries the suite stops untimed, double-GCs
+# the JVM, and sleeps long enough for the cleaner to drain, bounding
+# accumulation for the whole fleet instead of per-query whack-a-mole.
+_DEEP_EVERY = 12
+
+
+def _deep_settle(spark) -> None:
+    import gc
+
+    gc.collect()
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.System.gc()
+        time.sleep(0.7)
+        jvm.System.gc()  # second pass collects finalizer-reachable blocks
+        time.sleep(0.8)
+    except Exception:  # noqa: BLE001 — hygiene only
+        pass
+
+
 def _time_queries(
     spark, queries, names, sf_dir: str, reps: int
 ) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
@@ -274,7 +299,9 @@ def _time_queries(
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % _DEEP_EVERY == 0:
+            _deep_settle(spark)
         fn = queries[name]
         if name in _ITERATIVE:
             n_reps = max(reps, _ITERATIVE_MIN_REPS)

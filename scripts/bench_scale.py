@@ -91,7 +91,11 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # it are SKIPPED AND NAMED (no silent truncation) — the smoke is an
     # order-of-magnitude ratio check, not a completeness gate, and it must
     # not starve the main bench of its capture window.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "840"))
+    # default raised 840 -> 1260 in r9: the smoke legitimately grew
+    # (ivf + text + bloom index blocks, best-of-2 child reps) and an
+    # 840s run measured on this host shed the bloom block entirely —
+    # a silently thinner artifact is worse than a longer smoke.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1260"))
     out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
 
     detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}
@@ -118,7 +122,9 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         del fn
         gc.collect()
 
-    def _components_subprocess(band_bits: str | None) -> float | None:
+    def _components_subprocess(
+        band_bits: str | None, timed_reps: int = 2
+    ) -> float | None:
         """Time dedup_components over the tiled corpus in a FRESH
         interpreter/JVM. The parent JVM after a full smoke holds GBs of
         checkpoint garbage and its iterative driver jobs interleave with
@@ -134,16 +140,32 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
             time.sleep(2.0)
         except Exception:  # noqa: BLE001 — measurement hygiene only
             pass
+        # warmup + best-of-2 timed reps: a single unwarmed child rep
+        # pays JVM/codegen warmup INSIDE the measurement and read
+        # {0.64, 1.1, 1.51}x linear for identical code across three r9
+        # runs — noise indistinguishable from the super-linearity this
+        # tripwire exists to catch. The min of two warmed reps is the
+        # uncontended cost estimate; all reps are printed for the log.
         code = (
             "import sys, time; sys.path.insert(0, %r)\n"
             "import __spark_entry__ as e\n"
             "from sentiment_analysis_vector_search_spark.session import get_spark\n"
             "spark = get_spark('scale-knob')\n"
             "fn = e.queries()['dedup_components']\n"
-            "t0 = time.perf_counter()\n"
             "fn(spark, %r).write.format('noop').mode('overwrite').save()\n"
-            "print('KNOB_SECS', round(time.perf_counter() - t0, 2))\n"
-        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out)
+            "runs = []\n"
+            f"for _ in range({timed_reps}):\n"
+            "    spark.sparkContext._jvm.System.gc(); time.sleep(0.5)\n"
+            "    t0 = time.perf_counter()\n"
+            "    fn(spark, %r).write.format('noop').mode('overwrite').save()\n"
+            "    runs.append(round(time.perf_counter() - t0, 2))\n"
+            "print('KNOB_REPS', runs)\n"
+            "print('KNOB_SECS', min(runs))\n"
+        ) % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            out,
+            out,
+        )
         env = dict(os.environ)
         if band_bits is not None:
             env["SPARK_GRAFT_EMB_BAND_BITS"] = band_bits
@@ -191,7 +213,9 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         and "dedup_components" in detail["queries"]
         and time.perf_counter() - started <= budget
     ):
-        secs = _components_subprocess(knob_bits)
+        # demo only (quadratic blowup signal >> measurement noise): one
+        # timed rep after the warmup keeps it inside the default budget
+        secs = _components_subprocess(knob_bits, timed_reps=1)
         if secs is not None:
             detail["queries"][f"dedup_components@{knob_bits}bit"] = secs
             total += secs

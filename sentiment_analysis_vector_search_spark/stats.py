@@ -713,3 +713,173 @@ def load_heavy_hitters(stats_dir: str, name: str, col: str) -> tuple[dict, int]:
     with open(path) as f:
         raw = json.load(f)
     return raw.get("summary", {}), int(raw.get("n_rows", 0))
+
+
+def kmv_intersection(
+    sa: list[int], sb: list[int], k: int | None = None
+) -> tuple[float, float, float]:
+    """Set-operation estimates from two KMV sketches (Beyer et al.,
+    SIGMOD'07): returns (ndv_union, ndv_intersection, jaccard).
+
+    Each sketch is COMPLETE below its own largest hash, so below
+    thr = min(max(sa), max(sb)) the union's hash set is known exactly —
+    that prefix is the bottom-|prefix| of A ∪ B, giving a KMV union
+    estimate, and the fraction ρ of it present in BOTH sketches
+    estimates Jaccard, so |A ∩ B| ≈ ρ · |A ∪ B|. This needs NO
+    knowledge of the sketches' build-k (a filled k=64 sketch and a
+    complete 64-value set are indistinguishable from the list alone —
+    guessing 'complete' silently computed garbage on filled sketches,
+    the r9 bug this replaced). Pass ``k`` only when the build-k is
+    known: then two unfilled sketches are provably complete sets and
+    every quantity is exact. Cost: pure python over ≤2k ints —
+    driver-side metadata, never a data pass."""
+    if not sa or not sb:
+        return (float(len(sa or sb)), 0.0, 0.0)
+    set_a, set_b = set(sa), set(sb)
+    if k is not None and len(sa) < k and len(sb) < k:
+        u = set_a | set_b
+        inter = float(len(set_a & set_b))  # complete sets: exact
+        return (float(len(u)), inter, inter / len(u))
+    thr = min(max(sa), max(sb))
+    ap = {h for h in set_a if h <= thr}
+    bp = {h for h in set_b if h <= thr}
+    u = sorted(ap | bp)
+    k_u = len(u)
+    if k_u <= 1:
+        return (float(k_u), 0.0, 0.0)
+    ndv_union = kmv_ndv(u, k_u)
+    rho = len(ap & bp) / float(k_u)
+    return (ndv_union, rho * ndv_union, rho)
+
+
+def estimate_join_rows(
+    stats_a: dict, stats_b: dict, col_a: str, col_b: str | None = None
+) -> float:
+    """Equi-join output-cardinality estimate from two tables' persisted
+    stats (``partition_stats`` / ``incremental_analyze`` shape): KMV
+    intersection gives the matching-key count, and each side contributes
+    its average rows-per-key — |A ⋈ B| ≈ ndv(A∩B) · (rows_a/ndv_a) ·
+    (rows_b/ndv_b). The uniform-frequency model under-estimates under
+    single-key skew; pair with the Misra-Gries ``hot_rows`` signal,
+    which exists precisely to catch that case.
+
+    This is the planner input ``choose_join_strategy`` lacks when
+    neither side is dim-sized: a tiny estimated output argues for a
+    shuffle join over pre-aggregation gymnastics, a huge one flags the
+    join as the stage to pre-filter."""
+    col_b = col_b or col_a
+    a, b = stats_a[col_a], stats_b[col_b]
+    ndv_u, ndv_i, _ = kmv_intersection(a.get("kmv", []), b.get("kmv", []))
+    if ndv_i <= 0.0:
+        return 0.0
+    rows_a = a["n_rows"] - a.get("n_nulls", 0)
+    rows_b = b["n_rows"] - b.get("n_nulls", 0)
+    ndv_a = max(a.get("approx_ndv", 1.0), 1.0)
+    ndv_b = max(b.get("approx_ndv", 1.0), 1.0)
+    return ndv_i * (rows_a / ndv_a) * (rows_b / ndv_b)
+
+
+def column_bottom_k_sample(
+    df: DataFrame, key_col: str, val_col: str, k: int = 256
+) -> list[list]:
+    """Deterministic uniform ROW sample of ``val_col``: the k rows whose
+    unique ``key_col`` has the smallest md5 hash — a pure function of
+    the row set (identical across engines, partitionings, and retries),
+    and mergeable: the bottom-k of a union is the bottom-k of the
+    parts' bottom-k's (the KMV property, over row keys instead of
+    distinct values — hashing the VALUE would collapse duplicates into
+    a distinct-value sample and skew quantiles). One TakeOrdered job
+    over the input; k rows to the driver — bounded metadata."""
+    rows = (
+        df.where(F.col(val_col).isNotNull())
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("smp:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+            F.col(val_col).alias("v"),
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    return [[r["h"], r["v"]] for r in rows]
+
+
+def incremental_sample(
+    stats_dir: str,
+    name: str,
+    key_col: str,
+    val_col: str,
+    batch_df: DataFrame,
+    k: int = 256,
+    batch_id: int | None = None,
+) -> list[list]:
+    """Fold one batch into a persisted bottom-k-hash row sample
+    (``{name}__smp_{val_col}.json``) — the incremental leg of the
+    deterministic sampling device behind ``q_value_quantile_sketch``:
+    merge = keep the k hash-smallest of (stored ∪ batch bottom-k), so
+    after ANY number of batches the stored sample is byte-identical to
+    a one-shot bottom-k over the whole corpus (pinned by pytest). Serves
+    quantile estimates without rescanning the table.
+
+    Replay-safe twice over: min-union is idempotent (re-folding the
+    same batch cannot change the bottom-k), AND the applied-batch
+    record rides inside the same atomic write, keeping every
+    maintenance artifact on the one commit protocol (SCALING rule 21)."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__smp_{val_col}.json")
+    meta: dict = {}
+    stored: list[list] = []
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        stored = raw.get("rows", [])
+    applied: list[int] = meta.get("applied_batch_ids", [])
+    if batch_id is not None and batch_id in applied:
+        return stored
+    fresh = column_bottom_k_sample(batch_df, key_col, val_col, k)
+    seen = {r[0] for r in stored}
+    merged = sorted(
+        stored + [r for r in fresh if r[0] not in seen], key=lambda r: r[0]
+    )[:k]
+    out = {"rows": merged, "k": k, "key_col": key_col, "val_col": val_col}
+    if batch_id is not None:
+        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return merged
+
+
+def sample_quantile(rows: list[list], q: float) -> float | None:
+    """Linear-interpolated quantile over a persisted sample's values
+    (the numpy/Spark/DuckDB 'linear' definition)."""
+    if not rows:
+        return None
+    vs = sorted(float(r[1]) for r in rows)
+    if len(vs) == 1:
+        return vs[0]
+    pos = q * (len(vs) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    hi = min(lo + 1, len(vs) - 1)
+    return vs[lo] * (1.0 - frac) + vs[hi] * frac

@@ -887,3 +887,49 @@ def stream_cdc_apply(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_sample_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "documents",
+    key_col: str = "doc_id",
+    val_col: str = "n_chars",
+    k: int = 256,
+) -> None:
+    """Continuously-maintained deterministic row sample: streaming files
+    → ``foreachBatch`` → ``stats.incremental_sample``. The stored
+    bottom-k-hash sample is byte-identical to a one-shot bottom-k over
+    everything ingested so far (min-union mergeability), so quantile
+    estimates (``stats.sample_quantile``) serve from k rows of driver
+    metadata without ever rescanning the table — the maintenance leg of
+    the ``q_value_quantile_sketch`` device. Per batch: ONE TakeOrdered
+    job over the batch's rows.
+
+    Replay-safe twice over (idempotent min-union + the applied-batch
+    record inside the artifact's single atomic write; SCALING rule 21)."""
+    from ..stats import incremental_sample
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", f"{table_name}*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one source file per batch
+        .parquet(sf_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_sample(
+            stats_dir, table_name, key_col, val_col, batch_df,
+            k=k, batch_id=batch_id,
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -465,3 +465,63 @@ def test_stream_cdc_apply_matches_sequential_batch(spark, sf_dir, tmp_path):
     # re-drain: checkpoint makes it a no-op
     stream_cdc_apply(spark, cdc_dir, streamed_dir, ckpt)
     assert snap(streamed_dir) == want
+
+
+def test_stream_sample_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
+    """Streamed bottom-k-hash sample must be BYTE-IDENTICAL to a
+    one-shot bottom-k over the full corpus (the min-union mergeability
+    claim), quantiles must serve from it, and re-drain + recorded-batch
+    replay must be no-ops."""
+    import json
+    import os
+
+    import numpy as np
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_bottom_k_sample,
+        incremental_sample,
+        sample_quantile,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_sample_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    docs.where(F.col("doc_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/documents_a.parquet", index=False
+    )
+    docs.where(F.col("doc_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/documents_b.parquet", index=False
+    )
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    stream_sample_maintenance(spark, src_dir, stats_dir, ckpt, k=64)
+
+    path = os.path.join(stats_dir, "documents__smp_n_chars.json")
+    with open(path) as f:
+        raw = json.load(f)
+    want = column_bottom_k_sample(docs, "doc_id", "n_chars", k=64)
+    assert raw["rows"] == want  # streamed == one-shot, byte-identical
+
+    # quantile serving from the persisted sample tracks the exact value
+    vals = [r.n_chars for r in docs.select("n_chars").collect()]
+    p50 = sample_quantile(raw["rows"], 0.5)
+    exact = float(np.percentile(vals, 50, method="linear"))
+    spread = max(vals) - min(vals) or 1
+    assert abs(p50 - exact) <= 0.35 * spread
+
+    # re-drain: no-op; recorded-batch replay: no-op
+    stream_sample_maintenance(spark, src_dir, stats_dir, ckpt, k=64)
+    with open(path) as f:
+        again = json.load(f)
+    assert again["rows"] == want
+    recorded = again["__meta__"]["applied_batch_ids"]
+    assert len(recorded) >= 2
+    incremental_sample(
+        stats_dir, "documents", "doc_id", "n_chars", docs, k=64,
+        batch_id=recorded[0],
+    )
+    with open(path) as f:
+        assert json.load(f)["rows"] == want

@@ -514,3 +514,52 @@ def test_mg_signal_flips_join_plan_end_to_end(spark):
     exp = sorted((r["k"], r["v"], r["w"]) for r in plain.collect())
     got = sorted((r["k"], r["v"], r["w"]) for r in salted.collect())
     assert got == exp
+
+
+def test_kmv_intersection_exact_when_unfilled(spark):
+    from sentiment_analysis_vector_search_spark.stats import (
+        kmv_intersection,
+        partition_stats,
+    )
+
+    a = spark.range(0, 60).selectExpr("id AS key")
+    b = spark.range(40, 100).selectExpr("id AS key")
+    sa = partition_stats(a, k=256)["key"]["kmv"]
+    sb = partition_stats(b, k=256)["key"]["kmv"]
+    ndv_u, ndv_i, jac = kmv_intersection(sa, sb, k=256)
+    assert ndv_u == 100.0
+    assert ndv_i == 20.0
+    assert abs(jac - 0.2) < 1e-12
+
+
+def test_estimate_join_rows_tracks_truth(spark):
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimate_join_rows,
+        partition_stats,
+    )
+
+    # 5k vs 4k keys with a 2k-key overlap; 2 and 3 rows per key
+    a = spark.range(0, 10_000).selectExpr("cast(id / 2 as bigint) AS key")
+    b = spark.range(0, 12_000).selectExpr(
+        "cast(3000 + id / 3 as bigint) AS key"
+    )
+    st_a = partition_stats(a, k=64)
+    st_b = partition_stats(b, k=64)
+    est = estimate_join_rows(st_a, st_b, "key")
+    true = a.join(b, "key").count()  # 2000 keys x 2 x 3 = 12000
+    assert true == 12_000
+    # KMV error ~1/sqrt(k-2) per sketch; generous compounded band
+    assert 0.5 * true <= est <= 1.7 * true, (est, true)
+
+
+def test_estimate_join_rows_zero_overlap(spark):
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimate_join_rows,
+        partition_stats,
+    )
+
+    a = spark.range(0, 500).selectExpr("id AS key")
+    b = spark.range(10_000, 10_500).selectExpr("id AS key")
+    st_a = partition_stats(a, k=256)
+    st_b = partition_stats(b, k=256)
+    assert estimate_join_rows(st_a, st_b, "key") == 0.0
