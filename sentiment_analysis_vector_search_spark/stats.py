@@ -28,6 +28,11 @@ from .catalog import table
 # matching dedup_index_check's ~low-hundreds-MB gate headroom.
 DEFAULT_BROADCAST_MAX_BYTES = 32 << 20
 
+# semi-join reduction fires only when the KMV sketches estimate that at
+# most this fraction of big-side rows find a join partner — above it,
+# the broadcast-leftsemi pre-filter pass costs more shuffle than it saves
+SEMI_REDUCE_MAX_MATCH = 0.5
+
 _STATS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
@@ -244,7 +249,8 @@ def choose_join_strategy(
     salt_rows_per_key: float = 1_000_000.0,
     hot_rows: float | None = None,
 ) -> str:
-    """'broadcast' | 'salted' | 'shuffle' from persisted stats only.
+    """'broadcast' | 'salted' | 'semi_reduce' | 'shuffle' from persisted
+    stats only.
 
     - broadcast when the small side's estimated bytes fit the threshold
       (a broadcast join is also immune to big-side key skew — the hot
@@ -277,6 +283,32 @@ def choose_join_strategy(
         avg_rows_per_key(big_stats, key_col) > salt_rows_per_key
     ):
         return "salted"
+    # Semi-join reduction (the estimate_join_rows consumer): when the
+    # small side's ROWS overflow the broadcast threshold but its KEY SET
+    # does not, and the KMV sketches say most big-side rows will NOT
+    # find a partner, pre-filtering the big side with a broadcast
+    # leftsemi on the distinct keys cuts the wide shuffle's volume to
+    # the matching fraction. Only worth it when the match fraction is
+    # genuinely low — pre-filtering a join that keeps everything is a
+    # pure extra pass.
+    if (
+        big_stats is not None
+        and key_col in small_stats
+        and key_col in big_stats
+        and small_stats[key_col].get("kmv")
+        and big_stats[key_col].get("kmv")
+    ):
+        s, b = small_stats[key_col], big_stats[key_col]
+        _, ndv_i, _ = kmv_intersection(s["kmv"], b["kmv"])
+        big_rows = b["n_rows"] - b.get("n_nulls", 0)
+        matched = ndv_i * (big_rows / max(b.get("approx_ndv", 1.0), 1.0))
+        key_set_bytes = max(s.get("approx_ndv", 1.0), 1.0) * 16
+        if (
+            key_set_bytes <= broadcast_max_bytes
+            and big_rows > 0
+            and matched / big_rows <= SEMI_REDUCE_MAX_MATCH
+        ):
+            return "semi_reduce"
     return "shuffle"
 
 
@@ -350,6 +382,15 @@ def stats_informed_join(
         from .operators.skew import salted_join
 
         return salted_join(big, small, key_col, how=how)
+    if strategy == "semi_reduce" and how == "inner":
+        # pre-filter the big side to rows that WILL match (broadcast
+        # leftsemi on the small side's distinct keys — the key set fits
+        # the broadcast threshold by the chooser's test), so the wide
+        # two-sided shuffle moves only the matching fraction. Inner-only:
+        # outer joins must keep non-matching big rows.
+        keys = F.broadcast(small.select(key_col).distinct())
+        reduced = big.join(keys, on=key_col, how="leftsemi")
+        return reduced.join(small, on=key_col, how=how)
     return big.join(small, on=key_col, how=how)
 
 

@@ -563,3 +563,80 @@ def test_estimate_join_rows_zero_overlap(spark):
     st_a = partition_stats(a, k=256)
     st_b = partition_stats(b, k=256)
     assert estimate_join_rows(st_a, st_b, "key") == 0.0
+
+
+def test_semi_reduce_strategy_fires_on_low_match(spark):
+    """The estimate_join_rows consumer: a small side whose ROWS overflow
+    the broadcast cap but whose KEY SET fits, joined to a big side where
+    the sketches say few rows match, must flip the chooser to
+    'semi_reduce'; the executed join must equal the plain join and carry
+    a broadcast leftsemi pre-filter in its plan. High overlap must NOT
+    fire it (the pre-filter would save nothing)."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        choose_join_strategy,
+        partition_stats,
+        schema_row_bytes,
+        stats_informed_join,
+    )
+
+    # 2000 rows over 200 keys; key set ~200*16 = 3200 B fits a 4 KiB cap,
+    # rows x width does not
+    small = spark.range(0, 2_000).selectExpr(
+        "cast(id % 200 as bigint) AS key", "id AS payload"
+    )
+    # 20k rows over 4000 keys -> matched fraction ~200/4000 = 5%
+    big = spark.range(0, 20_000).selectExpr(
+        "cast(id % 4000 as bigint) AS key", "id AS v"
+    )
+    st_small = partition_stats(small, k=256)
+    st_big = partition_stats(big, k=256)
+    cap = 4096
+    strategy = choose_join_strategy(
+        st_small, st_big, "key", schema_row_bytes(small, st_small), cap
+    )
+    assert strategy == "semi_reduce"
+
+    joined = stats_informed_join(
+        big, small, "key", st_big, st_small, broadcast_max_bytes=cap
+    )
+    want = big.join(small, "key").count()
+    assert joined.count() == want
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+    # same sides, near-total overlap: chooser must stay on plain shuffle
+    big_hi = spark.range(0, 20_000).selectExpr(
+        "cast(id % 200 as bigint) AS key", "id AS v"
+    )
+    st_big_hi = partition_stats(big_hi, k=256)
+    assert (
+        choose_join_strategy(
+            st_small, st_big_hi, "key", schema_row_bytes(small, st_small), cap
+        )
+        == "shuffle"
+    )
+
+
+def test_semi_reduce_never_applies_to_outer_joins(spark):
+    """Outer joins must keep non-matching big rows: even when the
+    chooser says semi_reduce, the executor falls back to the plain
+    join for how != inner."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        partition_stats,
+        stats_informed_join,
+    )
+
+    small = spark.range(0, 2_000).selectExpr(
+        "cast(id % 200 as bigint) AS key", "id AS payload"
+    )
+    big = spark.range(0, 20_000).selectExpr(
+        "cast(id % 4000 as bigint) AS key", "id AS v"
+    )
+    st_small = partition_stats(small, k=256)
+    st_big = partition_stats(big, k=256)
+    left = stats_informed_join(
+        big, small, "key", st_big, st_small,
+        broadcast_max_bytes=4096, how="left",
+    )
+    assert left.count() == big.join(small, "key", "left").count()
+    assert "LeftSemi" not in left._jdf.queryExecution().executedPlan().toString()
