@@ -9,6 +9,8 @@
     python -m sentiment_analysis_vector_search_spark job run <jobs-root> <job-id> [--sf-dir D]
     python -m sentiment_analysis_vector_search_spark job list <jobs-root>
     python -m sentiment_analysis_vector_search_spark analyze-incremental <table> <batch-path> <stats-dir>
+    python -m sentiment_analysis_vector_search_spark hotkeys <table> <col> <batch-path> <stats-dir> [--k K]
+    python -m sentiment_analysis_vector_search_spark sample <table> <key-col> <val-col> <batch-path> <stats-dir> [--k K] [--quantiles 0.5,0.95]
     python -m sentiment_analysis_vector_search_spark rollup build|answer|add <rollup-dir> [...]
     python -m sentiment_analysis_vector_search_spark warc <warc-path> <out-dir>
     python -m sentiment_analysis_vector_search_spark knn <kind> <index-dir> --vectors-dir D [--query-vec-id N] [--k K]
@@ -88,6 +90,32 @@ def main(argv: list[str] | None = None) -> int:
     p_inc.add_argument("table")
     p_inc.add_argument("batch_path", help="parquet path of the NEW batch only")
     p_inc.add_argument("stats_dir")
+
+    p_hh = sub.add_parser(
+        "hotkeys",
+        help="fold one parquet batch into the persisted Misra-Gries "
+        "hot-key sketch and print the surviving heavy hitters",
+    )
+    p_hh.add_argument("table")
+    p_hh.add_argument("col")
+    p_hh.add_argument("batch_path", help="parquet path of the NEW batch only")
+    p_hh.add_argument("stats_dir")
+    p_hh.add_argument("--k", type=int, default=64)
+
+    p_smp = sub.add_parser(
+        "sample",
+        help="fold one parquet batch into the persisted bottom-k-hash "
+        "row sample and print quantile estimates",
+    )
+    p_smp.add_argument("table")
+    p_smp.add_argument("key_col")
+    p_smp.add_argument("val_col")
+    p_smp.add_argument("batch_path", help="parquet path of the NEW batch only")
+    p_smp.add_argument("stats_dir")
+    p_smp.add_argument("--k", type=int, default=256)
+    p_smp.add_argument(
+        "--quantiles", default="0.5,0.95", help="comma-separated q values"
+    )
 
     p_roll = sub.add_parser(
         "rollup", help="materialized rollup: build / answer / add"
@@ -248,6 +276,61 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"written": path}))
         else:
             print(json.dumps(table_stats(spark, args.sf_dir, args.table), indent=1))
+        return 0
+
+    if args.cmd == "hotkeys":
+        import json
+
+        from .session import get_spark
+        from .stats import incremental_heavy_hitters
+
+        spark = get_spark("cli-hotkeys")
+        spark.sparkContext.setLogLevel("ERROR")
+        summary, n_rows = incremental_heavy_hitters(
+            args.stats_dir,
+            args.table,
+            args.col,
+            spark.read.parquet(args.batch_path),
+            k=args.k,
+        )
+        top = sorted(summary.items(), key=lambda kv: -kv[1])
+        print(
+            json.dumps(
+                {"n_rows": n_rows, "k": args.k, "hot": dict(top)},
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "sample":
+        import json
+
+        from .session import get_spark
+        from .stats import incremental_sample, sample_quantile
+
+        spark = get_spark("cli-sample")
+        spark.sparkContext.setLogLevel("ERROR")
+        rows = incremental_sample(
+            args.stats_dir,
+            args.table,
+            args.key_col,
+            args.val_col,
+            spark.read.parquet(args.batch_path),
+            k=args.k,
+        )
+        qs = [float(q) for q in args.quantiles.split(",") if q]
+        print(
+            json.dumps(
+                {
+                    "n_sample": len(rows),
+                    "k": args.k,
+                    "quantiles": {str(q): sample_quantile(rows, q) for q in qs},
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
         return 0
 
     if args.cmd == "analyze-incremental":

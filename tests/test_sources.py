@@ -257,3 +257,32 @@ def test_cli_sqlite_verb(spark, sf_dir, tmp_path, capsys):
     assert {r["text"] for r in back.select("text").collect()} == {
         r["text"] for r in docs.select("text").collect()
     }
+
+
+def test_cli_hotkeys_and_sample_verbs(spark, sf_dir, tmp_path, capsys):
+    """The hotkeys/sample CLI verbs fold a batch into the persisted
+    sketch/sample and print a JSON summary a shell pipeline can read."""
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    stats_dir = str(tmp_path / "stats")
+    batch = f"{sf_dir}/documents.parquet"
+
+    assert main(["hotkeys", "documents", "source", batch, stats_dir]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_rows"] > 0 and out["hot"]  # every source is a survivor
+    # fold counts are <= true counts (MG lower bound)
+    import pandas as pd
+
+    docs = pd.read_parquet(batch)
+    for src, c in out["hot"].items():
+        assert c <= int((docs.source == src).sum())
+
+    assert main(
+        ["sample", "documents", "doc_id", "n_chars", batch, stats_dir]
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_sample"] > 0
+    q50 = out["quantiles"]["0.5"]
+    assert docs.n_chars.min() <= q50 <= docs.n_chars.max()
