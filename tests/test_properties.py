@@ -105,3 +105,89 @@ def test_bloom_positions_in_range_and_deterministic(key, m):
     p2 = _positions(key, m)
     assert p1 == p2
     assert all(0 <= p < m for p in p1)
+
+
+# ---------------------------------------------------------------------------
+# KMV intersection: the threshold-based union/Jaccard estimator must be
+# EXACT whenever the sketches happen to be complete prefixes (small
+# sets), and for filled sketches must (a) never report an intersection
+# larger than its union, (b) report exactly zero on disjoint hash sets,
+# (c) be symmetric in its arguments.
+# ---------------------------------------------------------------------------
+
+
+def _bottom_k(hashes, k):
+    return sorted(set(hashes))[:k]
+
+
+@given(
+    st.sets(st.integers(min_value=1, max_value=10_000_000), min_size=1, max_size=300),
+    st.sets(st.integers(min_value=1, max_value=10_000_000), min_size=1, max_size=300),
+    st.integers(min_value=8, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_intersection_invariants(ha, hb, k):
+    from sentiment_analysis_vector_search_spark.stats import kmv_intersection
+
+    sa, sb = _bottom_k(ha, k), _bottom_k(hb, k)
+    u, i, j = kmv_intersection(sa, sb)
+    assert 0.0 <= i <= u + 1e-9
+    assert 0.0 <= j <= 1.0
+    # symmetry
+    u2, i2, j2 = kmv_intersection(sb, sa)
+    assert (u, i, j) == (u2, i2, j2)
+    # exactness with known k on complete sets
+    if len(ha) < k and len(hb) < k:
+        ue, ie, je = kmv_intersection(sa, sb, k=k)
+        assert ue == len(ha | hb)
+        assert ie == len(ha & hb)
+    # disjoint hash sets can never report an intersection
+    if not (ha & hb):
+        assert i == 0.0 and j == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample merge: min-union over arbitrary chunkings must equal
+# the one-shot bottom-k (the property that makes the streamed sample
+# byte-identical to a full pass), and re-merging any chunk must be a
+# no-op (idempotence).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**9), st.integers()),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=32),
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_bottom_k_min_union_merge(rows, k, cuts):
+    def merge(stored, fresh):
+        seen = {r[0] for r in stored}
+        return sorted(
+            stored + [r for r in fresh if r[0] not in seen], key=lambda r: r[0]
+        )[:k]
+
+    one_shot = sorted(rows, key=lambda r: r[0])[:k]
+    # fold in arbitrary chunks
+    stored: list = []
+    i = 0
+    chunks = []
+    for c in cuts:
+        if i >= len(rows):
+            break
+        chunks.append(rows[i : i + c])
+        i += c
+    if i < len(rows):
+        chunks.append(rows[i:])
+    for ch in chunks:
+        stored = merge(stored, sorted(ch, key=lambda r: r[0])[:k])
+    assert [list(r) for r in stored] == [list(r) for r in one_shot]
+    # idempotence: re-folding any chunk changes nothing
+    for ch in chunks:
+        again = merge(stored, sorted(ch, key=lambda r: r[0])[:k])
+        assert again == stored
