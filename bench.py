@@ -203,6 +203,7 @@ HEADLINE = [
     "batch_by_length",
     "domain_temperature_mix",
     "q_value_quantile_sketch",
+    "q_events_range_join",
 ]
 
 

@@ -370,3 +370,91 @@ def q_events_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_range_join — batch RANGE JOIN via bucketization: events join
+# maintenance windows on ts ∈ [window_start − 6h, window_start + 30h).
+# Spark has no native range-join operator; the naive formulation is a
+# cartesian-with-filter (a plan-lint failure and a 100 TB non-starter).
+# The classic fix, implemented here: quantize the range predicate to a
+# coarse bucket key — each window can only admit events from 3 calendar
+# days (its own, the evening before, the morning after), so exploding
+# the window relation to those ≤3 day buckets turns the θ-join into an
+# EQUI-join on (event_type, day) followed by the exact containment
+# filter. Per (event, window) pair there is exactly one admitting
+# bucket (the event's own day), so no post-join dedup is needed.
+#
+# Bucket width at 100 TB: pick ~ the median interval span so the
+# equi-join's per-key fan-out stays O(intervals overlapping one bucket);
+# here 1 day against 36 h windows — fan-out ≤ 3 rows per window, and the
+# join shuffles on the same (type, day) grain the events are naturally
+# clustered by. Parity note: the window bounds are expressed in DATE +
+# HOUR arithmetic (date_add / hour), never timestamp±INTERVAL — epoch
+# conversions of derived day strings are session-timezone-dependent in
+# Spark, while calendar-field arithmetic is identical in both engines.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         extract(hour FROM ts) AS hh, value
+  FROM events
+), win AS (
+  SELECT DISTINCT event_type, day FROM ev
+), buckets AS (
+  SELECT w.event_type, w.day AS win_day,
+         cast(cast(w.day as date) + x.o as varchar) AS bucket, x.o AS off
+  FROM win w, (VALUES (-1), (0), (1)) AS x(o)
+)
+SELECT b.event_type, b.win_day,
+       count(*) AS n_events,
+       {sql_dsum('e.value', 'win_value')}
+FROM buckets b JOIN ev e
+  ON e.event_type = b.event_type AND e.day = b.bucket
+WHERE (b.off = 0)
+   OR (b.off = -1 AND e.hh >= 18)
+   OR (b.off = 1 AND e.hh < 6)
+GROUP BY b.event_type, b.win_day
+"""
+
+
+@register("q_events_range_join", oracle=_RANGE_ORACLE)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, day) 36-hour maintenance-window rollup computed as a
+    bucketized range join: windows explode to their ≤3 admitting day
+    buckets, events equi-join on (type, day), the exact containment
+    predicate filters, and the aggregate runs at window grain. No
+    cartesian anywhere (plan-lint enforced fleet-wide)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hh"),
+        "value",
+    )
+    win = ev.select("event_type", "day").distinct()
+    buckets = win.select(
+        "event_type",
+        F.col("day").alias("win_day"),
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+    ).select(
+        "event_type",
+        "win_day",
+        "off",
+        F.date_add(F.to_date("win_day"), F.col("off"))
+        .cast("string")
+        .alias("bucket"),
+    )
+    joined = buckets.join(
+        ev,
+        (buckets["event_type"] == ev["event_type"])
+        & (buckets["bucket"] == ev["day"]),
+    ).where(
+        (F.col("off") == 0)
+        | ((F.col("off") == -1) & (F.col("hh") >= 18))
+        | ((F.col("off") == 1) & (F.col("hh") < 6))
+    )
+    return joined.groupBy(buckets["event_type"], "win_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("win_value"),
+    )

@@ -224,7 +224,7 @@ GRADED_WINDOW: list[str] = [
 # the late-r8 tail): text_bigram_lm_score, sample_weighted,
 # corpus_zipf_fit, q_nation_pagerank, rag_mmr_rerank, dedup_winnow,
 # q_events_kmv_distinct, mm_audio_energy_stub, batch_by_length,
-# domain_temperature_mix, q_value_quantile_sketch.
+# domain_temperature_mix, q_value_quantile_sketch, q_events_range_join.
 # The r10 window = these 11 + the r7-graded cohort due for rotation
 # (multimodal 4, sentiment_ops 10, relational r7 tail, dedup r7 tail,
 # similarity r7 tail, text_ops pair, representatives 2, rag pair,

@@ -155,3 +155,39 @@ def test_curriculum_stages_are_balanced_and_ordered(spark, sf_dir):
     for k in range(1, 10):
         assert maxes[k] <= mins[k + 1] or maxes[k] <= maxes[k + 1]
     assert df.where((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+
+
+def test_range_join_matches_python_reference(spark, sf_dir):
+    """The bucketized range join must equal a direct python evaluation
+    of the containment predicate (pins bucket coverage: no window loses
+    its prior-evening or next-morning events, none double-counts)."""
+    import os
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.analytics4 import (
+        q_events_range_join,
+    )
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ts = pd.to_datetime(ev.ts)
+    ev = ev.assign(day=ts.dt.strftime("%Y-%m-%d"), hh=ts.dt.hour)
+    got = {
+        (r["event_type"], r["win_day"]): (r["n_events"], r["win_value"])
+        for r in q_events_range_join(spark, sf_dir).collect()
+    }
+    for (et, d), _ in list(got.items())[:40]:
+        day = pd.Timestamp(d)
+        prev, nxt = (day - pd.Timedelta(days=1)).strftime("%Y-%m-%d"), (
+            day + pd.Timedelta(days=1)
+        ).strftime("%Y-%m-%d")
+        g = ev[ev.event_type == et]
+        m = g[
+            (g.day == d)
+            | ((g.day == prev) & (g.hh >= 18))
+            | ((g.day == nxt) & (g.hh < 6))
+        ]
+        assert got[(et, d)][0] == len(m), (et, d)
+        assert abs(got[(et, d)][1] - float(m.value.sum())) < 1e-6
+    # every (type, day) present in the data defines a window
+    assert set(got) == set(map(tuple, ev[["event_type", "day"]].drop_duplicates().values))
