@@ -101,6 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     p_hh.add_argument("batch_path", help="parquet path of the NEW batch only")
     p_hh.add_argument("stats_dir")
     p_hh.add_argument("--k", type=int, default=64)
+    p_hh.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="replay guard for the NON-idempotent MG fold (the `sample` "
+        "verb needs none: min-union is idempotent). Default: a stable id "
+        "derived from the resolved batch path, so re-running the verb on "
+        "the same batch file cannot double-count",
+    )
 
     p_smp = sub.add_parser(
         "sample",
@@ -286,12 +295,27 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("cli-hotkeys")
         spark.sparkContext.setLogLevel("ERROR")
+        batch_id = args.batch_id
+        if batch_id is None:
+            # stable path-derived id: MG folding is additive, so an
+            # accidental CLI re-run on the same batch file must be a
+            # no-op (r9 advice). 60-bit md5 prefix of the resolved path.
+            import hashlib
+            import os as _os
+
+            batch_id = int(
+                hashlib.md5(
+                    _os.path.abspath(args.batch_path).encode()
+                ).hexdigest()[:15],
+                16,
+            )
         summary, n_rows = incremental_heavy_hitters(
             args.stats_dir,
             args.table,
             args.col,
             spark.read.parquet(args.batch_path),
             k=args.k,
+            batch_id=batch_id,
         )
         top = sorted(summary.items(), key=lambda kv: -kv[1])
         print(

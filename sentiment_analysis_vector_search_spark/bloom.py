@@ -84,14 +84,19 @@ def bloom_bits_per_key_for(n_files: int, extra_opens_per_lookup: float = 1.0) ->
 
 
 def _norm_path(p: str) -> str:
-    """Canonical local path for a file URI or path: strip the scheme AND
+    """Canonical path for a file URI or path: strip the scheme AND
     percent-decoding (input_file_name() returns file:-URIs with %-escaped
-    characters — e.g. spaces — while os.listdir returns raw names; naive
-    prefix-stripping left such files re-indexed on every add)."""
+    characters — e.g. spaces — while a plain path has raw names; naive
+    prefix-stripping left such files re-indexed on every add). Handles
+    both ``scheme://`` and Hadoop Path.toString's single-slash
+    ``scheme:/`` forms; a netloc (s3 bucket, hdfs namenode) stays in the
+    key so same-named objects in different stores never collide."""
+    import re
     from urllib.parse import unquote, urlparse
 
-    if "://" in p:
-        return unquote(urlparse(p).path)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", p):
+        u = urlparse(p)
+        return (f"//{u.netloc}" if u.netloc else "") + unquote(u.path)
     return unquote(p) if "%" in p else p
 
 
@@ -196,6 +201,8 @@ def bloom_index_add(
 ) -> int:
     """Index data files not yet covered (append-only ingest maintenance).
     Returns the number of newly indexed files."""
+    from .sinks import list_data_files
+
     man = _load_manifest(index_dir)
     have = {
         r.f
@@ -203,13 +210,12 @@ def bloom_index_add(
         .select("f")
         .collect()
     }  # #files rows — bounded metadata
-    all_files = sorted(
-        os.path.join(table_dir, n)
-        for n in os.listdir(table_dir)
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    )
+    # Hadoop-FS listing, not os.listdir (r9 verdict #3): the add path
+    # must maintain the index on any path shape the session can read
+    # (file:// URI locally, object-store URIs on a cluster).
+    all_files = list_data_files(spark, table_dir)
     have_norm = {_norm_path(h) for h in have}
-    new = [f for f in all_files if _norm_path(os.path.abspath(f)) not in have_norm]
+    new = [f for f in all_files if _norm_path(f) not in have_norm]
     if not new:
         return 0
     df = spark.read.parquet(*new)

@@ -458,3 +458,96 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("win_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_urgent_revenue_semi_reduce — the KMV join-cardinality estimate
+# driving the semi-join reduction end-to-end (r9 verdict #4), the way
+# q_events_hot_user_join demonstrates the Misra-Gries salt trigger.
+# Small side = urgent orders (~20% of orders): its ROWS overflow the
+# broadcast budget but its DISTINCT KEY SET does not, and the two
+# sides' KMV sketches estimate that only ~20% of lineitem rows find a
+# partner — exactly the regime where pre-filtering the big side with a
+# broadcast leftsemi on the key set cuts the wide shuffle to the
+# matching fraction. Values are identical under every strategy; the
+# oracle checks the plain SQL join.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = f"""
+WITH urgent AS (
+  SELECT o_orderkey AS okey,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT u.month, count(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       {sql_dsum('u.o_totalprice', 'line_weighted_value')}
+FROM lineitem l JOIN urgent u ON l.l_orderkey = u.okey
+GROUP BY u.month
+"""
+
+
+@register("q_urgent_revenue_semi_reduce", oracle=_SEMI_ORACLE)
+def q_urgent_revenue_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly urgent-order line revenue through a sketch-chosen
+    semi-join reduction.
+
+    Scale shape: both sides' key columns carry REAL KMV sketches
+    (``partition_stats`` over the single projected key column — one
+    bounded-metadata analyze + one TakeOrdered per side; a deployment
+    reads the same dicts back from ``incremental_analyze``'s persisted
+    JSON, pinned equivalent in test_stats). ``choose_join_strategy``
+    sees: small rows x width over the budget, ``key_set_bytes`` under
+    it, and a KMV-estimated match fraction ~0.2 <= SEMI_REDUCE_MAX_MATCH
+    — verdict 'semi_reduce'. The executed plan pre-filters lineitem with
+    a broadcast LeftSemi on the ~ndv-sized key set, so the wide shuffle
+    moves ~20% of the rows; at 100 TB that is the difference between
+    shuffling the whole fact table and shuffling one-fifth of it. The
+    broadcast budget models the executor-memory point BETWEEN the two
+    sizes — derived from the measured stats so the demonstrated regime
+    is SF-invariant (the same query data-dependently flips to
+    'broadcast' below the key-set size and to 'shuffle' on high-overlap
+    sides; test_analytics4 pins both flips)."""
+    from ..stats import (
+        choose_join_strategy,
+        key_set_bytes,
+        partition_stats,
+        schema_row_bytes,
+        stats_informed_join,
+    )
+
+    big = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    small = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+    )
+    st_small = partition_stats(small.select("okey"))
+    st_big = partition_stats(big.select("okey"))
+    rows_bytes = st_small["okey"]["n_rows"] * schema_row_bytes(small, st_small)
+    kb = key_set_bytes(st_small, "okey")
+    if not kb < rows_bytes:  # distinct keys are never wider than full rows
+        raise AssertionError(f"key set {kb} !< rows {rows_bytes}")
+    cap = int((kb + rows_bytes) // 2)
+    strategy = choose_join_strategy(
+        st_small, st_big, "okey", schema_row_bytes(small, st_small), cap
+    )
+    if strategy != "semi_reduce":  # the sketches must see the ~20% overlap
+        raise AssertionError(f"expected KMV-driven semi_reduce, got {strategy}")
+    joined = stats_informed_join(
+        big, small, "okey", st_big, st_small, broadcast_max_bytes=cap
+    )
+    return joined.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        dsum(F.col("o_totalprice")).alias("line_weighted_value"),
+    )

@@ -212,7 +212,7 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        _os.environ.get("SPARK_GRAFT_KMEANS_PARTITIONS", "8"),
+        _os.environ.get("SPARK_GRAFT_KMEANS_PARTITIONS", "4"),
     )
     try:
         return _kmeans_assignments_inner(spark, sf_dir)
@@ -229,13 +229,23 @@ def _kmeans_assignments_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round re-joins this relation (assignment + centroid update), and the
     # final scoring reads it twice more. On a cluster: persist(DISK) or a
     # reliable checkpoint instead.
+    # LAZY checkpoints throughout the fit (r9 verdict #6): the fit is
+    # fixed-overhead-bound at bench SF (~0.15 s/job x ~90 AQE stage-jobs,
+    # measured), not data-bound, so the lever is fusing materialization
+    # jobs into their first consumer — eager ckpts each paid a dedicated
+    # job. Lineage truncation (the reason the checkpoints exist) is
+    # identical either way. Two further candidates MEASURED OUT: round
+    # count adaptive on centroid movement (no 6-dp convergence within 5
+    # rounds at sf0.001/0.01/0.1 — the check is pure overhead) and
+    # max_by-instead-of-window assignment (no change; the rank shuffle
+    # is not the cost).
     vec = (
         tfidf_vectors(spark, sf_dir)
         .join(cls, "doc_id")
         .select("sentiment", "doc_id", "word", "tfidf")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    docs_d = vec.select("sentiment", "doc_id").distinct().localCheckpoint(eager=True)
+    docs_d = vec.select("sentiment", "doc_id").distinct().localCheckpoint(eager=False)
     dnorm = vec.groupBy("doc_id").agg(
         F.sqrt(_dsum(F.col("tfidf") * F.col("tfidf"))).alias("dn")
     )
@@ -245,58 +255,83 @@ def _kmeans_assignments_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_d.withColumn("cluster_id", F.row_number().over(w_seed) - 1)
         .where(F.col("cluster_id") < _N_REPRESENTATIVES)
     )
-    cent = (
+    cent0 = (
         seeds.join(vec, ["sentiment", "doc_id"])
         .select("sentiment", "cluster_id", "word", F.col("tfidf").alias("cw"))
     )
 
-    def _cn(c: DataFrame) -> DataFrame:
-        return c.groupBy("sentiment", "cluster_id").agg(
-            F.sqrt(_dsum(F.col("cw") * F.col("cw"))).alias("cn")
+    # Per-cluster norm rides ON the centroid relation (window over the
+    # <=30-cluster grain) instead of a separate groupBy + broadcast join
+    # per round: the norm is materialized by the same localCheckpoint
+    # that materializes the centroid, removing one broadcast exchange
+    # and one join from every Lloyd round (r9 verdict #6 — the fit's
+    # cost is driver job overhead, so jobs are what gets cut). Same
+    # decimal accumulation, same addends -> bit-identical cn.
+    w_cn = Window.partitionBy("sentiment", "cluster_id")
+
+    def _with_cn(c: DataFrame) -> DataFrame:
+        return c.withColumn(
+            "cn",
+            F.sqrt(
+                F.sum((F.col("cw") * F.col("cw")).cast(DEC))
+                .over(w_cn)
+                .cast("double")
+            ),
         )
 
     def _dots(c: DataFrame) -> DataFrame:
         # centroid table <= 3 classes x 10 clusters x 1000 words: broadcast,
-        # so the per-round corpus join never shuffles the vectors.
+        # so the per-round corpus join never shuffles the vectors. cn is
+        # constant per (sentiment, cluster); min() just carries it
+        # through the aggregate.
         return (
             vec.join(F.broadcast(c), ["sentiment", "word"])
             .groupBy("sentiment", "doc_id", "cluster_id")
-            .agg(_dsum(F.col("tfidf") * F.col("cw")).alias("dot"))
+            .agg(
+                _dsum(F.col("tfidf") * F.col("cw")).alias("dot"),
+                F.min("cn").alias("cn"),
+            )
         )
 
     w_doc = Window.partitionBy("sentiment", "doc_id").orderBy(
         F.desc(F.col("dot") / F.col("cn")), F.asc("cluster_id")
     )
+    cent = _with_cn(cent0).localCheckpoint(eager=False)
     for _ in range(_N_ITERS):
-        # checkpoint per round: truncates the growing lineage and lets the
-        # broadcast below read a materialized (tiny) relation.
-        cent = cent.localCheckpoint(eager=True)
         best = (
             _dots(cent)
-            .join(F.broadcast(_cn(cent)), ["sentiment", "cluster_id"])
             .withColumn("rk", F.row_number().over(w_doc))
             .where(F.col("rk") == 1)
             .select("sentiment", "doc_id", "cluster_id")
         )
-        assign = docs_d.join(best, ["sentiment", "doc_id"], "left").select(
-            "sentiment",
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.lit(0)).alias("cluster_id"),
+        # checkpoint the ASSIGNMENT too: both consumers below (the
+        # member-count broadcast and the centroid update) read it — an
+        # unmaterialized assign re-ran the whole dots+rank subplan
+        # twice per round (the r9 fit's hidden 2x).
+        assign = (
+            docs_d.join(best, ["sentiment", "doc_id"], "left")
+            .select(
+                "sentiment",
+                "doc_id",
+                F.coalesce(F.col("cluster_id"), F.lit(0)).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=False)
         )
         m = assign.groupBy("sentiment", "cluster_id").agg(
             F.count(F.lit(1)).alias("n")
         )
-        cent = (
+        upd = (
             assign.join(vec, ["sentiment", "doc_id"])
             .join(F.broadcast(m), ["sentiment", "cluster_id"])
             .groupBy("sentiment", "cluster_id", "word")
             .agg(F.round(_dsum(F.col("tfidf")) / F.min("n"), 6).alias("cw"))
         )
+        # one checkpoint per round truncates the lineage and lets the
+        # next round's broadcast read a materialized (tiny) relation.
+        cent = _with_cn(upd).localCheckpoint(eager=False)
 
-    cent = cent.localCheckpoint(eager=True)
     scored = (
         _dots(cent)
-        .join(F.broadcast(_cn(cent)), ["sentiment", "cluster_id"])
         .join(dnorm, "doc_id")
         .withColumn("rk", F.row_number().over(w_doc))
         .where(F.col("rk") == 1)

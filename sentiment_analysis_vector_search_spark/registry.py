@@ -160,75 +160,82 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #   and none predates r7 (multimodal 4 / sentiment_ops 10 / relational 9
 #   / dedup r7 tail / similarity r7 tail are the r7-graded cohort that
 #   rotates in r10).
+#
+# r10 window (50), exactly as the r9 verdict item #1 stages it: the 12
+# late-r9 must-grades + 1 new-r10 (q_urgent_revenue_semi_reduce, the
+# r9 verdict #4 demo) + 37 of the 46-query aging-r7 cohort (the
+# overflow — sentiment_ops 9 — defers to r11; see below).
 GRADED_WINDOW: list[str] = [
-    # never driver-graded: late-r8 registrations
-    "rag_hybrid_retrieve",
-    "chat_history_messages",
-    "corpus_data_card",
-    "emb_outlier_scores",
-    "decontaminate_exact",
-    "corpus_balance_gini",
-    "bm25_retrieve",
-    "tok_bigram_pmi",
-    # aging r6: pipeline_ops
-    "text_pii_redact",
-    "text_quality_gate",
-    "sample_stratified",
-    "run_metrics",
-    "text_char_trigram_score",
-    "docs_source_profile",
-    "sample_importance",
-    "fix_company_name",
-    # aging r6: streaming
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_stateful_user_stats",
-    "stream_dedup_exact",
-    "stream_interval_join",
-    "stream_quality_gate",
-    # aging r6: analytics2
-    "q_customer_rfm",
-    "q_cohort_ltv",
-    "q_events_chi2",
-    "q_forecast_backtest",
-    "ab_test_lift",
-    # aging r6: analytics3
-    "text_repetition_score",
-    "q_events_dau_wau",
-    "docs_length_histogram",
-    # aging r6: singles
-    "dq_expectations",
-    "source_html_extract",
-    "q_events_seasonality",
-    "q_nation_segment_pivot",
-    "q_churned_buyers",
-    "tokenizer_fertility",
-    "text_char_diversity",
-    "cap_per_source",
-    "ann_range_search",
-    "ann_pq_adc_topk",
-    "dedup_minhash_quality_audit",
-    "q_events_asof_attribution",
-    "q_value_percentiles",
-    "q4_priority_exists",
-    "q17_small_quantity",
-    "q_sql_text_api",
-    "ml_grouped_linreg",
-    # new in r9 (must-grade on arrival)
-    "fix_source_name",
-    "q_source_report",
-    "q_events_hot_user_join",
+    # never driver-graded: late-r9 registrations (judge-sweep green at
+    # both SFs in r9 but past the 50-slot freeze — must-grade) — 12
+    "text_bigram_lm_score",
+    "sample_weighted",
+    "corpus_zipf_fit",
+    "q_nation_pagerank",
+    "rag_mmr_rerank",
+    "dedup_winnow",
+    "q_events_kmv_distinct",
+    "mm_audio_energy_stub",
+    "batch_by_length",
+    "domain_temperature_mix",
+    "q_value_quantile_sketch",
+    "q_events_range_join",
+    # new in r10 (must-grade on arrival) — 1: the KMV semi-join
+    # reduction demo (r9 verdict #4)
+    "q_urgent_revenue_semi_reduce",
+    # changed in r10 — representatives_kmeans (Lloyd-round job-count
+    # trim, r9 verdict #6); it sits in the aging-r7 cohort below anyway
+    # aging r7: relational + events suite
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q7_nation_trade",
+    "q13_order_count_dist",
+    "q_top_customers_window",
+    "q_market_share",
+    "q_events_window",
+    "q_events_sessions",
+    "q_events_json",
+    # aging r7: dedup tail
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_sentence_overlap",
+    # aging r7: similarity tail
+    "ann_bruteforce_topk",
+    "ann_bruteforce_topk_arrow",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    # aging r7: representatives
+    "representatives_kmeans",
+    "representatives_invariants",
+    # aging r7: multimodal
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "text_embed_stub",
+    "mm_resize_stub",
+    # aging r7: text_ops pair + rag pair + training trio + curation
+    "doc_top_keywords",
+    "tfidf_vectors",
+    "rag_retrieve",
+    "rag_chunk_retrieve",
+    "train_shuffle_shards",
+    "sample_epochs",
+    "bpe_merge_candidates",
+    "text_gopher_quality",
+    "decontaminate_ngrams",
+    "domain_mix_plan",
+    "q_order_deciles",
+    "rag_context_assemble",
 ]
-# Staged r10 must-grades (late-r9 registrations — judge-sweep green at
-# both SFs this round, but past the 50-slot freeze; same precedent as
-# the late-r8 tail): text_bigram_lm_score, sample_weighted,
-# corpus_zipf_fit, q_nation_pagerank, rag_mmr_rerank, dedup_winnow,
-# q_events_kmv_distinct, mm_audio_energy_stub, batch_by_length,
-# domain_temperature_mix, q_value_quantile_sketch, q_events_range_join.
-# The r10 window = these 11 + the r7-graded cohort due for rotation
-# (multimodal 4, sentiment_ops 10, relational r7 tail, dedup r7 tail,
-# similarity r7 tail, text_ops pair, representatives 2, rag pair,
-# training trio) — trims to 50 by age.
+# Deferred to r11 (r7-graded, unchanged, value-identical by diff audit —
+# the 9-slot overflow of the 46-query aging-r7 cohort; one coherent
+# suite so the r11 window has room for new ops): sentiment_ops 9
+# (sent_classify, sent_classify_arrow, sent_distribution,
+# sent_quality_score, sent_normalize, sent_trends, sent_trend_risk,
+# summarize_prompts, recommendation_prompts).
+# After r10: zero queries ungraded, and only those 9 predate r8.
 
 
 def load_all_modules() -> None:

@@ -25,6 +25,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def list_data_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[str]:
+    """Data-file listing through the Hadoop FileSystem API — the shared
+    listing for index/maintenance jobs (r9 verdict #3). ``os.listdir``
+    only sees the local filesystem; routing through ``FileSystem.get``
+    makes the same call work on any path shape Spark itself can read
+    (file:// URIs today; hdfs://, s3a:// on a real cluster — the
+    FileSystem implementation comes from the session's Hadoop conf, no
+    engine code changes). Hidden/metadata entries (``_SUCCESS``,
+    ``.crc``, ``_manifest.json``) are skipped by the same dot/underscore
+    rule the parquet reader applies. Returns sorted fully-qualified URI
+    strings (``file:/...`` locally) — callers comparing against
+    ``input_file_name()`` output should normalize both sides."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(suffix) and not name.startswith(
+            (".", "_")
+        ):
+            out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def spread_repartition(
     df: DataFrame, part_col: str, spreader_col: str, n: int | None = None
 ) -> DataFrame:

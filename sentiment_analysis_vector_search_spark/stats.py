@@ -115,6 +115,7 @@ def estimated_range_rows(
     lo: float,
     hi: float,
     histogram: list | None = None,
+    sample: list | None = None,
 ) -> float:
     """Estimated surviving rows of ``col BETWEEN lo AND hi`` under the
     uniform-distribution assumption: overlap fraction of [lo, hi] with
@@ -129,9 +130,23 @@ def estimated_range_rows(
     interpolation (r7 verdict #9): mass is summed per overlapping bucket,
     with only the PARTIAL buckets at the range edges interpolated — on a
     skewed column the uniform estimate misattributes the heavy tail's
-    mass across the whole domain; the histogram pins it to its bucket."""
+    mass across the whole domain; the histogram pins it to its bucket.
+
+    ``sample`` (rows of :func:`incremental_sample` / ``load_sample``:
+    [row_hash, value] pairs of the persisted uniform bottom-k row
+    sample) is the histogram's cheaper understudy (r9 verdict #7): for
+    a column that never earned a histogram scan, the in-range fraction
+    of a uniform row sample is an unbiased selectivity estimate —
+    empirical-CDF mass, error O(1/sqrt(k)) — which on skewed data beats
+    the uniform min/max interpolation by the size of the skew. The
+    histogram wins when both exist (exact per-bucket mass vs sampling
+    noise); no artifact at all falls back to uniform."""
     s = stats[col]
     non_null = s["n_rows"] - s["n_nulls"]
+    if sample and not histogram:
+        vs = [float(r[1]) for r in sample]
+        in_range = sum(1 for v in vs if lo <= v <= hi)
+        return non_null * (in_range / len(vs))
     if histogram:
         total = 0.0
         for r in histogram:
@@ -234,6 +249,24 @@ def load_table_stats(stats_dir: str, name: str) -> dict[str, dict] | None:
 # ---------------------------------------------------------------------------
 
 
+def key_set_bytes(stats: dict[str, dict], key_col: str) -> float:
+    """Estimated broadcast size of ``key_col``'s DISTINCT key set — the
+    semi-join-reduction gate's small-side cost. Per-key bytes come from
+    the column's OWN stats, not a fixed constant (r9 advice): a wide
+    string key (URL, content hash) can pass an ndv x 16 gate yet
+    broadcast a key set far over the threshold. Observed min/max value
+    lengths bound the payload width (numerics stringify to their digit
+    count — same order as their storage width); +16 covers the broadcast
+    hash-set entry overhead."""
+    s = stats[key_col]
+    key_width = max(
+        len(str(s.get("min_value") or "")),
+        len(str(s.get("max_value") or "")),
+        8,
+    )
+    return max(s.get("approx_ndv", 1.0), 1.0) * (key_width + 16)
+
+
 def avg_rows_per_key(stats: dict[str, dict], key_col: str) -> float:
     s = stats[key_col]
     non_null = s["n_rows"] - s["n_nulls"]
@@ -302,9 +335,8 @@ def choose_join_strategy(
         _, ndv_i, _ = kmv_intersection(s["kmv"], b["kmv"])
         big_rows = b["n_rows"] - b.get("n_nulls", 0)
         matched = ndv_i * (big_rows / max(b.get("approx_ndv", 1.0), 1.0))
-        key_set_bytes = max(s.get("approx_ndv", 1.0), 1.0) * 16
         if (
-            key_set_bytes <= broadcast_max_bytes
+            key_set_bytes(small_stats, key_col) <= broadcast_max_bytes
             and big_rows > 0
             and matched / big_rows <= SEMI_REDUCE_MAX_MATCH
         ):
@@ -775,7 +807,13 @@ def kmv_intersection(
     every quantity is exact. Cost: pure python over ≤2k ints —
     driver-side metadata, never a data pass."""
     if not sa or not sb:
-        return (float(len(sa or sb)), 0.0, 0.0)
+        # union leg = the non-empty side's OWN estimator: a FILLED sketch
+        # represents far more distincts than its k entries (r9 advice —
+        # len() capped the union at k). kmv_ndv with the module default k
+        # keeps the unfilled case exact (= len) and estimates the filled
+        # one; pass the caller's k when known for the same reason as below.
+        s = sa or sb
+        return (kmv_ndv(s, k if k is not None else KMV_K), 0.0, 0.0)
     set_a, set_b = set(sa), set(sb)
     if k is not None and len(sa) < k and len(sb) < k:
         u = set_a | set_b
@@ -909,6 +947,21 @@ def incremental_sample(
         json.dump(out, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
     return merged
+
+
+def load_sample(stats_dir: str, name: str, val_col: str) -> list[list]:
+    """Read back a persisted bottom-k row sample ([row_hash, value]
+    pairs); empty when absent. The ``estimated_range_rows(sample=...)``
+    feed — consumers pass it the way they pass a histogram, behind the
+    same ``table_stats``-style maintenance artifacts."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__smp_{val_col}.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f).get("rows", [])
 
 
 def sample_quantile(rows: list[list], q: float) -> float | None:

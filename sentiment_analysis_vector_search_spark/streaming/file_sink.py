@@ -863,7 +863,13 @@ def stream_cdc_apply(
     effect-then-record crash window exists because there is no record)."""
     from ..sinks import apply_cdc
 
-    probe = spark.read.parquet(cdc_dir)
+    # probe under the SAME glob the stream reads (r9 advice): a stray
+    # non-CDC parquet in the directory must not poison the inferred
+    # schema, and an empty-but-existing dir should fail on the glob
+    # ("no files matched"), not on a misleading inference error.
+    probe = (
+        spark.read.option("pathGlobFilter", "cdc_*.parquet").parquet(cdc_dir)
+    )
     src = (
         spark.readStream.schema(probe.schema)
         .option("pathGlobFilter", "cdc_*.parquet")

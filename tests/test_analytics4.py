@@ -9,6 +9,9 @@ ANALYTICS4 = [
     "q_orders_market_basket",
     "q_events_path_trigrams",
     "train_curriculum_order",
+    "q_events_hot_user_join",
+    "q_events_range_join",
+    "q_urgent_revenue_semi_reduce",
 ]
 
 
@@ -191,3 +194,106 @@ def test_range_join_matches_python_reference(spark, sf_dir):
         assert abs(got[(et, d)][1] - float(m.value.sum())) < 1e-6
     # every (type, day) present in the data defines a window
     assert set(got) == set(map(tuple, ev[["event_type", "day"]].drop_duplicates().values))
+
+
+def test_semi_reduce_query_plan_and_flips(spark, sf_dir):
+    """q_urgent_revenue_semi_reduce: the executed plan carries the
+    broadcast LeftSemi pre-filter at the chooser's verdict; the same
+    sides flip to plain shuffle when the big side overlaps heavily
+    (pre-filtering would save nothing), and to broadcast when the whole
+    small side fits the budget."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        choose_join_strategy,
+        key_set_bytes,
+        partition_stats,
+        schema_row_bytes,
+    )
+
+    df = entrymod.queries()["q_urgent_revenue_semi_reduce"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+    small = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+    )
+    st_small = partition_stats(small.select("okey"))
+    width = schema_row_bytes(small, st_small)
+    # high-overlap big side: lineitem keys RESTRICTED to the small side's
+    # own keys -> match fraction ~1.0 -> chooser must refuse semi_reduce
+    big_hi = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"))
+        .join(small.select("okey").distinct(), "okey", "leftsemi")
+    )
+    st_big_hi = partition_stats(big_hi)
+
+    rows_bytes = st_small["okey"]["n_rows"] * width
+    cap = int((key_set_bytes(st_small, "okey") + rows_bytes) // 2)
+    assert (
+        choose_join_strategy(st_small, st_big_hi, "okey", width, cap)
+        == "shuffle"
+    )
+    # budget above the small side's full row bytes -> plain broadcast wins
+    st_big = partition_stats(
+        table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("okey"))
+    )
+    assert (
+        choose_join_strategy(
+            st_small, st_big, "okey", width, int(rows_bytes * 2)
+        )
+        == "broadcast"
+    )
+
+
+def test_semi_reduce_query_stats_survive_persistence(spark, sf_dir, tmp_path):
+    """The chooser's verdict is identical whether the KMV stats are live
+    (partition_stats) or round-tripped through the persisted JSON
+    (incremental_analyze -> load_table_stats) — the deployment path."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        choose_join_strategy,
+        incremental_analyze,
+        key_set_bytes,
+        load_table_stats,
+        partition_stats,
+        schema_row_bytes,
+    )
+
+    small = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+    )
+    big = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    sd = str(tmp_path / "stats")
+    incremental_analyze(spark, sd, "urgent_keys", small.select("okey"))
+    incremental_analyze(spark, sd, "line_keys", big)
+    st_small = load_table_stats(sd, "urgent_keys")
+    st_big = load_table_stats(sd, "line_keys")
+    live_small = partition_stats(small.select("okey"))
+    assert st_small["okey"]["kmv"] == live_small["okey"]["kmv"]
+    width = schema_row_bytes(small, st_small)
+    rows_bytes = st_small["okey"]["n_rows"] * width
+    cap = int((key_set_bytes(st_small, "okey") + rows_bytes) // 2)
+    assert (
+        choose_join_strategy(st_small, st_big, "okey", width, cap)
+        == "semi_reduce"
+    )

@@ -83,3 +83,10 @@ def test_temperature_mix_python_reference(spark, sf_dir):
         assert abs(got[s]["temp_share"] - tmp[s]) < 1e-6
         want_rate = min(1.0, c * tmp[s] / cur[s])
         assert abs(got[s]["sample_rate"] - want_rate) < 1e-6
+
+
+def test_curation3_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    for name in ("batch_by_length", "domain_temperature_mix"):
+        assert_parity(spark, name, sf_dir)

@@ -95,3 +95,10 @@ def test_quantile_sketch_sample_is_deterministic_bottom_k(spark, sf_dir):
         # O(1/sqrt(k)) convergence: generous bound against selection bugs
         spread = float(g.value.max() - g.value.min()) or 1.0
         assert r["err_p50"] <= 0.35 * spread, (et, r["err_p50"], spread)
+
+
+def test_sketch_ops_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    for name in ("q_events_kmv_distinct", "q_value_quantile_sketch"):
+        assert_parity(spark, name, sf_dir)

@@ -279,6 +279,13 @@ def test_cli_hotkeys_and_sample_verbs(spark, sf_dir, tmp_path, capsys):
     for src, c in out["hot"].items():
         assert c <= int((docs.source == src).sum())
 
+    # replaying the SAME batch file must be a no-op: the verb derives a
+    # stable batch id from the path, and MG folding is additive (r9
+    # advice — an accidental re-run silently double-counted before)
+    assert main(["hotkeys", "documents", "source", batch, stats_dir]) == 0
+    again = json.loads(capsys.readouterr().out)
+    assert again["hot"] == out["hot"] and again["n_rows"] == out["n_rows"]
+
     assert main(
         ["sample", "documents", "doc_id", "n_chars", batch, stats_dir]
     ) == 0

@@ -532,6 +532,30 @@ def test_kmv_intersection_exact_when_unfilled(spark):
     assert abs(jac - 0.2) < 1e-12
 
 
+def test_kmv_intersection_one_empty_uses_estimator(spark):
+    """Empty vs FILLED sketch: the union leg must run the non-empty
+    side's estimator, not cap at len(sketch)=k (r9 advice)."""
+    from sentiment_analysis_vector_search_spark.stats import (
+        kmv_intersection,
+        kmv_ndv,
+        partition_stats,
+    )
+
+    k = 64
+    a = spark.range(0, 5_000).selectExpr("id AS key")
+    sa = partition_stats(a, k=k)["key"]["kmv"]
+    assert len(sa) == k  # filled: represents ~5000 distincts
+    ndv_u, ndv_i, jac = kmv_intersection(sa, [], k=k)
+    assert ndv_u == kmv_ndv(sa, k)
+    assert ndv_u > 1_000  # far past the old len() == 64 cap
+    assert ndv_i == 0.0 and jac == 0.0
+    # unfilled side stays exact; both-empty stays zero
+    b = spark.range(0, 10).selectExpr("id AS key")
+    sb = partition_stats(b, k=k)["key"]["kmv"]
+    assert kmv_intersection([], sb, k=k)[0] == 10.0
+    assert kmv_intersection([], [], k=k) == (0.0, 0.0, 0.0)
+
+
 def test_estimate_join_rows_tracks_truth(spark):
     from sentiment_analysis_vector_search_spark.stats import (
         estimate_join_rows,
@@ -579,8 +603,9 @@ def test_semi_reduce_strategy_fires_on_low_match(spark):
         stats_informed_join,
     )
 
-    # 2000 rows over 200 keys; key set ~200*16 = 3200 B fits a 4 KiB cap,
-    # rows x width does not
+    # 2000 rows over 200 keys; key set ~200*(8+16) = 4800 B fits an
+    # 8 KiB cap (stats-derived key width — r9 advice), rows x width does
+    # not (2000 x 16 B)
     small = spark.range(0, 2_000).selectExpr(
         "cast(id % 200 as bigint) AS key", "id AS payload"
     )
@@ -590,7 +615,7 @@ def test_semi_reduce_strategy_fires_on_low_match(spark):
     )
     st_small = partition_stats(small, k=256)
     st_big = partition_stats(big, k=256)
-    cap = 4096
+    cap = 8192
     strategy = choose_join_strategy(
         st_small, st_big, "key", schema_row_bytes(small, st_small), cap
     )
@@ -636,7 +661,53 @@ def test_semi_reduce_never_applies_to_outer_joins(spark):
     st_big = partition_stats(big, k=256)
     left = stats_informed_join(
         big, small, "key", st_big, st_small,
-        broadcast_max_bytes=4096, how="left",
+        broadcast_max_bytes=8192, how="left",
     )
     assert left.count() == big.join(small, "key", "left").count()
     assert "LeftSemi" not in left._jdf.queryExecution().executedPlan().toString()
+
+
+def test_estimated_range_rows_sample_beats_uniform_on_skew(spark, tmp_path):
+    """r9 verdict #7: for a column with no histogram, the persisted
+    bottom-k row sample upgrades range selectivity from uniform min/max
+    interpolation to empirical-CDF mass — on a heavy-hitter column the
+    uniform estimate is off by the skew, the sample is not."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimated_range_rows,
+        incremental_sample,
+        load_sample,
+        partition_stats,
+    )
+
+    # 90% of rows pile on 5.0; 10% spread uniformly over [0, 1000]
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, F.col("id").cast("double") / 10.0)
+        .otherwise(F.lit(5.0))
+        .alias("x"),
+    )
+    st = partition_stats(df.select("x"))
+    true_hi = df.where((F.col("x") >= 900.0) & (F.col("x") <= 1000.0)).count()
+    uniform = estimated_range_rows(st, "x", 900.0, 1000.0)
+    # persisted maintenance path: fold -> load -> estimate
+    incremental_sample(str(tmp_path), "t", "k", "x", df, k=256)
+    sample = load_sample(str(tmp_path), "t", "x")
+    assert sample and sample == sorted(sample)
+    est = estimated_range_rows(st, "x", 900.0, 1000.0, sample=sample)
+    # uniform sees ~10% of rows in the top decile; truth is ~1%
+    assert uniform > 5 * true_hi
+    assert abs(est - true_hi) < abs(uniform - true_hi) / 2
+    # sampling-noise band: binomial with k=256 draws
+    assert est <= 6 * true_hi
+    # no sample, no histogram -> unchanged uniform fallback
+    assert estimated_range_rows(st, "x", 900.0, 1000.0) == uniform
+    # histogram present -> it wins over the sample (exact mass)
+    from sentiment_analysis_vector_search_spark.stats import column_histogram
+
+    hist = column_histogram(df, "x", bins=16).collect()
+    with_both = estimated_range_rows(
+        st, "x", 900.0, 1000.0, histogram=hist, sample=sample
+    )
+    assert with_both == estimated_range_rows(st, "x", 900.0, 1000.0, histogram=hist)
