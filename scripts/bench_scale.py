@@ -68,12 +68,24 @@ SCALE_QUERIES = {
     # token explode doubles corpus volume before the doc-keyed partial
     # aggs; must stay ~linear (explode is map-side, aggs partial-combine)
     "text_repetition_score": "doc",
+    # r10 additions (r9 verdict #2) — the late-r9 heavies' design
+    # claims become measured ratios:
+    # vocabulary-grain joins; Heaps-law sub-linear vocab growth is the
+    # claim, so the corpus-grain stages should dominate and the ratio
+    # stay <= ~1
+    "text_bigram_lm_score": "doc",
+    # winnowing fingerprints are df-capped before the self-join; the cap
+    # is what keeps fingerprint-join volume linear — measure it
+    "dedup_winnow": "doc",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan
     # aggregation whose whole claim is surviving a 100x fact table.
     "q1_pricing_summary": "li",
     "q21_waiting_suppliers": "li",
+    # per-iteration ONE edge equi-join + partial-agg groupBy at 100x
+    # edges — the pagerank plan's scale claim (graph.py localCheckpoint)
+    "q_nation_pagerank": "li",
 }
 
 
@@ -91,11 +103,12 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # it are SKIPPED AND NAMED (no silent truncation) — the smoke is an
     # order-of-magnitude ratio check, not a completeness gate, and it must
     # not starve the main bench of its capture window.
-    # default raised 840 -> 1260 in r9: the smoke legitimately grew
-    # (ivf + text + bloom index blocks, best-of-2 child reps) and an
-    # 840s run measured on this host shed the bloom block entirely —
-    # a silently thinner artifact is worse than a longer smoke.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1260"))
+    # default raised 840 -> 1260 in r9, -> 1560 in r10: the smoke
+    # legitimately grew again (r9 verdict #2: LM gate + winnow +
+    # pagerank queries and the IVFPQ index block) and a too-small budget
+    # sheds blocks silently — a thinner artifact is worse than a longer
+    # smoke.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1560"))
     out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
 
     detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}
@@ -282,6 +295,64 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
             print(f"  [scale] ivf_index block skipped: {e}", file=sys.stderr)
     else:
         skipped.append("ivf_index")
+
+    # Composed IVFADC+R serving index (late r9): build + query ratios
+    # next to ivf/text/bloom (r9 verdict #2). Build = codebooks + one
+    # spread-repartitioned cell-partitioned codes write; query = probe ->
+    # pruned compressed-domain ADC -> exact rerank over the shortlist.
+    if time.perf_counter() - started <= budget:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from sentiment_analysis_vector_search_spark.operators.ivfpq import (
+            ann_ivfpq_index_query,
+            build_ivfpq_index,
+        )
+        from sentiment_analysis_vector_search_spark.operators.similarity import (
+            _N_QUERIES,
+            _vectors,
+        )
+
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+        def _time_ivfpq(dirpath: str, tag: str) -> tuple[float, float]:
+            idx = os.path.join(os.path.dirname(out), f"ivfpq_idx_{tag}")
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            build_ivfpq_index(spark, dirpath, idx)
+            tb = round(time.perf_counter() - t0, 2)
+            vecs = _vectors(spark, dirpath)
+            q = (
+                vecs.where(F.col("vec_id") < _N_QUERIES)
+                .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+            )
+            t0 = time.perf_counter()
+            ann_ivfpq_index_query(spark, idx, q, vecs).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            tq = round(time.perf_counter() - t0, 2)
+            shutil.rmtree(idx, ignore_errors=True)
+            return tb, tq
+
+        try:
+            _time_ivfpq(src, "warm")  # untimed codegen/broadcast warmup
+            bb, bq = _time_ivfpq(src, "base")
+            sb, sq = _time_ivfpq(out, "scale")
+            detail["ivfpq_index"] = {
+                "base_build": bb,
+                "base_query": bq,
+                "scale_build": sb,
+                "scale_query": sq,
+                "build_ratio": round(sb / (bb * emb_tiles), 2),
+                "query_ratio": round(sq / (bq * emb_tiles), 2),
+            }
+            total += bb + bq + sb + sq
+            print(f"  [scale] ivfpq_index: {detail['ivfpq_index']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — smoke extra, never fatal
+            print(f"  [scale] ivfpq_index block skipped: {e}", file=sys.stderr)
+    else:
+        skipped.append("ivfpq_index")
 
     # Persisted-BM25 serving path (late r8): same treatment as ivf_index —
     # build + bucket-pruned query at sf0.1 AND at the tiled corpus, both

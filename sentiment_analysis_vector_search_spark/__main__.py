@@ -190,6 +190,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sqlite.add_argument("--min-score", type=float, default=0.3)
     p_sqlite.add_argument("--min-length", type=int, default=30)
+    p_sqlite.add_argument(
+        "--parallel",
+        type=int,
+        default=0,
+        metavar="N_RANGES",
+        help="read executor-side over N rowid ranges (comment_blocks "
+        "only); 0 = serial driver-side cursor",
+    )
 
     p_bloom = sub.add_parser(
         "bloom", help="per-file Bloom skipping index: build / add / lookup / stats"
@@ -450,6 +458,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.table == "extracted_text_data":
             docs = read_sqlite_extracted_text(
                 spark, args.db_path, min_length=args.min_length
+            )
+        elif args.parallel > 0:
+            from .sources.sqlite_store import read_sqlite_comments_parallel
+
+            docs = read_sqlite_comments_parallel(
+                spark,
+                args.db_path,
+                table=args.table,
+                min_score=args.min_score,
+                min_length=args.min_length,
+                n_ranges=args.parallel,
             )
         else:
             docs = read_sqlite_comments(

@@ -10,13 +10,25 @@ comments``). This module reads such a store into the engine's canonical
 ``read_documents`` / ``read_html_dir``.
 
 Scale contract, stated plainly: a SQLite file is a SINGLE-NODE ops
-store — one file, one reader, no parallel scan. The adapter therefore
+store — one file, no distributed filesystem splits. The default adapter
 reads it driver-side through the stdlib driver in bounded batches and
 parallelizes the resulting rows; it is the right tool for the
 reference's actual artifact (a crawl cache measured in MBs), and
 explicitly NOT a 100 TB path — big corpora arrive via the parquet /
 JSONL / CSV / WARC readers. The row-batched cursor keeps driver memory
 at O(batch), and the output lands as a normal distributed DataFrame.
+
+``read_sqlite_comments_parallel`` (r9 verdict #5) moves the cursor work
+off the driver for stores big enough to hurt: the driver probes only
+min/max rowid (an O(1) b-tree lookup), builds an N-row rowid-range
+relation, and a ``mapInPandas`` over it opens ONE read-only connection
+per task and scans its contiguous rowid span. Driver memory drops from
+O(batch) x (all rows pass through) to O(ranges); row decode and filter
+CPU spread over executors. The single-file honesty note still applies —
+every task reads the SAME file, so the path must be visible to every
+executor (shared FS / same host), and aggregate throughput is bounded
+by that one file's storage. SQLite itself is fine with N concurrent
+read-only connections (WAL or plain rollback journal).
 """
 
 from __future__ import annotations
@@ -99,6 +111,76 @@ def read_sqlite_extracted_text(
     df = spark.createDataFrame(
         [(int(r[0]), r[1], None, r[2]) for r in rows],
         "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    return df.select([f.name for f in DOCUMENTS_SCHEMA.fields])
+
+
+def read_sqlite_comments_parallel(
+    spark: SparkSession,
+    db_path: str,
+    table: str = "comment_blocks",
+    min_score: float = MIN_SCORE,
+    min_length: int = MIN_LENGTH,
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Executor-side variant of :func:`read_sqlite_comments` — identical
+    output (pytest-pinned), different execution: rowid-range tasks, one
+    sqlite connection per task. rowid BETWEEN on the implicit primary
+    key is an index range scan, so the N tasks collectively read each
+    b-tree page once; ranges are contiguous spans of the rowid DOMAIN
+    (not row-count-balanced — fine for the autoincrementing stores the
+    reference writes, where rowids are dense)."""
+    import pandas as pd
+
+    bounds = None
+    conn = sqlite3.connect(db_path)
+    try:
+        bounds = conn.execute(
+            f"SELECT min(rowid), max(rowid) FROM {table}"
+        ).fetchone()
+    finally:
+        conn.close()
+    lo, hi = bounds if bounds else (None, None)
+    if lo is None:
+        return spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    span = (int(hi) - int(lo)) // int(n_ranges) + 1
+    ranges = [
+        (int(lo) + i * span, min(int(lo) + (i + 1) * span - 1, int(hi)))
+        for i in range(int(n_ranges))
+        if int(lo) + i * span <= int(hi)
+    ]
+    rel = spark.createDataFrame(ranges, "r_lo long, r_hi long").repartition(
+        len(ranges)
+    )
+    q = (
+        f"SELECT rowid, block_text, file_path FROM {table} "
+        f"WHERE score >= {float(min_score)} AND length >= {int(min_length)} "
+        "AND rowid BETWEEN ? AND ?"
+    )
+
+    def scan(pdf_iter):
+        for pdf in pdf_iter:
+            con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+            try:
+                for r_lo, r_hi in zip(pdf["r_lo"], pdf["r_hi"]):
+                    cur = con.execute(q, (int(r_lo), int(r_hi)))
+                    while True:
+                        rows = cur.fetchmany(_BATCH_ROWS)
+                        if not rows:
+                            break
+                        yield pd.DataFrame(
+                            {
+                                "doc_id": [int(r[0]) for r in rows],
+                                "text": [r[1] for r in rows],
+                                "lang": [None for _ in rows],
+                                "source": [r[2] for r in rows],
+                            }
+                        )
+            finally:
+                con.close()
+
+    df = rel.mapInPandas(
+        scan, "doc_id long, text string, lang string, source string"
     ).withColumn("n_chars", F.length("text").cast("long"))
     return df.select([f.name for f in DOCUMENTS_SCHEMA.fields])
 

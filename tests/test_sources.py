@@ -293,3 +293,49 @@ def test_cli_hotkeys_and_sample_verbs(spark, sf_dir, tmp_path, capsys):
     assert out["n_sample"] > 0
     q50 = out["quantiles"]["0.5"]
     assert docs.n_chars.min() <= q50 <= docs.n_chars.max()
+
+
+def test_sqlite_parallel_reader_equals_serial(spark, sf_dir, tmp_path):
+    """read_sqlite_comments_parallel (rowid-range mapInPandas tasks, one
+    read-only connection per task) returns exactly the serial reader's
+    rows — same store, same filters, n_ranges > #rows included (empty
+    ranges must contribute nothing)."""
+    from sentiment_analysis_vector_search_spark.sources.sqlite_store import (
+        read_sqlite_comments,
+        read_sqlite_comments_parallel,
+        write_sqlite_comments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    db = str(tmp_path / "store.db")
+    write_sqlite_comments(docs, db)
+
+    def key(df):
+        return sorted(
+            (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+            for r in df.collect()
+        )
+
+    serial = read_sqlite_comments(spark, db, min_score=0.0, min_length=0)
+    for n_ranges in (4, 1000):
+        par = read_sqlite_comments_parallel(
+            spark, db, min_score=0.0, min_length=0, n_ranges=n_ranges
+        )
+        assert key(par) == key(serial)
+    # reference default filters agree too
+    assert key(read_sqlite_comments_parallel(spark, db)) == key(
+        read_sqlite_comments(spark, db)
+    )
+    # the scan is distributed: more than one task produced rows
+    par = read_sqlite_comments_parallel(
+        spark, db, min_score=0.0, min_length=0, n_ranges=8
+    )
+    from pyspark.sql import functions as F2
+
+    n_parts = (
+        par.select(F2.spark_partition_id().alias("p"))
+        .where(F2.col("p") >= 0)
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
