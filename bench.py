@@ -204,6 +204,11 @@ HEADLINE = [
     "domain_temperature_mix",
     "q_value_quantile_sketch",
     "q_events_range_join",
+    # r10 additions: KMV-driven semi-join reduction / CMS frequency
+    # sketch / RM3 pseudo-relevance feedback
+    "q_urgent_revenue_semi_reduce",
+    "q_events_cms_freq",
+    "bm25_rm3_expand",
 ]
 
 

@@ -206,3 +206,114 @@ def q_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_p95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_cms_freq — Count-Min frequency sketch with an exact audit,
+# completing the mergeable-sketch family (KMV ndv, Misra-Gries heavy
+# hitters, bottom-k row sample): CMS answers "how often did key k
+# occur" from d x w counters built in ONE map-side-combinable pass.
+# The sketch is deterministic (one md5-derived hash per depth),
+# mergeable (counters add), and every estimate upper-bounds the truth —
+# cms_n >= exact_n always, overcount bounded by ~N/w per depth with
+# exponentially small tail over d depths (Cormode-Muthukrishnan '05).
+#
+# Scale shape: the sketch relation is d x w = 2,048 rows regardless of
+# input size (the explode is map-side, the groupBy partial-combines to
+# <= d x w rows per task); the exact leg (top-10 TakeOrdered + counts)
+# is the AUDIT — at 100 TB you keep the sketch and drop the exact
+# column, the same honesty note as q_events_kmv_distinct.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_TOP = 10
+
+_CMS_ORACLE = f"""
+WITH depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS d(i)),
+cms AS (
+  SELECT d.i,
+         {sql_md5_long("'cms' || cast(d.i as varchar) || ':' || cast(e.user_id as varchar)")} % {_CMS_W} AS bucket,
+         count(*) AS n
+  FROM events e CROSS JOIN depths d
+  GROUP BY 1, 2
+), ex AS (
+  SELECT user_id, count(*) AS exact_n FROM events
+  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOP}
+), est AS (
+  SELECT ex.user_id, ex.exact_n, min(c.n) AS cms_n
+  FROM ex CROSS JOIN depths d
+  JOIN cms c ON c.i = d.i
+   AND c.bucket = {sql_md5_long("'cms' || cast(d.i as varchar) || ':' || cast(ex.user_id as varchar)")} % {_CMS_W}
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_n, cms_n, cms_n - exact_n AS overcount
+FROM est
+"""
+
+
+@register("q_events_cms_freq", oracle=_CMS_ORACLE)
+def q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-10 users, with the
+    point-query overcount audited next to the truth.
+
+    Engine plan: the d-way explode is map-side (no pre-shuffle blowup
+    reaches the exchange — partial aggregation reduces each task's
+    output to <= d x w counter rows), the sketch lands as a 2,048-row
+    relation, and the 10 audit keys probe it through a broadcast join.
+    Both engines hash md5 -> 60-bit -> mod w on non-negative values, so
+    bucket ids are identical and the hash-check is exact."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    keyed = ev.select(
+        "user_id", F.explode(depths).alias("i")
+    ).select(
+        "i",
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    cms = keyed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+    )
+    probes = ex.select(
+        "user_id", "exact_n", F.explode(depths).alias("i")
+    ).select(
+        "user_id",
+        "exact_n",
+        "i",
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )

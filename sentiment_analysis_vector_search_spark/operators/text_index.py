@@ -303,3 +303,154 @@ def text_index_query(
     postings = post.join(F.broadcast(dfs), "word")
     avgdl = man["sum_dl"] * 1.0 / man["n_docs"]
     return _score_topk(postings, man["n_docs"], avgdl, k=k)
+
+
+# ---------------------------------------------------------------------------
+# bm25_rm3_expand — pseudo-relevance feedback (RM3, Lavrenko-Croft
+# relevance models as deployed in Indri/Anserini): retrieve once, mine
+# expansion terms from the top documents' language models, re-retrieve
+# with the expanded weighted query. The deterministic re-expression:
+#
+#   rm_w(w)  = Σ_{d in top-F} (tf(w,d) / dl(d)) * score_1(d)
+#   expanded = original words at weight α
+#            + top-E rm words (excluding originals) at (1-α) * rm_w/max
+#   score_2(d) = Σ_w wgt(w) * bm25_term(w, d)     (decimal-summed)
+#
+# Every stage is rank-stable cross-engine: score_1 is the 6-dp-rounded
+# BM25 of ``bm25_retrieve``, rm weights are decimal sums of exact
+# per-doc rationals times that rounded score, and all ties break on
+# (word) / (doc_id).
+#
+# Scale shape: pass 1 is bm25_retrieve's plan; the feedback relation is
+# F<=10 docs joined word-keyed against their own tf rows (tiny); pass 2
+# scores |q|+E <= 8 words through the same broadcast-df posting join as
+# pass 1. Nothing corpus-sized ever collects — the two corpus scalars
+# and the <=8-row expanded query vocabulary are the only driver data.
+# ---------------------------------------------------------------------------
+
+_RM3_ALPHA = 0.6
+_RM3_E = 5  # expansion terms
+_RM3_F = 10  # feedback depth = the pass-1 top-k
+
+_RM3_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words
+  WHERE word NOT IN ({_STOP_SQL}) AND word <> ''
+  GROUP BY doc_id, word
+), dl AS (
+  SELECT doc_id, cast(sum(tf) as bigint) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+), dfs1 AS (
+  SELECT word, count(*) AS df FROM tf
+  WHERE word IN ({_words_sql}) GROUP BY word
+), p1scores AS (
+  SELECT tf.doc_id, cast(cast((sum(cast(cast((ln(1.0 + (cast(n as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) * (cast(tf as double) * 2.2) / (cast(tf as double)    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))) as varchar(64)) as decimal(30,10)))) as varchar(64)) as double) as score
+  FROM tf JOIN dfs1 USING (word) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+), pass1 AS (
+  SELECT doc_id, round(score, 6) AS score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+    FROM p1scores
+  ) WHERE rk <= 10
+), rm AS (
+  SELECT t.word,
+         {sql_dsum('(cast(t.tf as double) / cast(d.dl as double)) * p.score', 'rm_w')}
+  FROM pass1 p
+  JOIN tf t ON t.doc_id = p.doc_id
+  JOIN dl d ON d.doc_id = p.doc_id
+  WHERE t.word NOT IN ({_words_sql})
+  GROUP BY t.word
+), exp_terms AS (
+  SELECT word, rm_w, row_number() OVER (ORDER BY rm_w DESC, word) AS erk
+  FROM rm
+), chosen AS (
+  SELECT word, rm_w FROM exp_terms WHERE erk <= {_RM3_E}
+), qvocab AS (
+  SELECT word, {_RM3_ALPHA} AS wgt FROM (VALUES ({_words_sql.replace("', '", "'), ('")})) AS q(word)
+  UNION ALL
+  SELECT word,
+         round({1.0 - _RM3_ALPHA} * rm_w / (SELECT max(rm_w) FROM chosen), 6) AS wgt
+  FROM chosen
+), dfs2 AS (
+  SELECT word, count(*) AS df FROM tf
+  WHERE word IN (SELECT word FROM qvocab) GROUP BY word
+), scores AS (
+  SELECT tf.doc_id, {sql_dsum(f'({_TERM_SQL}) * qv.wgt', 'score')}
+  FROM tf
+  JOIN qvocab qv USING (word)
+  JOIN dfs2 USING (word)
+  JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, rk FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scores
+) WHERE rk <= {_BM25_K}
+"""
+
+
+@register("bm25_rm3_expand", oracle=_RM3_ORACLE)
+def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + RM3 query expansion, end to end in one plan."""
+    docs = table(spark, sf_dir, "documents")
+    tf = _tf_rows(docs).localCheckpoint(eager=False)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n, avgdl = int(st["n"]), float(st["avgdl"])
+
+    # pass 1: the bm25_retrieve ranking (same helpers, same rounding)
+    tfq = tf.where(F.col("word").isin(*_BM25_WORDS))
+    dfs1 = tfq.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    pass1 = _score_topk(
+        tfq.join(F.broadcast(dfs1), "word").join(dl, "doc_id"), n, avgdl,
+        k=_RM3_F,
+    ).select("doc_id", "score")
+
+    # relevance-model weights over the feedback docs' vocabulary
+    rm = (
+        tf.join(F.broadcast(pass1), "doc_id")
+        .join(dl, "doc_id")
+        .where(~F.col("word").isin(*_BM25_WORDS))
+        .groupBy("word")
+        .agg(
+            dsum(
+                (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                * F.col("score")
+            ).alias("rm_w")
+        )
+    )
+    chosen = (
+        rm.orderBy(F.desc("rm_w"), F.asc("word")).limit(_RM3_E)
+    )  # <= E rows to the driver below — bounded metadata
+    rows = chosen.collect()
+    max_w = max(r["rm_w"] for r in rows) if rows else 1.0
+    vocab = [(w, _RM3_ALPHA) for w in _BM25_WORDS] + [
+        (r["word"], round((1.0 - _RM3_ALPHA) * r["rm_w"] / max_w, 6))
+        for r in rows
+    ]
+    qvocab = spark.createDataFrame(vocab, "word string, wgt double")
+
+    # pass 2: weighted BM25 over the expanded vocabulary
+    tf2 = tf.join(F.broadcast(qvocab), "word")
+    dfs2 = tf2.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf2.join(F.broadcast(dfs2), "word").join(dl, "doc_id")
+    scored = (
+        postings.withColumn("n", F.lit(n))
+        .withColumn("avgdl", F.lit(avgdl))
+        .groupBy("doc_id")
+        .agg(dsum(F.expr(_TERM_SPARK) * F.col("wgt")).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", F.round("score", 6).alias("score"), "rk"
+    )

