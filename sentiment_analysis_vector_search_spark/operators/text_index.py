@@ -400,7 +400,15 @@ def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + RM3 query expansion, end to end in one plan."""
     docs = table(spark, sf_dir, "documents")
     tf = _tf_rows(docs).localCheckpoint(eager=False)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # dl has FOUR consumers here (corpus scalars, pass-1 postings, rm
+    # weights, pass-2 postings) — unlike bm25_retrieve's two; checkpoint
+    # it or the doc-grain aggregation re-runs per consumer (measured
+    # 7.6s -> ~2s at sf0.1)
+    dl = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     st = dl.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
