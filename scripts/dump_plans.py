@@ -68,6 +68,10 @@ SHOW = [
     ("q_nation_pagerank", "Q7 fact spine once behind lineage cut; 3 node-grain join iterations"),
     ("dedup_winnow", "per-doc window minima; fp-keyed pair join bounded by the boilerplate cap"),
     ("rag_mmr_rerank", "one corpus-sized TakeOrdered pool; greedy picks join 10-row relation"),
+    # r10 additions
+    ("q_urgent_revenue_semi_reduce", "KMV-chosen broadcast LeftSemi pre-filter; priority pushed to both orders scans"),
+    ("q_events_cms_freq", "map-side-combinable dxw sketch (2,048 rows); broadcast point probes"),
+    ("bm25_rm3_expand", "checkpointed tf/dl reused across both passes; <=8-word expanded vocab broadcast"),
 ]
 
 

@@ -191,3 +191,57 @@ def test_bottom_k_min_union_merge(rows, k, cuts):
     for ch in chunks:
         again = merge(stored, sorted(ch, key=lambda r: r[0])[:k])
         assert again == stored
+
+
+# ---------------------------------------------------------------------------
+# Count-Min model: for ANY key multiset, the python twin of the engine's
+# CMS (same md5 bucketing, same min-over-depths) must upper-bound every
+# true count, be exact when no bucket collides, and merge additively
+# (CMS(a) + CMS(b) == CMS(a ++ b) counter-wise).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=400),
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=0, max_size=400),
+)
+@settings(max_examples=100, deadline=None)
+def test_cms_model_upper_bound_and_mergeable(a, b):
+    import hashlib
+    from collections import Counter
+
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    def bucket(i, u):
+        return (
+            int(hashlib.md5(f"cms{i}:{u}".encode()).hexdigest()[:15], 16)
+            % _CMS_W
+        )
+
+    def sketch(keys):
+        cms = Counter()
+        for u in keys:
+            for i in range(_CMS_D):
+                cms[(i, bucket(i, u))] += 1
+        return cms
+
+    def est(cms, u):
+        return min(cms.get((i, bucket(i, u)), 0) for i in range(_CMS_D))
+
+    sa, sb, sab = sketch(a), sketch(b), sketch(a + b)
+    true = Counter(a + b)
+    merged = sa + sb
+    assert merged == sab  # counters add — the mergeability contract
+    for u, n in true.items():
+        assert est(sab, u) >= n  # never under-counts
+    # exactness when every key has a private bucket in some depth
+    for u, n in true.items():
+        private = any(
+            all(bucket(i, v) != bucket(i, u) for v in true if v != u)
+            for i in range(_CMS_D)
+        )
+        if private:
+            assert est(sab, u) == n
