@@ -252,6 +252,8 @@ _GC_SETTLE = {
     # r9 verdict #8: the last >=2x raw-swing queries in the r9 artifacts
     # (first-rep effect surviving the single warmup)
     "q19_disjunctive_filter",
+    # r10 local artifact: first-rep 0.59 vs 0.25 floor, same class
+    "q_value_percentiles",
 }
 _GC_SETTLE_MIN_REPS = 5
 
