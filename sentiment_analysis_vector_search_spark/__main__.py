@@ -126,6 +126,24 @@ def main(argv: list[str] | None = None) -> int:
         "--quantiles", default="0.5,0.95", help="comma-separated q values"
     )
 
+    p_cms = sub.add_parser(
+        "cmsfreq",
+        help="fold one parquet batch into the persisted Count-Min "
+        "frequency sketch and print point estimates",
+    )
+    p_cms.add_argument("table")
+    p_cms.add_argument("col")
+    p_cms.add_argument("batch_path", help="parquet path of the NEW batch only")
+    p_cms.add_argument("stats_dir")
+    p_cms.add_argument("--keys", default="", help="comma list to estimate")
+    p_cms.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="replay guard for the additive CMS fold; default derives a "
+        "stable id from the resolved batch path (the hotkeys rule)",
+    )
+
     p_roll = sub.add_parser(
         "rollup", help="materialized rollup: build / answer / add"
     )
@@ -331,6 +349,44 @@ def main(argv: list[str] | None = None) -> int:
                 {"n_rows": n_rows, "k": args.k, "hot": dict(top)},
                 indent=1,
                 sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "cmsfreq":
+        import json
+
+        from .session import get_spark
+        from .stats import cms_estimate, incremental_cms
+
+        spark = get_spark("cli-cms")
+        spark.sparkContext.setLogLevel("ERROR")
+        batch_id = args.batch_id
+        if batch_id is None:
+            import hashlib
+            import os as _os
+
+            batch_id = int(
+                hashlib.md5(
+                    _os.path.abspath(args.batch_path).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+        counters = incremental_cms(
+            args.stats_dir,
+            args.table,
+            args.col,
+            spark.read.parquet(args.batch_path),
+            batch_id=batch_id,
+        )
+        keys = [k for k in args.keys.split(",") if k]
+        print(
+            json.dumps(
+                {
+                    "n_counters": len(counters),
+                    "estimates": {k: cms_estimate(counters, k) for k in keys},
+                },
+                indent=1,
             )
         )
         return 0

@@ -977,3 +977,121 @@ def sample_quantile(rows: list[list], q: float) -> float | None:
     frac = pos - lo
     hi = min(lo + 1, len(vs) - 1)
     return vs[lo] * (1.0 - frac) + vs[hi] * frac
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the incremental/maintained leg of the
+# q_events_cms_freq device (sketch family: KMV ndv, Misra-Gries hot
+# keys, bottom-k row sample, CMS point frequency). Counters ADD, so the
+# sketch folds per batch exactly like the MG summary; estimates
+# upper-bound truth for any key, with overcount ~ N/w per depth.
+# Hashing matches operators/sketch_ops (md5 "cms{i}:{key}") so the
+# maintained sketch and the graded query agree bucket-for-bucket.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 512
+
+
+def column_cms(
+    df: DataFrame, col: str, d: int = CMS_D, w: int = CMS_W
+) -> dict[str, int]:
+    """One-pass CMS over ``col``: d x w counters (``"i:bucket" -> n``).
+    The d-way explode is map-side and the groupBy partial-combines to
+    <= d x w rows per task, so the collect is bounded metadata
+    (<= 2,048 rows) regardless of input size."""
+    from .functions.hashing import md5_long
+
+    depths = F.array(*[F.lit(i) for i in range(d)])
+    keyed = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("k"), F.explode(depths).alias("i"))
+        .select(
+            "i",
+            F.pmod(
+                md5_long(F.concat(F.lit("cms"), F.col("i").cast("string"),
+                                  F.lit(":"), F.col("k"))),
+                F.lit(w),
+            ).alias("bucket"),
+        )
+    )
+    rows = keyed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    return {f"{r['i']}:{r['bucket']}": int(r["n"]) for r in rows}
+
+
+def cms_estimate(counters: dict[str, int], key, d: int = CMS_D, w: int = CMS_W) -> int:
+    """Point-frequency upper bound for ``key`` = min over depths."""
+    import hashlib
+
+    est = None
+    for i in range(d):
+        b = int(hashlib.md5(f"cms{i}:{key}".encode()).hexdigest()[:15], 16) % w
+        n = counters.get(f"{i}:{b}", 0)
+        est = n if est is None else min(est, n)
+    return int(est or 0)
+
+
+def incremental_cms(
+    stats_dir: str,
+    name: str,
+    col: str,
+    batch_df: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    batch_id: int | None = None,
+) -> dict[str, int]:
+    """Fold one batch into a persisted CMS (``{name}__cms_{col}.json``):
+    counters add, so after ANY number of batches the stored sketch
+    equals a one-shot CMS over the union (pytest-pinned). Additive =
+    NOT idempotent, so the applied-batch record rides inside the same
+    atomic os.replace as the fold (the incremental_analyze protocol —
+    SCALING rule 21)."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__cms_{col}.json")
+    meta: dict = {}
+    counters: dict[str, int] = {}
+    n_rows = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        counters = raw.get("counters", {})
+        n_rows = int(raw.get("n_rows", 0))
+        if raw.get("d") != d or raw.get("w") != w:
+            raise ValueError(
+                f"CMS knob mismatch: stored d={raw.get('d')} w={raw.get('w')}"
+                f" vs requested d={d} w={w}"  # provenance discipline
+            )
+    applied: list[int] = meta.get("applied_batch_ids", [])
+    if batch_id is not None and batch_id in applied:
+        return counters
+    fresh = column_cms(batch_df, col, d, w)
+    for k, n in fresh.items():
+        counters[k] = counters.get(k, 0) + n
+    n_rows += sum(fresh.values()) // d
+    out = {"counters": counters, "n_rows": n_rows, "col": col, "d": d, "w": w}
+    if batch_id is not None:
+        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f, sort_keys=True)
+    os.replace(tmp, path)
+    return counters
+
+
+def load_cms(stats_dir: str, name: str, col: str) -> tuple[dict[str, int], int]:
+    """Read back a persisted CMS: (counters, n_rows); empty when absent."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__cms_{col}.json")
+    if not os.path.exists(path):
+        return {}, 0
+    with open(path) as f:
+        raw = json.load(f)
+    return raw.get("counters", {}), int(raw.get("n_rows", 0))

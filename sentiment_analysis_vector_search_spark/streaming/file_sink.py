@@ -939,3 +939,49 @@ def stream_sample_maintenance(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_cms_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "documents",
+    col: str = "source",
+    d: int = 4,
+    w: int = 512,
+) -> None:
+    """Continuously-maintained Count-Min frequency sketch: streaming
+    files → ``foreachBatch`` → ``stats.incremental_cms``. Each
+    micro-batch is scanned once (map-side-combinable d x w counter
+    build, <= 2,048 rows to the driver) and folded into the persisted
+    sketch serving point-frequency upper bounds without re-reading the
+    table — the fourth member of the maintained-sketch family next to
+    incremental_analyze (KMV), incremental_heavy_hitters (MG) and
+    incremental_sample (bottom-k).
+
+    Exactly-once with NO crash window: CMS counters are additive, so
+    the applied-batch record rides inside the sketch JSON's single
+    os.replace (fold and record commit together, r9 protocol)."""
+    from ..stats import incremental_cms
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", f"{table_name}*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one source file per batch
+        .parquet(sf_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_cms(
+            stats_dir, table_name, col, batch_df, d=d, w=w, batch_id=batch_id
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

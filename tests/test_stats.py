@@ -711,3 +711,62 @@ def test_estimated_range_rows_sample_beats_uniform_on_skew(spark, tmp_path):
         st, "x", 900.0, 1000.0, histogram=hist, sample=sample
     )
     assert with_both == estimated_range_rows(st, "x", 900.0, 1000.0, histogram=hist)
+
+
+def test_incremental_cms_merge_equals_one_shot_and_replay_noop(spark, sf_dir, tmp_path):
+    """CMS counters add: folding the corpus in chunks equals a one-shot
+    sketch; point estimates upper-bound exact counts and agree with the
+    python twin; replayed batches are no-ops; knob mismatch refuses."""
+    import pandas as pd
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        cms_estimate,
+        column_cms,
+        incremental_cms,
+        load_cms,
+    )
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    docs = full.select("source")
+    one_shot = column_cms(docs, "source")
+    sd = str(tmp_path)
+    from pyspark.sql import functions as F
+
+    a = full.where(F.col("doc_id") % 2 == 0).select("source")
+    b = full.where(F.col("doc_id") % 2 == 1).select("source")
+    incremental_cms(sd, "docs", "source", a, batch_id=0)
+    incremental_cms(sd, "docs", "source", b, batch_id=1)
+    folded, n_rows = load_cms(sd, "docs", "source")
+    assert folded == one_shot
+    assert n_rows == docs.count()
+    # replay: additive fold guarded by the applied-batch record
+    incremental_cms(sd, "docs", "source", a, batch_id=0)
+    again, _ = load_cms(sd, "docs", "source")
+    assert again == one_shot
+    # estimates upper-bound truth for every source
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    for src, n in pdf.source.value_counts().items():
+        assert cms_estimate(folded, src) >= int(n)
+    # knob provenance: a mismatched width refuses instead of corrupting
+    with pytest.raises(ValueError):
+        incremental_cms(sd, "docs", "source", a, w=1024, batch_id=2)
+
+
+def test_stream_cms_maintenance_drains_and_folds(spark, sf_dir, tmp_path):
+    from sentiment_analysis_vector_search_spark.stats import column_cms, load_cms
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_cms_maintenance,
+    )
+
+    sd, ck = str(tmp_path / "stats"), str(tmp_path / "ck")
+    stream_cms_maintenance(spark, sf_dir, sd, ck)
+    counters, n_rows = load_cms(sd, "documents", "source")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source")
+    assert counters == column_cms(docs, "source")
+    assert n_rows == docs.count()
+    # re-drain: checkpointed source re-delivers nothing, sketch unchanged
+    stream_cms_maintenance(spark, sf_dir, sd, ck)
+    assert load_cms(sd, "documents", "source")[0] == counters
