@@ -50,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     p_oracle = sub.add_parser("oracle", help="print the DuckDB oracle SQL")
     p_oracle.add_argument("query")
 
+    p_lint = sub.add_parser(
+        "lint",
+        help="plan-lint registered queries (CartesianProduct / "
+        "row-at-a-time Python) — the audit to run before scaling out",
+    )
+    p_lint.add_argument("prefix", nargs="?", default="")
+    p_lint.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     p_idx = sub.add_parser("index", help="build a persisted serving index")
     p_idx.add_argument("kind", choices=("ivf", "pq", "ivfpq", "dedup"))
     p_idx.add_argument("out_dir")
@@ -665,6 +673,32 @@ def main(argv: list[str] | None = None) -> int:
             if name.startswith(args.prefix):
                 print(name)
         return 0
+
+    if args.cmd == "lint":
+        import json
+
+        from .plans import lint_plan
+        from .registry import QUERIES, load_all_modules
+        from .session import get_spark
+
+        load_all_modules()
+        spark = get_spark("cli-lint")
+        spark.sparkContext.setLogLevel("ERROR")
+        bad: dict[str, list[str]] = {}
+        names = [n for n in QUERIES if n.startswith(args.prefix)]
+        for name in names:
+            try:
+                v = lint_plan(QUERIES[name](spark, args.sf_dir))
+            except Exception as e:  # noqa: BLE001 — surface, don't abort
+                v = [f"plan-build-error: {e}"]
+            if v:
+                bad[name] = v
+        print(
+            json.dumps(
+                {"checked": len(names), "clean": len(names) - len(bad), "bad": bad}
+            )
+        )
+        return 1 if bad else 0
 
     if args.query not in queries:
         close = [n for n in queries if args.query in n]

@@ -339,3 +339,18 @@ def test_sqlite_parallel_reader_equals_serial(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_parts > 1
+
+
+def test_cli_lint_verb(sf_dir, capsys):
+    """`lint` runs the fleet-wide plan anti-pattern sweep from the CLI
+    (clean prefix → rc 0 with counts; unknown prefix → zero checked)."""
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    rc = main(["lint", "q_events_cms", "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["checked"] == 1 and out["clean"] == 1
+    rc = main(["lint", "no_such_prefix", "--sf-dir", sf_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["checked"] == 0
