@@ -152,3 +152,17 @@ def test_cms_and_rm3_parity(spark, sf_dir):
 
     assert_parity(spark, "q_events_cms_freq", sf_dir)
     assert_parity(spark, "bm25_rm3_expand", sf_dir)
+
+
+def test_cms_plan_shape(spark, sf_dir):
+    """The sketch build partial-combines map-side (no pre-shuffle d-way
+    blowup reaches the exchange), the exact top-10 is a TakeOrdered, and
+    the point probes join the 2,048-row sketch via broadcast."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_events_cms_freq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "TakeOrdered" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan

@@ -289,3 +289,17 @@ def test_rm3_expansion_changes_and_improves_recall_shape(spark, sf_dir):
     rks = [r["rk"] for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))]
     assert rks == list(range(1, 11))
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_rm3_tf_checkpoint_shared_across_passes(spark, sf_dir):
+    """The corpus tf/dl relations materialize once (lazy localCheckpoint
+    — ExistingRDD scans in the final plan) instead of re-running the
+    tokenize+aggregate subtree for each of the four consumers."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["bm25_rm3_expand"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "existingrdd" in plan, plan
+    # no cartesian / row-python anywhere in the two-pass pipeline
+    assert "cartesianproduct" not in plan
+    assert "batchevalpython" not in plan
