@@ -477,6 +477,21 @@ from weakref import WeakKeyDictionary
 
 _SEMI_STATS_MEMO: "WeakKeyDictionary" = WeakKeyDictionary()
 
+
+def _clear_semi_memo(sf_dir: str | None) -> None:
+    for per in _SEMI_STATS_MEMO.values():
+        if sf_dir is None:
+            per.clear()
+        else:
+            per.pop(sf_dir, None)
+
+
+# a rewritten sf_dir invalidates these sketches too (stats.refresh /
+# catalog.refresh fan-out)
+from ..stats import on_refresh as _on_refresh  # noqa: E402
+
+_on_refresh(_clear_semi_memo)
+
 _SEMI_ORACLE = f"""
 WITH urgent AS (
   SELECT o_orderkey AS okey,

@@ -36,6 +36,18 @@ SEMI_REDUCE_MAX_MATCH = 0.5
 _STATS_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
 
 
+# Other modules' per-session stats memos (e.g. the semi-reduce demo's
+# key-column sketches) register a clearer here so ONE refresh() call
+# invalidates every derived-statistics cache — a rewritten sf_dir must
+# not leave any gate consuming statistics of the replaced files.
+_REFRESH_HOOKS: list = []
+
+
+def on_refresh(hook) -> None:
+    """Register ``hook(sf_dir_or_None)`` to run on every refresh()."""
+    _REFRESH_HOOKS.append(hook)
+
+
 def refresh(sf_dir: str | None = None) -> None:
     """Drop memoized stats for ``sf_dir`` (or all when None) across every
     live session. ``catalog.refresh`` calls this (r7 advice, low): a
@@ -47,6 +59,8 @@ def refresh(sf_dir: str | None = None) -> None:
         else:
             for key in [k for k in per if k[0] == sf_dir]:
                 del per[key]
+    for hook in _REFRESH_HOOKS:
+        hook(sf_dir)
 
 
 def table_stats(spark: SparkSession, sf_dir: str, name: str) -> dict[str, dict]:

@@ -297,3 +297,21 @@ def test_semi_reduce_query_stats_survive_persistence(spark, sf_dir, tmp_path):
         choose_join_strategy(st_small, st_big, "okey", width, cap)
         == "semi_reduce"
     )
+
+
+def test_semi_reduce_memo_cleared_by_stats_refresh(spark, sf_dir):
+    """catalog/stats refresh must invalidate the demo query's memoized
+    key-column sketches along with every other derived-stats cache."""
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark import stats as stats_mod
+    from sentiment_analysis_vector_search_spark.operators import analytics4 as a4
+
+    entrymod.queries()["q_urgent_revenue_semi_reduce"](spark, sf_dir)
+    assert sf_dir in a4._SEMI_STATS_MEMO.get(spark, {})
+    stats_mod.refresh(sf_dir)
+    assert sf_dir not in a4._SEMI_STATS_MEMO.get(spark, {})
+    entrymod.queries()["q_urgent_revenue_semi_reduce"](spark, sf_dir)
+    assert sf_dir in a4._SEMI_STATS_MEMO.get(spark, {})
+    stats_mod.refresh()  # the clear-all form
+    assert not a4._SEMI_STATS_MEMO.get(spark, {})
