@@ -134,6 +134,31 @@ def main(argv: list[str] | None = None) -> int:
         "--quantiles", default="0.5,0.95", help="comma-separated q values"
     )
 
+    p_je = sub.add_parser(
+        "joinest",
+        help="estimate an equi-join's output rows and the physical "
+        "strategy the chooser would pick, from PERSISTED stats only "
+        "(no table scan) — the plan-review tool for a join you have "
+        "not run yet",
+    )
+    p_je.add_argument("small_table", help="stats JSON name of the small side")
+    p_je.add_argument("big_table", help="stats JSON name of the big side")
+    p_je.add_argument("key_col", help="join key column on the small side")
+    p_je.add_argument("stats_dir", help="dir of incremental_analyze JSONs")
+    p_je.add_argument(
+        "--big-key-col",
+        default=None,
+        help="big side's column when named differently (o_orderkey vs "
+        "l_orderkey); default: same as key_col",
+    )
+    p_je.add_argument(
+        "--small-row-bytes", type=int, default=64,
+        help="estimated materialized bytes/row of the small side",
+    )
+    p_je.add_argument(
+        "--broadcast-max-bytes", type=int, default=32 << 20
+    )
+
     p_cms = sub.add_parser(
         "cmsfreq",
         help="fold one parquet batch into the persisted Count-Min "
@@ -357,6 +382,58 @@ def main(argv: list[str] | None = None) -> int:
                 {"n_rows": n_rows, "k": args.k, "hot": dict(top)},
                 indent=1,
                 sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "joinest":
+        import json
+
+        from .stats import (
+            choose_join_strategy,
+            estimate_join_rows,
+            load_table_stats,
+        )
+
+        st_small = load_table_stats(args.stats_dir, args.small_table)
+        st_big = load_table_stats(args.stats_dir, args.big_table)
+        if st_small is None or st_big is None:
+            missing = [
+                n
+                for n, st in (
+                    (args.small_table, st_small),
+                    (args.big_table, st_big),
+                )
+                if st is None
+            ]
+            print(f"no persisted stats for: {missing}", file=sys.stderr)
+            return 2
+        big_col = args.big_key_col or args.key_col
+        if args.key_col not in st_small or big_col not in st_big:
+            print(
+                f"column absent from stats: {args.key_col!r} / {big_col!r}",
+                file=sys.stderr,
+            )
+            return 2
+        est = estimate_join_rows(st_small, st_big, args.key_col, big_col)
+        # chooser wants one key name present in both dicts — alias the
+        # two sides' columns under a synthetic shared key
+        k = "__joinest_key__"
+        strategy = choose_join_strategy(
+            {k: st_small[args.key_col]},
+            {k: st_big[big_col]},
+            k,
+            args.small_row_bytes,
+            args.broadcast_max_bytes,
+        )
+        print(
+            json.dumps(
+                {
+                    "estimated_join_rows": int(round(est)),
+                    "strategy": strategy,
+                    "small_rows": st_small[args.key_col]["n_rows"],
+                    "big_rows": st_big[big_col]["n_rows"],
+                }
             )
         )
         return 0

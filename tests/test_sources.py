@@ -354,3 +354,46 @@ def test_cli_lint_verb(sf_dir, capsys):
     rc = main(["lint", "no_such_prefix", "--sf-dir", sf_dir])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["checked"] == 0
+
+
+def test_cli_joinest_verb(spark, sf_dir, tmp_path, capsys):
+    """`joinest`: join-size estimate + chooser verdict from PERSISTED
+    stats only — cross-named key columns, strategy flips with the
+    broadcast budget, missing stats error out cleanly."""
+    import json
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.stats import incremental_analyze
+
+    sd = str(tmp_path / "stats")
+    incremental_analyze(
+        spark, sd, "orders", spark.read.parquet(f"{sf_dir}/orders.parquet")
+    )
+    incremental_analyze(
+        spark, sd, "lineitem", spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    )
+    rc = main(
+        ["joinest", "orders", "lineitem", "o_orderkey", sd,
+         "--big-key-col", "l_orderkey"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    true = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert 0.8 * true <= out["estimated_join_rows"] <= 1.2 * true
+    assert out["strategy"] == "broadcast"
+    # tiny budget -> the same stats flip the verdict off broadcast
+    rc = main(
+        ["joinest", "orders", "lineitem", "o_orderkey", sd,
+         "--big-key-col", "l_orderkey", "--broadcast-max-bytes", "1000"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["strategy"] != "broadcast"
+    # absent stats -> rc 2
+    assert main(["joinest", "nope", "lineitem", "x", sd]) == 2
