@@ -582,3 +582,94 @@ def q_urgent_revenue_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dsum(F.col("o_totalprice")).alias("line_weighted_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_part_skyline — SKYLINE (Pareto frontier) query: the parts no other
+# part dominates on (minimize p_retailprice, maximize p_size) — the
+# Börzsönyi/Kossmann SKYLINE OF operator, a relational capability the
+# reference's "best tradeoff" selection queries imply and classic OLAP
+# engines ship natively.
+#
+# The naive plan is an O(n²) self-join (the oracle's NOT EXISTS does
+# exactly that — fine for DuckDB at test SF, catastrophic at 100 TB).
+# The engine instead computes dominance from PREFIX MAXIMA: a row is
+# dominated iff max(size) over strictly-cheaper rows >= its size, OR
+# max(size) among equal-price rows > its size. That is one groupBy to
+# the distinct-price grain plus a two-level distributed prefix scan:
+#   level 1: integer price buckets (floor(price)) — per-bucket max,
+#            prefix over the bucket-grain relation (bounded by the
+#            price RANGE, not the row count), broadcast back;
+#   level 2: within-bucket strict-prefix max via a window PARTITIONED
+#            BY bucket over the per-price rows (each partition holds
+#            only one bucket's distinct prices — never data-sized).
+# No self-join, no global window, no quadratic anywhere; the final
+# dominance test is an equi-join back on the price grain (left to AQE:
+# broadcast when the distinct-price relation is small, shuffle when a
+# continuous price domain makes it data-sized).
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT a.p_partkey, a.p_name, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+
+@register("q_part_skyline", oracle=_SKYLINE_ORACLE)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (no part is both <= price and >= size with one
+    strict) via a two-level distributed prefix-max — O(n log n), vs the
+    oracle's O(n²) NOT EXISTS self-join. Identical row set by the
+    dominance-from-prefix-maxima equivalence (see block comment)."""
+    part = table(spark, sf_dir, "part")
+    pts = part.select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+    # price-grain stats (distinct prices only, with per-price max size)
+    price_stats = (
+        pts.withColumn("bucket", F.floor("p_retailprice"))
+        .groupBy("bucket", "p_retailprice")
+        .agg(F.max("p_size").alias("pmax"))
+    )
+    # level 1: bucket-grain prefix max (bounded by the integer price range)
+    bstats = price_stats.groupBy("bucket").agg(F.max("pmax").alias("bmax"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # global window over the BUCKET-grain relation only (#distinct integer
+    # price floors — range-bounded, never data-sized)
+    bprefix = bstats.select(
+        "bucket", F.max("bmax").over(wb).alias("prev_bucket_max")
+    )
+    # level 2: within-bucket strict-prefix max over per-price rows
+    wp = Window.partitionBy("bucket").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grain = (
+        price_stats.withColumn("in_bucket_prev", F.max("pmax").over(wp))
+        .join(F.broadcast(bprefix), "bucket")
+        .select(
+            "p_retailprice",
+            "pmax",
+            F.greatest(
+                F.coalesce(F.col("in_bucket_prev"), F.lit(-(1 << 31))),
+                F.coalesce(F.col("prev_bucket_max"), F.lit(-(1 << 31))),
+            ).alias("strict_prefix_max"),
+        )
+    )
+    # dominance test: strictly-cheaper max >= size, or equal-price max > size
+    # (plain equi-join on the price grain — AQE broadcasts it when small)
+    return (
+        pts.join(grain, "p_retailprice")
+        .where(
+            ~(
+                (F.col("strict_prefix_max") >= F.col("p_size"))
+                | (F.col("pmax") > F.col("p_size"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )

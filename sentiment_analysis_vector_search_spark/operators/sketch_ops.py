@@ -317,3 +317,236 @@ def q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_events_kmv_setops — KMV SET ALGEBRA (Beyer et al., SIGMOD'07 "On
+# Synopses for Distinct-Value Estimation Under Multiset Operations"):
+# union / intersection / difference cardinality estimates from two KMV
+# sketches, next to the exact answers. q_events_kmv_distinct showed the
+# single-set estimator; this is why the sketch family matters at 100 TB:
+# the UNION sketch is just the bottom-k of the two sketches' union (no
+# re-scan), the intersection rides the match fraction rho = |L ∩ S_A ∩
+# S_B| / k' over the union's k-minimum set L, and A−B is inclusion-
+# exclusion on estimates — all computed from 2·k retained hashes, never
+# from the data. Deterministic end to end (md5 hash family), so the
+# DuckDB oracle reproduces every estimate bit-for-bit.
+#
+# Element grain: ACTIVITY DAYS (user_id, epoch-day) — per-type user sets
+# are saturated in the test data (every type reaches every user), while
+# day-grain activity sets overlap partially, which is what set algebra
+# is for. Scale shape: one distinct at (tag, user, day) grain, then the
+# two-phase salted bottom-K per tag (no data-sized window); everything
+# after operates on <= 2k retained rows. The exact legs are the audit —
+# at 100 TB keep the sketches, drop the exact columns.
+# ---------------------------------------------------------------------------
+
+_SO_K = 64
+_SO_SALTS = 8
+_SO_A = "purchase"
+_SO_B = "click"
+
+_SETOPS_ORACLE = f"""
+WITH elems AS (
+  SELECT DISTINCT event_type AS tag, user_id,
+         date_diff('day', DATE '1970-01-01',
+                   cast(date_trunc('day', ts) as date)) AS dayno
+  FROM events WHERE event_type IN ('{_SO_A}', '{_SO_B}')
+), hashed AS (
+  SELECT tag, user_id, dayno,
+         {sql_md5_long(
+             "'kmvs:' || cast(user_id as varchar) || ':' || cast(dayno as varchar)"
+         )} / {_H_SPACE} AS u
+  FROM elems
+), ranked AS (
+  SELECT tag, user_id, dayno, u,
+         row_number() OVER (PARTITION BY tag ORDER BY u, user_id, dayno) AS rk
+  FROM hashed
+), sk AS (
+  SELECT tag, user_id, dayno, u FROM ranked WHERE rk <= {_SO_K}
+), per AS (
+  SELECT tag,
+         CASE WHEN count(*) < {_SO_K} THEN cast(count(*) as double)
+              ELSE floor(({_SO_K} - 1) / max(u)) END AS est
+  FROM sk GROUP BY tag
+), comb AS (
+  SELECT user_id, dayno, u,
+         max(CASE WHEN tag = '{_SO_A}' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN tag = '{_SO_B}' THEN 1 ELSE 0 END) AS in_b
+  FROM sk GROUP BY user_id, dayno, u
+), cranked AS (
+  SELECT in_a, in_b, u,
+         row_number() OVER (ORDER BY u, user_id, dayno) AS crk,
+         count(*) OVER () AS n_comb
+  FROM comb
+), usk AS (
+  SELECT count(*) AS kprime, max(u) AS kth_u,
+         sum(in_a * in_b) AS n_both, max(n_comb) AS n_comb
+  FROM cranked WHERE crk <= {_SO_K}
+), uest AS (
+  SELECT kprime, n_both,
+         CASE WHEN n_comb < {_SO_K} THEN cast(n_comb as double)
+              ELSE floor(({_SO_K} - 1) / kth_u) END AS union_d
+  FROM usk
+), iest AS (
+  SELECT union_d,
+         (cast(n_both as double) / cast(kprime as double)) * union_d AS int_d
+  FROM uest
+), ea AS (
+  SELECT count(*) AS c FROM elems WHERE tag = '{_SO_A}'
+), eb AS (
+  SELECT count(*) AS c FROM elems WHERE tag = '{_SO_B}'
+), ei AS (
+  SELECT count(*) AS c FROM (
+    SELECT user_id, dayno FROM elems WHERE tag = '{_SO_A}'
+    INTERSECT
+    SELECT user_id, dayno FROM elems WHERE tag = '{_SO_B}'
+  )
+), pa AS (SELECT est FROM per WHERE tag = '{_SO_A}'),
+pb AS (SELECT est FROM per WHERE tag = '{_SO_B}')
+SELECT
+  ea.c AS exact_a, cast(pa.est as bigint) AS kmv_a,
+  eb.c AS exact_b, cast(pb.est as bigint) AS kmv_b,
+  ea.c + eb.c - ei.c AS exact_union,
+  cast(iest.union_d as bigint) AS kmv_union,
+  ei.c AS exact_intersection,
+  cast(floor(iest.int_d) as bigint) AS kmv_intersection,
+  ea.c - ei.c AS exact_a_minus_b,
+  greatest(cast(pa.est as bigint) - cast(floor(iest.int_d) as bigint),
+           0) AS kmv_a_minus_b
+FROM ea, eb, ei, pa, pb, iest
+"""
+
+
+@register("q_events_kmv_setops", oracle=_SETOPS_ORACLE)
+def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV union/intersection/difference estimates over two activity-day
+    sets (purchase-days vs click-days), audited against exact counts.
+
+    Both engines retain the identical k-minimum hash sets, so every
+    estimate — (k−1)/u_(k) per set, the union of sketches, the match
+    fraction rho over the union's k-minimum set, and inclusion-exclusion
+    for the difference — is reproduced bit-for-bit."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(_SO_A, _SO_B)
+    )
+    # distinct at (tag, user, day) grain; 3 consumers (exact a/b counts,
+    # exact intersect) — materialize once (SCALING.md #6)
+    elems = (
+        ev.select(
+            F.col("event_type").alias("tag"),
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.to_date(F.lit("1970-01-01")),
+            ).alias("dayno"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hashed = elems.withColumn(
+        "u",
+        md5_long(
+            F.concat(
+                F.lit("kmvs:"),
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("dayno").cast("string"),
+            )
+        )
+        / F.lit(_H_SPACE),
+    )
+    # two-phase salted bottom-K per tag (no data-sized window partition)
+    w1 = Window.partitionBy(
+        "tag", F.pmod(F.col("user_id"), F.lit(_SO_SALTS))
+    ).orderBy(F.asc("u"), F.asc("user_id"), F.asc("dayno"))
+    cand = hashed.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= _SO_K
+    )
+    w2 = Window.partitionBy("tag").orderBy(
+        F.asc("u"), F.asc("user_id"), F.asc("dayno")
+    )
+    # <= 2k retained rows feed 3 consumers — materialize once
+    sk = (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _SO_K)
+        .select("tag", "user_id", "dayno", "u")
+        .localCheckpoint(eager=False)
+    )
+    est = F.when(
+        F.col("n_seen") < _SO_K, F.col("n_seen").cast("double")
+    ).otherwise(F.floor(F.lit(float(_SO_K - 1)) / F.col("kth")).cast("double"))
+    per_a = (
+        sk.where(F.col("tag") == _SO_A)
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("u").alias("kth"))
+        .select(est.alias("est_a"))
+    )
+    per_b = (
+        sk.where(F.col("tag") == _SO_B)
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("u").alias("kth"))
+        .select(est.alias("est_b"))
+    )
+    comb = sk.groupBy("user_id", "dayno", "u").agg(
+        F.max(F.when(F.col("tag") == _SO_A, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("tag") == _SO_B, 1).otherwise(0)).alias("in_b"),
+    )
+    # global window over <= 2k rows — bounded by the sketch size, never
+    # by the data (the corpus_zipf_fit bounded-relation rule)
+    wc = Window.orderBy(F.asc("u"), F.asc("user_id"), F.asc("dayno"))
+    cranked = comb.select(
+        "in_a",
+        "in_b",
+        "u",
+        F.row_number().over(wc).alias("crk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_comb"),
+    )
+    usk = cranked.where(F.col("crk") <= _SO_K).agg(
+        F.count(F.lit(1)).alias("kprime"),
+        F.max("u").alias("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.max("n_comb").alias("n_comb"),
+    )
+    uest = usk.select(
+        "kprime",
+        "n_both",
+        F.when(F.col("n_comb") < _SO_K, F.col("n_comb").cast("double"))
+        .otherwise(F.floor(F.lit(float(_SO_K - 1)) / F.col("kth_u")).cast("double"))
+        .alias("union_d"),
+    )
+    iest = uest.select(
+        "union_d",
+        (
+            (F.col("n_both").cast("double") / F.col("kprime").cast("double"))
+            * F.col("union_d")
+        ).alias("int_d"),
+    )
+    a_set = elems.where(F.col("tag") == _SO_A).select("user_id", "dayno")
+    b_set = elems.where(F.col("tag") == _SO_B).select("user_id", "dayno")
+    ea = a_set.agg(F.count(F.lit(1)).alias("exact_a"))
+    eb = b_set.agg(F.count(F.lit(1)).alias("exact_b"))
+    ei = a_set.intersect(b_set).agg(F.count(F.lit(1)).alias("exact_i"))
+    # all one-row relations: broadcast nested-loop scalar joins
+    out = (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(ei))
+        .crossJoin(F.broadcast(per_a))
+        .crossJoin(F.broadcast(per_b))
+        .crossJoin(F.broadcast(iest))
+    )
+    kmv_i = F.floor(F.col("int_d")).cast("bigint")
+    return out.select(
+        "exact_a",
+        F.col("est_a").cast("bigint").alias("kmv_a"),
+        "exact_b",
+        F.col("est_b").cast("bigint").alias("kmv_b"),
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_i")).alias(
+            "exact_union"
+        ),
+        F.col("union_d").cast("bigint").alias("kmv_union"),
+        F.col("exact_i").alias("exact_intersection"),
+        kmv_i.alias("kmv_intersection"),
+        (F.col("exact_a") - F.col("exact_i")).alias("exact_a_minus_b"),
+        F.greatest(
+            F.col("est_a").cast("bigint") - kmv_i, F.lit(0).cast("bigint")
+        ).alias("kmv_a_minus_b"),
+    )

@@ -12,6 +12,7 @@ ANALYTICS4 = [
     "q_events_hot_user_join",
     "q_events_range_join",
     "q_urgent_revenue_semi_reduce",
+    "q_part_skyline",
 ]
 
 
@@ -315,3 +316,57 @@ def test_semi_reduce_memo_cleared_by_stats_refresh(spark, sf_dir):
     assert sf_dir in a4._SEMI_STATS_MEMO.get(spark, {})
     stats_mod.refresh()  # the clear-all form
     assert not a4._SEMI_STATS_MEMO.get(spark, {})
+
+
+def test_skyline_matches_bruteforce_with_ties(spark, tmp_path):
+    """Dominance edge cases: duplicate (price, size) points are BOTH on the
+    skyline (dominance needs one strict coordinate), equal-price rows with
+    smaller size are dominated, and the prefix-max engine plan reproduces
+    the brute-force O(n^2) definition exactly."""
+    import os
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.analytics4 import (
+        q_part_skyline,
+    )
+
+    pts = [
+        # (key, price, size)
+        (1, 900.0, 10),   # skyline (cheapest, ties size with 2)
+        (2, 900.0, 10),   # duplicate of 1 -> also skyline
+        (3, 900.0, 5),    # equal price, smaller size -> dominated by 1
+        (4, 950.0, 20),   # skyline (bigger size than anything cheaper)
+        (5, 950.0, 20),   # duplicate of 4 -> also skyline
+        (6, 960.0, 20),   # dominated by 4 (cheaper, same size)
+        (7, 970.0, 19),   # dominated by 4 (cheaper AND bigger)
+        (8, 980.0, 50),   # skyline (max size overall)
+        (9, 999.0, 50),   # dominated by 8
+        (10, 899.0, 1),   # skyline (global cheapest)
+    ]
+    df = pd.DataFrame(
+        [
+            {
+                "p_partkey": k,
+                "p_name": f"part{k}",
+                "p_brand": "b",
+                "p_type": "t",
+                "p_size": s,
+                "p_retailprice": p,
+            }
+            for k, p, s in pts
+        ]
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.to_parquet(os.path.join(d, "part.parquet"), index=False)
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in pts
+        )
+
+    expect = {k for k, p, s in pts if not dominated((k, p, s))}
+    got = {r["p_partkey"] for r in q_part_skyline(spark, d).collect()}
+    assert got == expect == {1, 2, 4, 5, 8, 10}

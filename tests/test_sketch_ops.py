@@ -100,7 +100,11 @@ def test_quantile_sketch_sample_is_deterministic_bottom_k(spark, sf_dir):
 def test_sketch_ops_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
-    for name in ("q_events_kmv_distinct", "q_value_quantile_sketch"):
+    for name in (
+        "q_events_kmv_distinct",
+        "q_value_quantile_sketch",
+        "q_events_kmv_setops",
+    ):
         assert_parity(spark, name, sf_dir)
 
 
@@ -166,3 +170,98 @@ def test_cms_plan_shape(spark, sf_dir):
     assert "TakeOrdered" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# q_events_kmv_setops
+# ---------------------------------------------------------------------------
+
+def _so_u(user_id: int, dayno: int) -> float:
+    h = int(hashlib.md5(f"kmvs:{user_id}:{dayno}".encode()).hexdigest()[:15], 16)
+    return h / _H_SPACE
+
+
+def _py_setops(a_set, b_set, k=64):
+    """Beyer et al. KMV set-algebra reference."""
+    def est(s):
+        us = sorted(_so_u(*e) for e in s)
+        return float(len(us)) if len(us) < k else math.floor((k - 1) / us[k - 1])
+
+    sk_a = set(sorted(a_set, key=lambda e: (_so_u(*e), *e))[:k])
+    sk_b = set(sorted(b_set, key=lambda e: (_so_u(*e), *e))[:k])
+    comb = sorted(sk_a | sk_b, key=lambda e: (_so_u(*e), *e))
+    L = comb[:k]
+    kprime = len(L)
+    union_d = (
+        float(len(comb))
+        if len(comb) < k
+        else math.floor((k - 1) / _so_u(*L[-1]))
+    )
+    n_both = sum(1 for e in L if e in sk_a and e in sk_b)
+    int_d = (n_both / kprime) * union_d
+    return {
+        "kmv_a": int(est(a_set)),
+        "kmv_b": int(est(b_set)),
+        "kmv_union": int(union_d),
+        "kmv_intersection": int(math.floor(int_d)),
+    }
+
+
+def _day_sets(sf_dir):
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ev["dayno"] = (ev.ts.dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    mk = lambda t: set(
+        map(tuple, ev[ev.event_type == t][["user_id", "dayno"]].values.tolist())
+    )
+    return mk("purchase"), mk("click")
+
+
+def test_kmv_setops_matches_python_reference(spark, sf_dir):
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        q_events_kmv_setops,
+    )
+
+    row = q_events_kmv_setops(spark, sf_dir).collect()[0]
+    a_set, b_set = _day_sets(sf_dir)
+    ref = _py_setops(a_set, b_set)
+    assert row["exact_a"] == len(a_set)
+    assert row["exact_b"] == len(b_set)
+    assert row["exact_union"] == len(a_set | b_set)
+    assert row["exact_intersection"] == len(a_set & b_set)
+    assert row["exact_a_minus_b"] == len(a_set - b_set)
+    for c, v in ref.items():
+        assert row[c] == v, c
+    assert row["kmv_a_minus_b"] == max(ref["kmv_a"] - ref["kmv_intersection"], 0)
+
+
+def test_kmv_setops_small_sets_are_exact(spark, tmp_path):
+    # both sets under K distinct elements -> every estimate is exact
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        q_events_kmv_setops,
+    )
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    rows = []
+    for i in range(200):
+        # 20 purchase days (users 0-19 on day 0), 30 click days (users
+        # 10-39 on day 0): intersection 10, union 40
+        et = "purchase" if i % 2 == 0 else "click"
+        uid = (i // 2) % 20 if et == "purchase" else 10 + (i // 2) % 30
+        rows.append(
+            {
+                "event_id": i,
+                "ts": pd.Timestamp("2026-01-05 12:00:00"),
+                "user_id": uid,
+                "event_type": et,
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    row = q_events_kmv_setops(spark, d).collect()[0]
+    assert (row["exact_a"], row["exact_b"]) == (20, 30)
+    assert row["kmv_a"] == 20 and row["kmv_b"] == 30
+    assert row["kmv_union"] == row["exact_union"] == 40
+    assert row["kmv_intersection"] == row["exact_intersection"] == 10
+    assert row["kmv_a_minus_b"] == row["exact_a_minus_b"] == 10
