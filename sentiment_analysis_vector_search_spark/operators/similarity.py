@@ -368,7 +368,7 @@ def _with_sims_array(df: DataFrame, spark: SparkSession, vec: str, nrm: str) -> 
     ).drop("cmat", "cnorms")
 
 
-def _assigned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assigned_arrow(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
     """Corpus-side cell assignment, Arrow-vectorized: one dgemm per batch
     against the process-resident codebook instead of 16 interpreted
     higher-order-lambda dot products per row (the same treatment
@@ -382,9 +382,13 @@ def _assigned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnorms = np.array([float(s) for s in _C_NORMS], dtype=np.float64)
     bc = spark.sparkContext.broadcast((cmat, cnorms))
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = table(spark, sf_dir, "embeddings")
+    if where is not None:
+        # metadata pre-filter BELOW the assignment: Catalyst pushes it
+        # into the parquet scan (PushedFilters), so filtered search never
+        # decodes or assigns the excluded vectors (ann_ivf_filtered_topk)
+        emb = emb.where(where)
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     def assign(batches):
         import pyarrow as pa
@@ -892,3 +896,113 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cosine.alias("cosine"))
         .where(F.col("cosine") >= _RANGE_TAU)
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_filtered_topk — FILTERED vector search (the vector-DB
+# "metadata filter + top-k" problem): top-k cosine neighbors among only
+# the vectors whose metadata passes a predicate (label < _FILT_MAX
+# here), probed through the same seeded-IVF layout as ann_ivf_topk.
+#
+# The strategy is PRE-FILTER (filter-then-search): the predicate sits
+# BELOW the cell assignment, so Catalyst pushes it into the parquet
+# scan (plan-asserted PushedFilters) and the excluded vectors are never
+# decoded, assigned, or scored. That is the right default whenever the
+# filter is on a scan-pushable column; post-filtering (search-then-
+# filter) under-fills top-k when the filter is selective, and Spark's
+# columnar pushdown makes pre-filtering nearly free. The recall caveat
+# every filtered-ANN system documents applies: probing nprobe cells of
+# the FULL-corpus codebook can under-recall when the filtered subset is
+# concentrated in few cells — the recall-floor pytest pins the actual
+# behavior; raise nprobe with filter selectivity at scale.
+# ---------------------------------------------------------------------------
+
+_FILT_MAX = 5  # allowed subset: label < 5 (~half the corpus)
+
+_FILT_ORACLE = f"""
+WITH fvecs AS (
+  SELECT vec_id, cast(embedding as double[]) AS v,
+         sqrt(list_dot_product(cast(embedding as double[]),
+                               cast(embedding as double[]))) AS nrm
+  FROM embeddings WHERE label < {_FILT_MAX}
+),
+queries AS (
+  SELECT vec_id AS query_id, cast(embedding as double[]) AS qv,
+         sqrt(list_dot_product(cast(embedding as double[]),
+                               cast(embedding as double[]))) AS qnrm
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+vsims AS (
+  SELECT vec_id, v, nrm, {_sql_cell_sims('v', 'nrm')} FROM fvecs
+),
+assigned AS (
+  SELECT vec_id, v, nrm,
+         cast(list_position({_sql_cs_list}, list_max({_sql_cs_list})) as int) AS cell
+  FROM vsims
+),
+qsims AS (
+  SELECT query_id, qv, qnrm, {_sql_cell_sims('qv', 'qnrm')} FROM queries
+),
+qcells_long AS (
+  SELECT query_id, qv, qnrm,
+         unnest(range(1, {_N_CELLS} + 1)) AS cell,
+         unnest({_sql_cs_list}) AS sim
+  FROM qsims
+),
+probed AS (
+  SELECT query_id, qv, qnrm, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell) AS cell_rank
+    FROM qcells_long
+  ) WHERE cell_rank <= {_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.qv, p.qnrm, a.v, a.nrm
+  FROM probed p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, v) / (qnrm * nrm), 6) AS cosine
+  FROM cand
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_filtered_topk", oracle=_FILT_ORACLE)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered IVF top-k: neighbors drawn only from the
+    label-filtered subset, with the predicate pushed into the parquet
+    scan below the cell assignment (pre-filtering). Queries themselves
+    come from the unfiltered corpus. Oracle runs the identical
+    algorithm (same codebook, probes, tie-breaks)."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = _assigned_arrow(spark, sf_dir, where=F.col("label") < _FILT_MAX)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qsims = _with_sims_array(queries, spark, "qv", "qnrm")
+    probe = (
+        f"transform(slice(array_sort("
+        f"  transform(sequence(1, {_N_CELLS}), i -> struct(sims[i-1] AS sim, i AS cell)),"
+        f"  (a, b) -> CASE WHEN a.sim > b.sim THEN -1 WHEN a.sim < b.sim THEN 1"
+        f"            WHEN a.cell < b.cell THEN -1 ELSE 1 END"
+        f"), 1, {_NPROBE}), s -> s.cell)"
+    )
+    probed = qsims.select(
+        "query_id", "qv", "qnrm", F.explode(F.expr(probe)).alias("cell")
+    )
+    cand = F.broadcast(probed).join(assigned, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_DOT_VQ) / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _TOP_K)

@@ -8,6 +8,7 @@ SIMILARITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "rag_retrieve",
+    "ann_ivf_filtered_topk",
 ]
 
 
@@ -281,3 +282,50 @@ def test_compact_index_preserves_ivf_answers(spark, sf_dir, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_filtered_ann_pushdown_filter_and_recall(spark, sf_dir):
+    """ann_ivf_filtered_topk: (1) every hit satisfies the metadata
+    predicate, (2) the predicate is pushed into the parquet scan
+    (pre-filtering, not post-filtering), (3) mean recall@10 against the
+    FILTERED brute-force truth holds the same ~nprobe/ncells floor as
+    unfiltered IVF (measured means 0.36-0.44 across sf0.001/0.01/0.1)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _FILT_MAX,
+        ann_ivf_filtered_topk,
+    )
+    from sentiment_analysis_vector_search_spark.plans import plan_str
+
+    df = ann_ivf_filtered_topk(spark, sf_dir)
+    plan = plan_str(df)
+    # predicate reached the scan: PushedFilters mentions label
+    assert "PushedFilters" in plan
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("label" in l for l in scan_lines), scan_lines
+
+    rows = df.collect()
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lab = dict(zip(emb.vec_id, emb.label))
+    for r in rows:
+        assert lab[r.vec_id] < _FILT_MAX, (r.vec_id, lab[r.vec_id])
+
+    # mean recall vs filtered brute force
+    V = np.stack(emb.embedding.values).astype(np.float64)
+    ids = emb.vec_id.values
+    allowed = emb.label.values < _FILT_MAX
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    nrm = np.linalg.norm(V, axis=1)
+    for qi in np.where(ids < 5)[0]:
+        sims = (V @ V[qi]) / (nrm * nrm[qi])
+        ok = allowed & (ids != ids[qi])
+        top = [ids[j] for j in np.argsort(-sims) if ok[j]][:10]
+        recalls.append(len(set(top) & got.get(ids[qi], set())) / 10)
+    assert sum(recalls) / len(recalls) >= 0.25, recalls
