@@ -125,3 +125,101 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _T)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — ASYMMETRIC set containment (Broder's containment
+# coefficient): C(A→B) = |A∩B| / |A| over word-trigram shingle sets.
+# The Jaccard family misses the doc-inside-doc case — a short document
+# fully quoted inside a long one scores Jaccard ≈ |A|/|B| (tiny) but
+# containment C(A→B) = 1.0. This operator flags pairs where EITHER
+# direction's containment clears the threshold, reporting both
+# directions so the consumer can tell subset-duplicates (one side ~1.0)
+# from mutual near-dups (both high).
+#
+# Same candidate machinery as dedup_ngram_jaccard (shared materialized
+# shingle relation, boilerplate df-cap bounding the pair join at
+# C(cap, 2) per shingle). Denominators use the SURVIVING (non-
+# boilerplate) shingle counts — containment of the informative content;
+# a doc made entirely of capped boilerplate has no surviving shingles
+# and never pairs. The oracle runs the identical algorithm.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.3
+
+
+def _containment_oracle() -> str:
+    from .dedup import _DF_CAP, _SQL_SHINGLES_CTE
+
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+freq AS (
+  SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {_DF_CAP}
+), filtered AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN freq USING (sh)
+), fsz AS (
+  SELECT doc_id, count(*) AS fsz FROM filtered GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM filtered a JOIN filtered b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared * 1.0 / fa.fsz, 6) AS contain_a,
+       round(shared * 1.0 / fb.fsz, 6) AS contain_b
+FROM pairs
+JOIN fsz fa ON fa.doc_id = doc_a
+JOIN fsz fb ON fb.doc_id = doc_b
+WHERE greatest(round(shared * 1.0 / fa.fsz, 6),
+               round(shared * 1.0 / fb.fsz, 6)) >= {_CONTAIN_T}
+"""
+
+
+@register("dedup_containment", oracle=_containment_oracle())
+def dedup_containment(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    """Shingle-containment pairs: (doc_a, doc_b, shared, contain_a,
+    contain_b) where either direction's containment >= threshold —
+    catches subset-duplication (quotes, page-in-page, doc-inside-doc)
+    that symmetric Jaccard under-scores. ``sh`` accepts a pre-
+    materialized shingle_sets() frame (shared with jaccard/minhash
+    in a composed pipeline)."""
+    from .dedup import _DF_CAP, shingle_sets
+
+    if sh is None:
+        sh = shingle_sets(spark, sf_dir, materialize=True)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _DF_CAP
+    )
+    filtered = sh.join(freq.select("sh"), "sh").localCheckpoint(eager=False)
+    fsz = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("fsz"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    fa = fsz.withColumnsRenamed({"doc_id": "doc_a", "fsz": "fsz_a"})
+    fb = fsz.withColumnsRenamed({"doc_id": "doc_b", "fsz": "fsz_b"})
+    ca = F.round(F.col("shared") * F.lit(1.0) / F.col("fsz_a"), 6)
+    cb = F.round(F.col("shared") * F.lit(1.0) / F.col("fsz_b"), 6)
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            ca.alias("contain_a"),
+            cb.alias("contain_b"),
+        )
+        .where(
+            F.greatest(F.col("contain_a"), F.col("contain_b")) >= _CONTAIN_T
+        )
+    )

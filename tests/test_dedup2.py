@@ -75,3 +75,49 @@ def test_tiny_docs_produce_no_fingerprints(spark, tmp_path):
     short = " ".join(f"t{i}" for i in range(_K + _W - 2))  # one token short
     d = _mk(tmp_path, {1: short, 2: short})
     assert _pairs(spark, d) == {}
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_doc_inside_doc_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a long one: containment flags it
+    with contain_a = 1.0 while Jaccard (|A|/|B|) sits far below the
+    jaccard threshold — the case this operator exists for."""
+    from sentiment_analysis_vector_search_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from sentiment_analysis_vector_search_spark.operators.dedup2 import (
+        dedup_containment,
+    )
+
+    quote = " ".join(f"quoted{i}" for i in range(12))
+    filler = " ".join(f"filler{i}" for i in range(120))
+    texts = {
+        1: quote,                       # the short doc
+        2: filler + " " + quote,        # quotes doc 1 verbatim inside
+        3: " ".join(f"other{i}" for i in range(40)),  # unrelated
+    }
+    d = _mk(tmp_path, texts)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["contain_a"], r["contain_b"])
+        for r in dedup_containment(spark, d).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0          # every shingle of doc 1 is inside doc 2
+    assert cb < 0.5           # doc 2 is mostly other content
+    assert not any(3 in p for p in got)
+    # and Jaccard does NOT flag the pair at its threshold
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, d).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "dedup_containment", sf_dir)
