@@ -240,8 +240,8 @@ GRADED_WINDOW: list[str] = [
 # Staged r11 must-grades (late-r10 registrations past the 50-slot
 # freeze — same precedent as the late-r8/r9 tails): q_events_cms_freq,
 # bm25_rm3_expand, q_events_kmv_setops, q_part_skyline,
-# ann_ivf_filtered_topk, dedup_containment, plus any later r10
-# additions noted below.
+# ann_ivf_filtered_topk, dedup_containment, er_fuzzy_part_names,
+# plus any later r10 additions noted below.
 # The r11 window = these + the deferred sentiment_ops
 # 9 + rag_context_assemble cohort + the aging-r8 cohort trimmed to 50
 # by age.
@@ -282,6 +282,7 @@ def load_all_modules() -> None:
     from .operators import dedup2  # noqa: F401
     from .operators import sketch_ops  # noqa: F401
     from .operators import curation3  # noqa: F401
+    from .operators import er_ops  # noqa: F401
     from . import sources  # noqa: F401
 
     missing = [n for n in GRADED_WINDOW if n not in QUERIES]
