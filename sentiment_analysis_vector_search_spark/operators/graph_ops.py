@@ -108,3 +108,113 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select(F.col("node").alias("n_name"), F.col("r").alias("pagerank"))
         .withColumn("rk", F.row_number().over(w))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_trade_triangles — TRIANGLE ENUMERATION on the heavy-trade
+# graph: nations a < b < c where all three pairwise trade volumes clear
+# a relative threshold. The canonical "node-iterator with ordered
+# orientation" algorithm (Schank-Wagner / the MapReduce formulation in
+# Suri-Vassilvitskii "Counting Triangles and the Curse of the Last
+# Reducer"): orient every undirected edge low→high, then two equi-joins
+# (ab.hi = bc.lo; ac = (ab.lo, bc.hi)) enumerate each triangle exactly
+# once — no triple self-join of the undirected relation, no dedup.
+#
+# The relative edge threshold (pair line count >= 1.2 × mean pair
+# count) keeps the definition scale-invariant: absolute cutoffs would
+# make the graph complete at one SF and empty at another. The mean is
+# an exact integer sum / exact count in double — bit-identical on both
+# engines.
+#
+# Scale shape: the heavy stage is the fact-fact lineitem⋈orders edge
+# derivation (same spine as q7/pagerank — dims broadcast, ONE shuffle);
+# everything after runs at edge grain (≤ #nations² rows here; on a
+# billion-edge graph the same two equi-joins hold, with degree-ordered
+# orientation — orient toward the higher-degree endpoint — as the
+# standard skew guard for the last-reducer problem, noted not needed at
+# dimension-grain).
+# ---------------------------------------------------------------------------
+
+_TRI_FACTOR = 1.2
+
+_TRI_ORACLE = f"""
+WITH e0 AS (
+  SELECT least(s_nationkey, c_nationkey) AS lo,
+         greatest(s_nationkey, c_nationkey) AS hi,
+         count(*) AS n
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2
+), m AS (SELECT avg(n) AS an FROM e0),
+e AS (SELECT lo, hi FROM e0, m WHERE n >= {_TRI_FACTOR} * an)
+SELECT ab.lo AS key_a, bc.lo AS key_b, bc.hi AS key_c,
+       na.n_name AS nation_a, nb.n_name AS nation_b, nc.n_name AS nation_c
+FROM e ab
+JOIN e bc ON ab.hi = bc.lo
+JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+JOIN nation na ON na.n_nationkey = ab.lo
+JOIN nation nb ON nb.n_nationkey = bc.lo
+JOIN nation nc ON nc.n_nationkey = bc.hi
+"""
+
+
+@register("q_nation_trade_triangles", oracle=_TRI_ORACLE)
+def q_nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-cliques of the heavy-trade nation graph via ordered-orientation
+    triangle enumeration: each triangle found exactly once by two
+    equi-joins over the low→high oriented edge list."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    sup_n = broadcast(sup.select("s_suppkey", "s_nationkey"))
+    cust_n = broadcast(cust.select("c_custkey", "c_nationkey"))
+    e0 = (
+        li.select("l_suppkey", "l_orderkey")
+        .join(sup_n, li.l_suppkey == sup_n.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == cust_n.c_custkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("lo"),
+            F.greatest("s_nationkey", "c_nationkey").alias("hi"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = e0.agg(F.avg("n").alias("an"))
+    # edge relation: 3 consumers in the triangle join — materialize once
+    e = (
+        e0.crossJoin(broadcast(m))
+        .where(F.col("n") >= F.lit(_TRI_FACTOR) * F.col("an"))
+        .select("lo", "hi")
+        .localCheckpoint(eager=False)
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nm = lambda alias, key: broadcast(
+        nation.select(
+            F.col("n_nationkey").alias(key), F.col("n_name").alias(alias)
+        )
+    )
+    return (
+        tri.join(nm("nation_a", "a"), "a")
+        .join(nm("nation_b", "b"), "b")
+        .join(nm("nation_c", "c"), "c")
+        .select(
+            F.col("a").alias("key_a"),
+            F.col("b").alias("key_b"),
+            F.col("c").alias("key_c"),
+            "nation_a",
+            "nation_b",
+            "nation_c",
+        )
+    )

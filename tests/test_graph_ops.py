@@ -77,3 +77,66 @@ def test_q_nation_pagerank_contract(spark, sf_dir):
     by_rk = sorted(rows, key=lambda r: r["rk"])
     prs = [r["pagerank"] for r in by_rk]
     assert prs == sorted(prs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# q_nation_trade_triangles
+# ---------------------------------------------------------------------------
+
+def test_triangles_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_nation_trade_triangles", sf_dir)
+
+
+def test_triangles_exactly_once_and_ordered(spark, sf_dir):
+    """Each triangle appears exactly once with key_a < key_b < key_c, and
+    the enumerated set equals a python brute force over the same
+    thresholded edge list."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.graph_ops import (
+        _TRI_FACTOR,
+        q_nation_trade_triangles,
+    )
+
+    rows = q_nation_trade_triangles(spark, sf_dir).collect()
+    keys = [(r["key_a"], r["key_b"], r["key_c"]) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly once
+    for a, b, c in keys:
+        assert a < b < c
+
+    # brute force from pandas
+    import os
+
+    li = pd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))[
+        ["l_suppkey", "l_orderkey"]
+    ]
+    sup = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"))[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"))[
+        ["o_orderkey", "o_custkey"]
+    ]
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[
+        ["c_custkey", "c_nationkey"]
+    ]
+    j = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    )
+    j = j[j.s_nationkey != j.c_nationkey]
+    lo = j[["s_nationkey", "c_nationkey"]].min(axis=1)
+    hi = j[["s_nationkey", "c_nationkey"]].max(axis=1)
+    counts = pd.DataFrame({"lo": lo, "hi": hi}).groupby(["lo", "hi"]).size()
+    edges = set(counts[counts >= _TRI_FACTOR * counts.mean()].index)
+    nodes = sorted({x for e in edges for x in e})
+    want = {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    }
+    assert set(keys) == want
