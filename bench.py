@@ -209,6 +209,17 @@ HEADLINE = [
     "q_urgent_revenue_semi_reduce",
     "q_events_cms_freq",
     "bm25_rm3_expand",
+    # late-r10 additions: sketch set algebra / skyline / filtered ANN /
+    # containment dedup / blocked fuzzy ER / triangles / SCD2
+    "q_events_kmv_setops",
+    "q_part_skyline",
+    "ann_ivf_filtered_topk",
+    "dedup_containment",
+    "er_fuzzy_part_names",
+    "q_nation_trade_triangles",
+    "q_user_state_scd2",
+    "decontaminate_fuzzy",
+    "q_nation_segment_unpivot",
 ]
 
 

@@ -86,6 +86,15 @@ SCALE_QUERIES = {
     # winnowing fingerprints are df-capped before the self-join; the cap
     # is what keeps fingerprint-join volume linear — measure it
     "dedup_winnow": "doc",
+    # late-r10 additions:
+    # containment shares the jaccard family's df-capped shingle join —
+    # the cap bounding pair volume is the same claim, measured on the
+    # asymmetric variant
+    "dedup_containment": "doc",
+    # both SCD2 phases are (user, day)-chunked windows + day-grain
+    # merges; at 100x events the chunk device is what keeps every
+    # window partition day-bounded — measure the whole build
+    "q_user_state_scd2": "doc",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan

@@ -653,3 +653,37 @@ def q_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_churned"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_segment_unpivot — the inverse relational operator: UNPIVOT
+# (melt) the wide nation × segment revenue matrix back to long form via
+# the DataFrame.unpivot API (Spark's typed melt — one map-side expand,
+# no shuffle beyond the pivot's own aggregation). Wide→long is how a
+# pivoted report re-enters relational processing (joins, filters,
+# window functions all want long form); the pair of operators makes the
+# engine closed under both directions.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH w AS ({_PIVOT_ORACLE})
+{" UNION ALL ".join(
+    f"SELECT n_name, '{s.lower()}' AS segment, {s.lower()} AS revenue FROM w"
+    for s in _SEGMENTS
+)}
+"""
+
+
+@register("q_nation_segment_unpivot", oracle=_UNPIVOT_ORACLE)
+def q_nation_segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the pivoted nation × segment matrix to (n_name, segment,
+    revenue) long form with DataFrame.unpivot — zero-revenue cells kept
+    (the pivot coalesced them), so the long relation is dense:
+    |nations| × |segments| rows."""
+    wide = q_nation_segment_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["n_name"],
+        values=[s.lower() for s in _SEGMENTS],
+        variableColumnName="segment",
+        valueColumnName="revenue",
+    )

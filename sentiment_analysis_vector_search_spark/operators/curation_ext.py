@@ -529,3 +529,169 @@ def corpus_balance_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_fuzzy — MinHash-LSH decontamination, the third leg of
+# the decontam family: exact-substring (verbatim leakage) → n-gram
+# overlap (tokenized near-matches) → FUZZY set similarity (this —
+# paraphrased/reordered benchmark leakage where no 8-gram survives but
+# the shingle sets still overlap heavily). Same eval convention as the
+# other two (doc_id < _EVAL_DOCS is the held-out benchmark stand-in).
+#
+# Scale shape — asymmetric LSH join, NOT the dedup self-join: corpus
+# signatures band into buckets once, the ≤_EVAL_DOCS eval bands are a
+# broadcast probe, so candidates cost one broadcast-hash-join over the
+# banded corpus (no corpus×corpus pairing anywhere). Verification
+# semi-joins the shingle relation down to candidate docs + eval docs
+# before the jaccard join — the dedup_minhash_lsh discipline pointed
+# at a benchmark. The oracle runs the identical algorithm (same seeded
+# hash family as dedup.py, so signatures agree engine-to-engine).
+# ---------------------------------------------------------------------------
+
+_FUZZY_T = 0.5  # jaccard threshold for "contaminated"
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup import (
+        _SQL_SHINGLES_CTE,
+        _sql_band_selects,
+        _sql_minhash_aggs,
+    )
+
+    return f"""
+WITH {_SQL_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {_sql_minhash_aggs()}
+  FROM shingles GROUP BY doc_id
+), allbands AS (
+  {_sql_band_selects()}
+), ebands AS (
+  SELECT doc_id AS eval_id, band, bh FROM allbands WHERE doc_id < {_EVAL_DOCS}
+), cbands AS (
+  SELECT doc_id, band, bh FROM allbands WHERE doc_id >= {_EVAL_DOCS}
+), cand AS (
+  SELECT DISTINCT c.doc_id, e.eval_id
+  FROM cbands c JOIN ebands e ON c.band = e.band AND c.bh = e.bh
+), ver AS (
+  SELECT c.doc_id, c.eval_id, count(*) AS shared
+  FROM cand c
+  JOIN shingles sc ON sc.doc_id = c.doc_id
+  JOIN shingles se ON se.doc_id = c.eval_id AND se.sh = sc.sh
+  GROUP BY 1, 2
+), scored AS (
+  SELECT v.doc_id,
+         round(v.shared * 1.0 / (sc.sz + se.sz - v.shared), 6) AS j
+  FROM ver v
+  JOIN sizes sc ON sc.doc_id = v.doc_id
+  JOIN sizes se ON se.doc_id = v.eval_id
+), best AS (
+  SELECT doc_id, count(*) AS n_candidates, max(j) AS max_jaccard
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       cast(coalesce(b.n_candidates, 0) as bigint) AS n_candidates,
+       coalesce(b.max_jaccard, 0.0) AS max_jaccard,
+       coalesce(b.max_jaccard, 0.0) >= {_FUZZY_T} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_EVAL_DOCS}) d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+"""
+
+
+@register("decontaminate_fuzzy", oracle=_fuzzy_oracle())
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus docs whose shingle-set
+    jaccard against any eval doc clears the threshold, found by an
+    asymmetric MinHash-LSH probe (broadcast eval bands against banded
+    corpus signatures) and verified exactly on candidates only."""
+    from ..functions.hashing import MOD31
+    from .dedup import _MH_PARAMS, _N_BANDS, _ROWS_PER_BAND, shingle_sets
+
+    sh = shingle_sets(spark, sf_dir, materialize=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    base = md5_int31(F.col("sh"))
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MH_PARAMS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
+                            for r in range(_ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    ebands = bands.where(F.col("doc_id") < _EVAL_DOCS).withColumnsRenamed(
+        {"doc_id": "eval_id"}
+    )
+    cbands = bands.where(F.col("doc_id") >= _EVAL_DOCS)
+    cand = (
+        cbands.join(F.broadcast(ebands), ["band", "bh"])
+        .select("doc_id", "eval_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # shingles of candidate corpus docs + ALL eval shingles (eval is
+    # broadcast-sized by definition)
+    cand_ids = cand.select("doc_id").distinct()
+    sh_c = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh_e = sh.where(F.col("doc_id") < _EVAL_DOCS).withColumnsRenamed(
+        {"doc_id": "eval_id"}
+    )
+    ver = (
+        cand.join(sh_c, "doc_id")
+        .join(sh_e, ["eval_id", "sh"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sc = sizes.withColumnsRenamed({"sz": "sz_c"})
+    se = sizes.withColumnsRenamed({"doc_id": "eval_id", "sz": "sz_e"})
+    j = F.round(
+        F.col("shared")
+        * F.lit(1.0)
+        / (F.col("sz_c") + F.col("sz_e") - F.col("shared")),
+        6,
+    )
+    best = (
+        ver.join(sc, "doc_id")
+        .join(F.broadcast(se), "eval_id")
+        .select("doc_id", j.alias("j"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("j").alias("max_jaccard"),
+        )
+    )
+    corpus = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") >= _EVAL_DOCS
+    )
+    return (
+        corpus.select("doc_id")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("max_jaccard", F.lit(0.0)) >= _FUZZY_T).alias(
+                "contaminated"
+            ),
+        )
+    )

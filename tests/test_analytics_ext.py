@@ -55,6 +55,25 @@ def test_analytics_ext4_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
 
 
-@pytest.mark.parametrize("name", ["q_nation_segment_pivot", "q_churned_buyers"])
+@pytest.mark.parametrize(
+    "name",
+    ["q_nation_segment_pivot", "q_churned_buyers", "q_nation_segment_unpivot"],
+)
 def test_analytics_ext5_parity(spark, sf_dir, name):
     assert_parity(spark, name, sf_dir)
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    """The long form must hold exactly the wide matrix's cells: dense
+    |nations| x |segments| rows whose values match the wide columns."""
+    from sentiment_analysis_vector_search_spark.operators.analytics_ext import (
+        _SEGMENTS,
+        q_nation_segment_pivot,
+        q_nation_segment_unpivot,
+    )
+
+    wide = {r["n_name"]: r for r in q_nation_segment_pivot(spark, sf_dir).collect()}
+    long = q_nation_segment_unpivot(spark, sf_dir).collect()
+    assert len(long) == len(wide) * len(_SEGMENTS)
+    for r in long:
+        assert r["revenue"] == wide[r["n_name"]][r["segment"]]

@@ -211,3 +211,49 @@ def test_stream_quality_gate_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "stream_quality_gate", sf_dir)
+
+
+def test_decontaminate_fuzzy_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "decontaminate_fuzzy", sf_dir)
+
+
+def test_decontaminate_fuzzy_catches_paraphrased_leak(spark, tmp_path):
+    """A corpus doc sharing most (but not a verbatim run of) an eval
+    doc's shingles is flagged; an unrelated doc is not; eval docs are
+    excluded from the output."""
+    import os
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.curation_ext import (
+        _EVAL_DOCS,
+        decontaminate_fuzzy,
+    )
+
+    eval_words = [f"bench{i}" for i in range(40)]
+    # leaked: the same word stream with one word swapped mid-way — high
+    # shingle jaccard, but no long verbatim run at the swap point
+    leaked = eval_words[:20] + ["SWAP"] + eval_words[21:]
+    texts = {0: " ".join(eval_words)}
+    for i in range(1, _EVAL_DOCS):
+        texts[i] = f"pad{i} " * 30  # other eval docs, unrelated
+    texts[_EVAL_DOCS + 1] = " ".join(leaked)
+    texts[_EVAL_DOCS + 2] = " ".join(f"clean{i}" for i in range(40))
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    pd.DataFrame(
+        [
+            {"doc_id": k, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)}
+            for k, t in texts.items()
+        ]
+    ).to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    got = {r["doc_id"]: r for r in decontaminate_fuzzy(spark, d).collect()}
+    assert all(k >= _EVAL_DOCS for k in got)
+    assert got[_EVAL_DOCS + 1]["contaminated"]
+    assert got[_EVAL_DOCS + 1]["max_jaccard"] > 0.8
+    assert not got[_EVAL_DOCS + 2]["contaminated"]
+    assert got[_EVAL_DOCS + 2]["n_candidates"] == 0
