@@ -72,6 +72,16 @@ SHOW = [
     ("q_urgent_revenue_semi_reduce", "KMV-chosen broadcast LeftSemi pre-filter; priority pushed to both orders scans"),
     ("q_events_cms_freq", "map-side-combinable dxw sketch (2,048 rows); broadcast point probes"),
     ("bm25_rm3_expand", "checkpointed tf/dl reused across both passes; <=8-word expanded vocab broadcast"),
+    # late-r10 additions
+    ("q_events_kmv_setops", "two-phase salted bottom-K per set; all estimate math on <=2k retained rows"),
+    ("q_part_skyline", "price-grain prefix maxima (bucket + within-bucket windows); no self-join"),
+    ("ann_ivf_filtered_topk", "label predicate pushed to parquet scan BELOW the cell assignment"),
+    ("dedup_containment", "df-capped shingle pair join; surviving-shingle size joins"),
+    ("er_fuzzy_part_names", "distinct-name grain; block-keyed equi-join; in-block Levenshtein only"),
+    ("q_nation_trade_triangles", "Q7 fact spine once; oriented edge relation checkpointed; two edge-grain equi-joins"),
+    ("q_user_state_scd2", "(user, day)-chunked lag + lead windows; day-grain boundary merges"),
+    ("decontaminate_fuzzy", "asymmetric LSH: broadcast eval bands; candidate-only jaccard verify"),
+    ("q_nation_segment_unpivot", "single-pass pivot then map-side Expand melt; no extra Exchange"),
 ]
 
 
