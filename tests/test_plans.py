@@ -400,3 +400,51 @@ def test_every_registered_query_plan_is_lint_clean(spark, sf_dir):
         if v:
             bad[name] = v
     assert not bad, bad
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """q_part_skyline's whole claim: dominance via prefix maxima, never
+    the O(n^2) NOT EXISTS self-join — the part scan feeds the price
+    grain and the final row filter, but no join pairs part rows with
+    part rows; and both window phases exist (bucket prefix + in-bucket
+    strict prefix)."""
+    df = QUERIES["q_part_skyline"](spark, sf_dir)
+    plan = plan_str(df)
+    # the only joins are the bucket-prefix broadcast and the price-grain
+    # attach: neither is a part-x-part pairing, so no join output can
+    # exceed |part| rows. Cheap proxy: no SortMergeJoin keyed on p_size
+    # (a dominance self-join would need the size in its condition).
+    for seg in plan.split("SortMergeJoin")[1:]:
+        assert "p_size" not in seg[:120], plan
+    assert plan.count("Window") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_are_chunk_partitioned(spark, sf_dir):
+    """Every event-grain window in the SCD2 build must be partitioned by
+    (user, chunk) — a bare user_id-partitioned window over events would
+    re-concentrate a hot user's history in one task."""
+    df = QUERIES["q_user_state_scd2"](spark, sf_dir)
+    plan = plan_str(df)
+    specs = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert specs, plan
+    for line in specs:
+        low = line.lower()
+        # day-grain merge windows order by chunk; event/change-grain
+        # windows must carry chunk in the partition spec
+        assert "chunk" in low, line
+
+
+def test_triangles_edge_relation_reused_not_rederived(spark, sf_dir):
+    """The oriented edge list is lineage-cut once; the triangle stage
+    must read the materialized edges (ExistingRDD) three times instead
+    of re-running the fact-fact derivation per side."""
+    df = QUERIES["q_nation_trade_triangles"](spark, sf_dir)
+    plan = plan_str(df)
+    assert plan.lower().count("existingrdd") >= 3, plan
+    # the fact-fact derivation must not appear in the final plan at all
+    # (it ran once at checkpoint time)
+    assert "l_orderkey" not in plan, plan
+    assert "CartesianProduct" not in plan
