@@ -265,6 +265,10 @@ _GC_SETTLE = {
     "q19_disjunctive_filter",
     # r10 local artifact: first-rep 0.59 vs 0.25 floor, same class
     "q_value_percentiles",
+    # late-r10 local artifact: one mid-run rep spike [.58,.55,1.40,.54,
+    # .44] — median unharmed via the fleet backstop's extra reps; the
+    # settle + 5-rep floor shrinks the odds of the spike carrying
+    "q5_local_supplier",
 }
 _GC_SETTLE_MIN_REPS = 5
 

@@ -64,7 +64,13 @@ def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, state, valid_from, valid_to, is_current), consecutive
     duplicates collapsed, last run open-ended. Chunk-split windows
     throughout — see module doc."""
-    ev = table(spark, sf_dir, "events")
+    return scd2_from_events(table(spark, sf_dir, "events"))
+
+
+def scd2_from_events(ev: DataFrame) -> DataFrame:
+    """The SCD2 build as a relation transform — shared by the graded
+    query (whole table) and ``streaming.file_sink.stream_scd2_maintenance``
+    (per micro-batch, merged against the persisted dimension)."""
     chunked = ev.withColumn("chunk", F.date_trunc("day", "ts"))
     order_key = F.struct("ts", "event_id")
 

@@ -81,3 +81,98 @@ def test_scd2_invariants_on_corpus(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"], (u, a, b)
             assert a["state"] != b["state"], (u, a, b)
+
+
+def _write_single(df, tmp_path, tag, dst_dir, name):
+    import os
+    import shutil
+
+    stage = str(tmp_path / f"_stage_{tag}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copy(os.path.join(stage, part), os.path.join(dst_dir, name))
+
+
+def _scd_table(spark, scd_dir):
+    return {
+        (r["user_id"], r["state"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(scd_dir)
+        .select("user_id", "state", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+
+
+def test_stream_scd2_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
+    """Event batches applied through stream_scd2_maintenance must produce
+    a dimension identical to the one-shot build over everything ingested
+    (in-order contract); a re-drain is a no-op; a fresh-checkpoint replay
+    of already-applied batches is skipped by the per-bucket batch-id
+    record; and a later batch catches the table up to a full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import (
+        normalize_event_ts,
+        read_events_raw,
+    )
+    from sentiment_analysis_vector_search_spark.operators.scd import (
+        scd2_from_events,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_scd2_maintenance,
+    )
+
+    ev = normalize_event_ts(read_events_raw(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    qs = ev.select(
+        F.expr("percentile(cast(ts as double), 0.4)").alias("a"),
+        F.expr("percentile(cast(ts as double), 0.8)").alias("b"),
+    ).collect()[0]
+    c1 = F.col("ts").cast("double")
+    src = str(tmp_path / "src")
+    _write_single(ev.where(c1 <= qs["a"]), tmp_path, "a", src, "events_a.parquet")
+    _write_single(
+        ev.where((c1 > qs["a"]) & (c1 <= qs["b"])),
+        tmp_path, "b", src, "events_b.parquet",
+    )
+
+    scd_dir = str(tmp_path / "scd")
+    ckpt = str(tmp_path / "ckpt")
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)
+
+    want_2 = {
+        (r["user_id"], r["state"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in scd2_from_events(ev.where(c1 <= qs["b"])).collect()
+    }
+    assert _scd_table(spark, scd_dir) == want_2
+
+    # re-drain: no new files -> unchanged
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)
+    assert _scd_table(spark, scd_dir) == want_2
+
+    # fresh-checkpoint replay: the checkpointed offsets are gone, the
+    # same files re-deliver as the same batch ids — the per-bucket
+    # _applied.json record must skip them all
+    stream_scd2_maintenance(spark, src, scd_dir, str(tmp_path / "ckpt2"))
+    assert _scd_table(spark, scd_dir) == want_2
+
+    # third batch catches up to the full one-shot build
+    _write_single(ev.where(c1 > qs["b"]), tmp_path, "c", src, "events_c.parquet")
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)
+    want_all = {
+        (r["user_id"], r["state"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in scd2_from_events(ev).collect()
+    }
+    assert _scd_table(spark, scd_dir) == want_all
+    # per-bucket records exist
+    assert any(
+        os.path.exists(os.path.join(scd_dir, d, "_applied.json"))
+        for d in os.listdir(scd_dir)
+        if d.startswith("bucket=")
+    )
