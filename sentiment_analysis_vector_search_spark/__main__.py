@@ -177,6 +177,22 @@ def main(argv: list[str] | None = None) -> int:
         "stable id from the resolved batch path (the hotkeys rule)",
     )
 
+    p_scd = sub.add_parser(
+        "scd2",
+        help="SCD type-2 dimension: build (one-shot from an events dir) "
+        "/ apply (drain a batch-file stream into the dimension)",
+    )
+    p_scd.add_argument("scd_cmd", choices=("build", "apply"))
+    p_scd.add_argument("scd_dir", help="dimension table directory")
+    p_scd.add_argument(
+        "--events",
+        required=True,
+        help="build: sf_dir holding events.parquet; apply: the batch-file "
+        "source directory (events*.parquet)",
+    )
+    p_scd.add_argument("--checkpoint", help="apply: stream checkpoint dir")
+    p_scd.add_argument("--buckets", type=int, default=8)
+
     p_roll = sub.add_parser(
         "rollup", help="materialized rollup: build / answer / add"
     )
@@ -472,6 +488,58 @@ def main(argv: list[str] | None = None) -> int:
                     "estimates": {k: cms_estimate(counters, k) for k in keys},
                 },
                 indent=1,
+            )
+        )
+        return 0
+
+    if args.cmd == "scd2":
+        import json
+
+        from .session import get_spark
+
+        spark = get_spark("cli-scd2")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.scd_cmd == "build":
+            from pyspark.sql import functions as F
+
+            from .catalog import table as _table
+            from .operators.scd import scd2_from_events
+
+            dim = scd2_from_events(_table(spark, args.events, "events"))
+            dim = dim.withColumn(
+                "bucket",
+                F.pmod(F.col("user_id"), F.lit(args.buckets)).cast("int"),
+            )
+            (
+                dim.repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(args.scd_dir)
+            )
+        else:
+            if not args.checkpoint:
+                p.error("scd2 apply requires --checkpoint")
+            from .streaming.file_sink import stream_scd2_maintenance
+
+            stream_scd2_maintenance(
+                spark, args.events, args.scd_dir, args.checkpoint,
+                n_buckets=args.buckets,
+            )
+        dim = spark.read.parquet(args.scd_dir)
+        from pyspark.sql import functions as F
+
+        row = dim.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum("is_current").alias("open_rows"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "rows": row["rows"],
+                    "users": row["users"],
+                    "open_rows": int(row["open_rows"]),
+                }
             )
         )
         return 0

@@ -176,3 +176,60 @@ def test_stream_scd2_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
         for d in os.listdir(scd_dir)
         if d.startswith("bucket=")
     )
+
+
+def test_cli_scd2_build_and_apply(spark, sf_dir, tmp_path, capsys):
+    """CLI: one-shot build, then a streamed apply of a later batch file
+    on top of the built dimension — the summary line reflects the merge
+    and the table equals the full rebuild."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.catalog import (
+        normalize_event_ts,
+        read_events_raw,
+    )
+    from sentiment_analysis_vector_search_spark.operators.scd import (
+        scd2_from_events,
+    )
+
+    ev = normalize_event_ts(read_events_raw(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    cut = ev.select(
+        F.expr("percentile(cast(ts as double), 0.6)").alias("c")
+    ).collect()[0]["c"]
+    c = F.col("ts").cast("double")
+
+    # build from the first 60% staged as its own sf-dir
+    early_dir = str(tmp_path / "early")
+    _write_single(ev.where(c <= cut), tmp_path, "e", early_dir, "events.parquet")
+    scd_dir = str(tmp_path / "scd")
+    rc = main(["scd2", "build", scd_dir, "--events", early_dir])
+    assert rc == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["open_rows"] == built["users"]
+
+    # apply the tail as a streamed batch
+    src = str(tmp_path / "src")
+    _write_single(ev.where(c > cut), tmp_path, "t", src, "events_t.parquet")
+    rc = main(
+        [
+            "scd2", "apply", scd_dir,
+            "--events", src,
+            "--checkpoint", str(tmp_path / "ck"),
+        ]
+    )
+    assert rc == 0
+    applied = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert applied["rows"] >= built["rows"]
+
+    got = _scd_table(spark, scd_dir)
+    want = {
+        (r["user_id"], r["state"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in scd2_from_events(ev).collect()
+    }
+    assert got == want
