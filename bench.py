@@ -220,6 +220,7 @@ HEADLINE = [
     "q_user_state_scd2",
     "decontaminate_fuzzy",
     "q_nation_segment_unpivot",
+    "dq_table_checksum",
 ]
 
 

@@ -95,6 +95,10 @@ SCALE_QUERIES = {
     # merges; at 100x events the chunk device is what keeps every
     # window partition day-bounded — measure the whole build
     "q_user_state_scd2": "doc",
+    # the asymmetric LSH probe's claim: candidate cost follows the
+    # (fixed-size) eval set's collisions, so 100x corpus should track
+    # the banding scan, not pair volume
+    "decontaminate_fuzzy": "doc",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan

@@ -210,3 +210,73 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (checks_l, checks_rc, checks_ro, checks_d):
         out = out.unionByName(part)
     return out.select("c.*")
+
+
+# ---------------------------------------------------------------------------
+# dq_table_checksum — order-insensitive, partitioning-insensitive table
+# checksum: the migration-validation primitive (exactly what a user
+# switching engines runs on both sides to prove the tables carry the
+# same rows). Each row canonicalizes to a separator-joined string of
+# its columns, hashes through the engine-portable md5_long, and the
+# digest is the modular SUM of row hashes — commutative, so ANY
+# partitioning/ordering/retry produces the identical value, and
+# mergeable (shard checksums add mod 2^60).
+#
+# Scale shape: one scan, one partial-agg-combinable sum — the cheapest
+# possible full-table pass. The sum rides decimal(38,0) (60-bit row
+# hashes overflow int64 after ~16 rows; decimal38 holds to ~1e20 rows)
+# and reduces mod 2^60 at the end. Only exactly-castable column types
+# join the canonical string (bigint/string here); doubles would need a
+# canonical formatting contract first.
+# ---------------------------------------------------------------------------
+
+_CHK_MOD = 1 << 60
+_CHK_SEP = "\x1f"
+
+
+def _chk_oracle() -> str:
+    from ..functions.hashing import sql_md5_long
+
+    canon = (
+        "concat_ws(chr(31), cast(doc_id as varchar), coalesce(text, ''), "
+        "coalesce(lang, chr(30)), coalesce(source, chr(30)), "
+        "cast(n_chars as varchar))"
+    )
+    return f"""
+SELECT 'documents' AS table_name,
+       count(*) AS n_rows,
+       cast(sum({sql_md5_long(f"'chk:' || {canon}")}) % {_CHK_MOD} as bigint)
+         AS checksum
+FROM documents
+"""
+
+
+@register("dq_table_checksum", oracle=_chk_oracle())
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-insensitive documents-table checksum: modular
+    sum of per-row md5 digests over a canonical column encoding — equal
+    across engines iff the tables hold identical row multisets."""
+    from ..functions.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    canon = F.concat_ws(
+        _CHK_SEP,
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("\x1e")),
+        F.coalesce(F.col("source"), F.lit("\x1e")),
+        F.col("n_chars").cast("string"),
+    )
+    digest = md5_long(F.concat(F.lit("chk:"), canon))
+    return (
+        docs.select(digest.alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"cast(sum(cast(d as decimal(38,0))) % {_CHK_MOD} as bigint)"
+            ).alias("checksum"),
+        )
+        .select(
+            F.lit("documents").alias("table_name"), "n_rows", "checksum"
+        )
+    )
