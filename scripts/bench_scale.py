@@ -142,7 +142,15 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # ann_pq_adc_topk 17.2s in-suite vs 5.0s isolated at the same HEAD,
     # a 2.4x pure artifact that polluted max_linear_ratio): run twice,
     # keep the min. Bounded extra cost; heavies stay single-run.
-    best_of_2 = {"ann_lsh_topk", "ann_pq_adc_topk"}
+    best_of_2 = {
+        "ann_lsh_topk",
+        "ann_pq_adc_topk",
+        # late-r10: in-suite 39.9s behind the grown doc block vs 22.5s
+        # isolated fresh-JVM at the same HEAD (ratio 1.17 vs 0.66) — the
+        # same neighbor-churn artifact class; its scale run is cheap
+        # enough for the second rep
+        "text_repetition_score",
+    }
     for name in SCALE_QUERIES:
         if time.perf_counter() - started > budget:
             skipped.append(name)
