@@ -221,6 +221,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "q_nation_segment_unpivot",
     "dq_table_checksum",
+    "q_orders_grouping_sets",
 ]
 
 

@@ -526,3 +526,81 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_orders_grouping_sets — ARBITRARY grouping sets (the general form
+# behind ROLLUP/CUBE, already covered by q_revenue_rollup/q_cube_revenue):
+# revenue by ((segment), (priority), (segment, year)) — three report
+# grains in ONE pass, the shape BI layers ask for when the lattice is
+# not a prefix chain. Same base-groups-first device as q_cube_revenue:
+# aggregate to the (segment, priority, year) grain first, then Expand
+# over ~|segments × priorities × years| aggregated rows instead of
+# replicating every fact row once per set; decimal partials re-combine
+# exactly, so the result is value-identical to the oracle's raw
+# GROUPING SETS.
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(cast(date_part('year', o_orderdate) as int), -1)
+         AS order_year,
+       {sql_dsum('o_totalprice', 'revenue')},
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS (
+  (c_mktsegment),
+  (o_orderpriority),
+  (c_mktsegment, date_part('year', o_orderdate))
+)
+"""
+
+
+@register("q_orders_grouping_sets", oracle=_GSETS_ORACLE)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three report grains via DataFrame.groupingSets over the
+    pre-aggregated base relation (no fact-row Expand). NULL grouping
+    slots coalesce to 'ALL' / -1 — unambiguous because the columns are
+    non-null by schema."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+        .groupBy("c_mktsegment", "o_orderpriority", "o_year")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        base.groupingSets(
+            [
+                [F.col("c_mktsegment")],
+                [F.col("o_orderpriority")],
+                [F.col("c_mktsegment"), F.col("o_year")],
+            ],
+            F.col("c_mktsegment"),
+            F.col("o_orderpriority"),
+            F.col("o_year"),
+        )
+        .agg(
+            F.sum("rev_d").cast("double").alias("revenue"),
+            F.sum("n").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )

@@ -242,8 +242,8 @@ GRADED_WINDOW: list[str] = [
 # bm25_rm3_expand, q_events_kmv_setops, q_part_skyline,
 # ann_ivf_filtered_topk, dedup_containment, er_fuzzy_part_names,
 # q_nation_trade_triangles, q_user_state_scd2, decontaminate_fuzzy,
-# q_nation_segment_unpivot, dq_table_checksum, plus any later r10
-# additions noted below.
+# q_nation_segment_unpivot, dq_table_checksum, q_orders_grouping_sets,
+# plus any later r10 additions noted below.
 # The r11 window = these + the deferred sentiment_ops
 # 9 + rag_context_assemble cohort + the aging-r8 cohort trimmed to 50
 # by age.

@@ -12,6 +12,7 @@ TPCH2 = [
     "q20_part_promotion",
     "q21_waiting_suppliers",
     "q_cube_revenue",
+    "q_orders_grouping_sets",
 ]
 
 
@@ -56,3 +57,29 @@ def test_q15_returns_global_max(spark, sf_dir):
     df = entrymod.queries()["q15_top_supplier"](spark, sf_dir).toPandas()
     assert len(df) >= 1
     assert df["total_revenue"].nunique() == 1
+
+
+def test_grouping_sets_grains_are_consistent(spark, sf_dir):
+    """The three grains must internally reconcile: segment totals equal
+    the sum of that segment's per-year rows, and the priority grain's
+    total row count equals the distinct priorities."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q_orders_grouping_sets"](spark, sf_dir).collect()
+    seg_total = {
+        r["segment"]: (r["revenue"], r["n_orders"])
+        for r in rows
+        if r["priority"] == "ALL" and r["order_year"] == -1
+    }
+    seg_year = {}
+    for r in rows:
+        if r["priority"] == "ALL" and r["order_year"] != -1:
+            a, b = seg_year.get(r["segment"], (0.0, 0))
+            seg_year[r["segment"]] = (a + r["revenue"], b + r["n_orders"])
+    assert set(seg_total) == set(seg_year)
+    for s_, (rev, n) in seg_total.items():
+        assert abs(seg_year[s_][0] - rev) < 1e-6 * max(abs(rev), 1.0)
+        assert seg_year[s_][1] == n
+    prio_rows = [r for r in rows if r["segment"] == "ALL"]
+    assert all(r["order_year"] == -1 for r in prio_rows)
+    assert len(prio_rows) == len({r["priority"] for r in prio_rows})
