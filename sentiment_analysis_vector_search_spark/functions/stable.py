@@ -33,6 +33,85 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,10)"
 
+# ---------------------------------------------------------------------------
+# stable_ln — engine-invariant natural log (r10 verdict #1).
+#
+# Engine-native ln is NOT correctly rounded: Spark's F.log is Java
+# Math.log (<=1 ulp), DuckDB's ln() is the host libm — they can disagree
+# in the last ulp, and a last-ulp disagreement at a 6-dp rounding
+# boundary (or a rank tie) flips a hashed cell on hosts whose libm/JIT
+# differ. That is exactly how sample_weighted failed the r10 driver
+# grade while hash-matching in two other environments.
+#
+# The fix: compute ln ourselves from operations that ARE correctly
+# rounded by IEEE 754 (+ - * / on doubles) plus EXACT integer steps, as
+# one fixed expression DAG emitted to both engines. Identical inputs
+# through identical correctly-rounded operations give bit-identical
+# doubles on every engine and host — engine-invariance by construction,
+# at any data scale.
+#
+#   ln(a / 2^d), integer 1 <= a < 2^52:
+#     e  = bitlen(a) - 1          (length(bin(a)) - 1 — exact, both engines)
+#     p  = 1 << e                 (exact bigint)
+#     z  = (a - p) / (a + p)      (exact ints -> one rounded divide; |z| < 1/3)
+#     atanh series, Horner over z^2 with literal coefficients 1/(2j+1):
+#     s  = c19; s = s*z2 + c18; ...; s = s*z2 + 1
+#     ln = (e - d)*LN2 + (2*z)*s
+#
+# 20 terms put the truncation error (~(1/9)^20) far below double
+# roundoff; accuracy is within ~2 ulp of true ln (pytest-pinned against
+# decimal.Decimal.ln at 50 digits), and bit-identical Spark vs DuckDB vs
+# the pure-Python reference (pytest, 5k+ values). The emitted text uses
+# only syntax both engines parse (bin, length, <<, casts, arithmetic),
+# so ONE generated string serves Spark (via F.expr / spark.sql) and the
+# DuckDB oracle. Keep the argument a SIMPLE column reference or short
+# integer expression — stage complex arguments into a named column
+# first, the text inlines the argument many times.
+# ---------------------------------------------------------------------------
+
+LN2 = 0.6931471805599453  # shortest repr of the binary64 nearest ln 2
+_LN_K = 20
+_LN_COEF = [1.0 / (2 * j + 1) for j in range(_LN_K)]
+
+
+def sql_stable_ln(a: str, d: int = 0) -> str:
+    """ln((a) / 2^d) for an integer expression ``1 <= a < 2^52`` as a
+    fixed IEEE-op DAG whose text parses identically on Spark and DuckDB.
+
+    For a rational argument p/q use ``sql_stable_ln(p) -
+    sql_stable_ln(q)`` (both engines then compute fl(ln_p - ln_q) on
+    bit-identical operands). ``d`` folds a power-of-two denominator into
+    the range reduction: ln(a / 2^d)."""
+    e = f"(length(bin(cast({a} as bigint))) - 1)"
+    p = f"(cast(1 as bigint) << {e})"
+    z = (
+        f"(cast(cast({a} as bigint) - {p} as double)"
+        f" / cast(cast({a} as bigint) + {p} as double))"
+    )
+    z2 = f"({z} * {z})"
+    s = repr(_LN_COEF[_LN_K - 1])
+    for j in range(_LN_K - 2, -1, -1):
+        s = f"({s} * {z2} + {_LN_COEF[j]!r})"
+    return f"(cast({e} - {d} as double) * {LN2!r} + (2.0 * {z}) * {s})"
+
+
+def stable_ln(a: str, d: int = 0) -> Column:
+    """Spark Column form of :func:`sql_stable_ln` (same generated text)."""
+    return F.expr(sql_stable_ln(a, d))
+
+
+def py_stable_ln(a: int, d: int = 0) -> float:
+    """Pure-Python reference: the identical operation sequence in host
+    IEEE doubles. Tests pin Spark == DuckDB == this, bit for bit."""
+    e = a.bit_length() - 1
+    p = 1 << e
+    z = float(a - p) / float(a + p)
+    z2 = z * z
+    s = _LN_COEF[_LN_K - 1]
+    for j in range(_LN_K - 2, -1, -1):
+        s = s * z2 + _LN_COEF[j]
+    return float(e - d) * LN2 + (2.0 * z) * s
+
 
 def dsum(col: Column) -> Column:
     """Order-independent sum of a double expression."""

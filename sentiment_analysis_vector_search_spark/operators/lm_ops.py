@@ -21,6 +21,13 @@ md5-derived uniform and w the document weight; the top-K keys per
 source are exactly a w-weighted draw. Deterministic across engines,
 partitioning, and retries — the property a resumable 100 TB sampling
 job needs.
+
+Parity note (r10 driver fail, fixed r11): every ln in this module is
+``functions.stable.sql_stable_ln`` — engine-native ln (Java Math.log vs
+host libm) is not correctly rounded and a last-ulp disagreement at a
+6-dp boundary flipped sample_weighted's driver hash once. stable_ln is
+a fixed correctly-rounded-op DAG emitted identically to both engines,
+so ranked/hashed log-derived columns are bit-identical by construction.
 """
 
 from __future__ import annotations
@@ -31,7 +38,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import fan_out, table
 from ..functions.hashing import MOD31, md5_long, sql_md5_long
-from ..functions.stable import dsum, sql_dec2double, sql_vardec
+from ..functions.stable import dsum, sql_dec2double, sql_stable_ln, sql_vardec
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -43,6 +50,11 @@ from ..registry import register
 _LM_LO = -7.5
 _LM_HI = -2.5
 
+# Shared per-bigram log-prob: ln((n_pair + 1) / (c + V)) over staged
+# integer columns np1 = n_pair + 1 and cv = c + V, computed as the
+# difference of two stable_ln calls — one text, both engines, bit-equal.
+_LM_LOGP = f"round({sql_stable_ln('np1')} - {sql_stable_ln('cv')}, 6)"
+
 _LM_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -52,19 +64,19 @@ WITH toks AS (
   SELECT w, count(*) AS c
   FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
 ), vsize AS (
-  SELECT cast(count(*) as double) AS v FROM uc
+  SELECT count(*) AS v FROM uc
 ), bi AS (
   SELECT doc_id, t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
   FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS p FROM toks)
 ), bc AS (
   SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
-), scored AS (
-  SELECT bi.doc_id,
-         round(ln((cast(bc.n_pair as double) + 1.0)
-                  / (cast(uc.c as double) + vsize.v)), 6) AS logp
+), pre AS (
+  SELECT bi.doc_id, bc.n_pair + 1 AS np1, uc.c + vsize.v AS cv
   FROM bi
   JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
   JOIN uc ON bi.w1 = uc.w, vsize
+), scored AS (
+  SELECT doc_id, {_LM_LOGP} AS logp FROM pre
 ), agg AS (
   SELECT doc_id, count(*) AS n_bigrams,
          {sql_dec2double(f"sum({sql_vardec('logp')})")} / count(*) AS avg_logp
@@ -88,8 +100,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unbounded, unlike charset^3 trigrams), so the scoring joins are
     plain shuffled equi-joins on (w1, w2) / w1 — AQE handles skewed stop
     words. The per-doc aggregate is a partial-agg groupBy. Parity: each
-    log-prob is a double ratio of exact integers rounded to 6dp per row,
-    then decimal-summed (order-independent at any partitioning)."""
+    log-prob is stable_ln(n_pair+1) - stable_ln(c+V) over exact integer
+    columns, rounded to 6dp per row, then decimal-summed — bit-identical
+    on both engines at any partitioning."""
     docs = fan_out(spark, table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
@@ -102,7 +115,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)  # two consumers: vsize + scoring join
     )
-    vsize = uc.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    vsize = uc.agg(F.count(F.lit(1)).alias("v"))
     pair_expr = (
         "CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
@@ -121,21 +134,17 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    scored = (
+    pre = (
         bi.join(bc, ["w1", "w2"])
         .join(uc.select(F.col("w").alias("w1"), "c"), "w1")
         .crossJoin(F.broadcast(vsize))
         .select(
             "doc_id",
-            F.round(
-                F.log(
-                    (F.col("n_pair").cast("double") + F.lit(1.0))
-                    / (F.col("c").cast("double") + F.col("v"))
-                ),
-                6,
-            ).alias("logp"),
+            (F.col("n_pair") + F.lit(1)).alias("np1"),
+            (F.col("c") + F.col("v")).alias("cv"),
         )
     )
+    scored = pre.select("doc_id", F.expr(_LM_LOGP).alias("logp"))
     # NO final round: the decimal sum is exact and order-independent, the
     # double division is correctly rounded on both engines, so the raw
     # double is bit-identical everywhere — while an explicit round(x, 6)
@@ -174,8 +183,8 @@ WITH toks AS (
   SELECT row_number() OVER (ORDER BY c DESC, w) AS rk, c
   FROM (SELECT * FROM uc ORDER BY c DESC, w LIMIT {_ZF_N})
 ), pts AS (
-  SELECT round(ln(cast(rk as double)), 6) AS x,
-         round(ln(cast(c as double)), 6) AS y
+  SELECT round({sql_stable_ln('rk')}, 6) AS x,
+         round({sql_stable_ln('c')}, 6) AS y
   FROM ranked
 ), s AS (
   SELECT cast(count(*) as double) AS n,
@@ -206,9 +215,10 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tokenized pass → vocabulary-grain counts (Heaps-
     bounded); the top-N head comes via orderBy+limit (TakeOrdered, no
     global window) and ranking/fitting run over N rows. Per-point logs
-    round to 6dp (the pmi parity device), the OLS sums are exact
-    decimals, and the closed-form arithmetic is ordered identically on
-    both engines — raw doubles out, no final round."""
+    are stable_ln over integer rank/count rounded to 6dp (engine-
+    invariant by construction), the OLS sums are exact decimals, and the
+    closed-form arithmetic is ordered identically on both engines — raw
+    doubles out, no final round."""
     docs = fan_out(spark, table(spark, sf_dir, "documents"))
     uc = (
         docs.select(
@@ -227,8 +237,8 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
     )
     pts = ranked.select(
-        F.round(F.log(F.col("rk").cast("double")), 6).alias("x"),
-        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        F.expr(f"round({sql_stable_ln('rk')}, 6)").alias("x"),
+        F.expr(f"round({sql_stable_ln('c')}, 6)").alias("y"),
     )
     s = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -268,16 +278,19 @@ _WS_K = 5  # draws per source
 _WS_SALTS = 8  # phase-1 fan-out (two-phase top-K, no data-sized window)
 
 
-def _ws_key_sql() -> str:
-    h = sql_md5_long("'wsamp:' || cast(doc_id as varchar)")
-    u = f"(({h} % {MOD31}) + 1) * 1.0 / {MOD31 + 1}"
-    return f"ln({u}) / greatest(n_chars, 1)"
-
+# u = ha / 2^31 with ha = (md5_60bit % (2^31 - 1)) + 1 in [1, 2^31 - 1];
+# ln(u) = stable_ln(ha, d=31) folds the denominator into the range
+# reduction, so the whole key is integer-derived — no engine ln anywhere.
+_WS_KEY = f"{sql_stable_ln('ha', 31)} / greatest(n_chars, 1)"
 
 _WS_ORACLE = f"""
-WITH keyed AS (
-  SELECT doc_id, source, n_chars, {_ws_key_sql()} AS wkey
+WITH hashed AS (
+  SELECT doc_id, source, n_chars,
+         ({sql_md5_long("'wsamp:' || cast(doc_id as varchar)")} % {MOD31}) + 1 AS ha
   FROM documents
+), keyed AS (
+  SELECT doc_id, source, n_chars, {_WS_KEY} AS wkey
+  FROM hashed
 )
 SELECT doc_id, source, n_chars, round(wkey, 6) AS wkey, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id) AS rk
@@ -292,8 +305,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Efraimidis–Spirakis A-ES, log-space): key = ln(u)/w with u a
     deterministic md5 uniform in (0, 1], w = n_chars; top-K keys per
     source ARE a w-weighted draw without replacement. Deterministic
-    under repartition, append-only growth, and engine choice — a crashed
-    100 TB sampling job resumes to the identical sample.
+    under repartition, append-only growth, engine choice, AND host libm
+    (the ln is stable_ln over the exact integer hash — the r10 driver
+    fail was engine-native ln's last-ulp divergence in this very
+    column) — a crashed 100 TB sampling job resumes to the identical
+    sample.
 
     Scale shape: the key is one codegen expression over the scan; the
     per-source top-K runs two-phase (per-(source, salt) candidates
@@ -301,12 +317,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ever sees a data-sized partition."""
     docs = table(spark, sf_dir, "documents")
     h = md5_long(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
-    u = ((h % F.lit(MOD31)) + F.lit(1)) * F.lit(1.0) / F.lit(MOD31 + 1)
-    keyed = docs.select(
+    hashed = docs.select(
         "doc_id",
         "source",
         "n_chars",
-        (F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))).alias("wkey"),
+        ((h % F.lit(MOD31)) + F.lit(1)).alias("ha"),
+    )
+    keyed = hashed.select(
+        "doc_id", "source", "n_chars", F.expr(_WS_KEY).alias("wkey")
     )
     w1 = Window.partitionBy(
         "source", F.pmod(F.col("doc_id"), F.lit(_WS_SALTS))

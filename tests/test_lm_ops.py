@@ -138,9 +138,12 @@ def test_zipf_fit_flat_corpus_has_near_zero_slope(spark, tmp_path):
 
 
 def _py_wkey(doc_id: int, n_chars: int) -> float:
+    from sentiment_analysis_vector_search_spark.functions.stable import (
+        py_stable_ln,
+    )
+
     h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:15], 16)
-    u = ((h % MOD31) + 1) * 1.0 / (MOD31 + 1)
-    return math.log(u) / max(n_chars, 1)
+    return py_stable_ln((h % MOD31) + 1, 31) / max(n_chars, 1)
 
 
 def test_sample_weighted_matches_python_reference(spark, sf_dir):
