@@ -348,7 +348,24 @@ def domain_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computations then run on that tiny aggregate (per-source window over
 # |langs| rows). At 100 TB swap `percentile` for approx_percentile —
 # sketch-based, same query shape (q_value_percentiles note).
+#
+# Parity: the Shannon entropy term -(c/n) ln(c/n) decomposes over the
+# integer counts as (c/n) * (stable_ln(n) - stable_ln(c)) — engine-
+# native ln in a decimal-summed, 6-dp-rounded hashed column is the same
+# host-libm hazard the r10 verdict flagged for sample_weighted.
 # ---------------------------------------------------------------------------
+
+def _ent_term() -> str:
+    from ..functions.stable import sql_stable_ln
+
+    return (
+        "(c * 1.0 / n_docs)"
+        f" * ({sql_stable_ln('n_docs')} - {sql_stable_ln('c')})"
+    )
+
+
+_ENT_TERM = _ent_term()
+
 
 def _data_card_oracle() -> str:
     from ..functions.stable import sql_dsum
@@ -364,7 +381,7 @@ WITH lc AS (
   FROM documents GROUP BY source
 ), ent AS (
   SELECT lc.source,
-         {sql_dsum('-(lc.c * 1.0 / n.n_docs) * ln(lc.c * 1.0 / n.n_docs)', 'raw_ent')}
+         {sql_dsum(_ENT_TERM, 'raw_ent')}
   FROM lc JOIN n USING (source) GROUP BY lc.source
 ), top AS (
   SELECT source, lang AS top_lang, c FROM (
@@ -397,9 +414,8 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     # per_src is |sources| rows — broadcast into the lang-mix relation
     mix = lc.join(F.broadcast(per_src.select("source", "n_docs")), "source")
-    share = F.col("c") * F.lit(1.0) / F.col("n_docs")
     ent = mix.groupBy("source").agg(
-        dsum(-share * F.log(share)).alias("raw_ent")
+        dsum(F.expr(_ENT_TERM)).alias("raw_ent")
     )
     w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
     top = (
@@ -408,7 +424,9 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("lang").alias("top_lang"),
-            F.round(share, 6).alias("top_lang_share"),
+            F.round(
+                F.col("c") * F.lit(1.0) / F.col("n_docs"), 6
+            ).alias("top_lang_share"),
         )
     )
     return (

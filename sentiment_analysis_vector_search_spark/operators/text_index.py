@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import sentiment as S
-from ..functions.stable import dsum, sql_dsum
+from ..functions.stable import dsum, sql_dsum, sql_stable_ln
 from ..registry import register
 
 _K1 = 1.2
@@ -80,10 +80,14 @@ _words_sql = ", ".join(f"'{w}'" for w in _BM25_WORDS)
 # One shared scoring expression on each engine — identical operand types
 # (everything double) and identical parenthesization, so the two engines
 # execute the same IEEE operation sequence and 6-dp rounding can't flip
-# ranks. k1+1, 1-b are pre-folded literals.
+# ranks. k1+1, 1-b are pre-folded literals. The Lucene-style idf
+# ln(1 + (n - df + 0.5)/(df + 0.5)) = ln((2n + 2)/(2df + 1)) is computed
+# as a difference of stable_ln calls over exact integers (r10 verdict
+# #3: engine-native ln is not correctly rounded, so a hashed 6-dp score
+# could flip on a host whose libm differs by an ulp; stable_ln is
+# bit-identical on both engines by construction).
 _TERM_SPARK = (
-    "ln(1.0 + (cast(n as double) - cast(df as double) + 0.5)"
-    " / (cast(df as double) + 0.5))"
+    f"({sql_stable_ln('2*n+2')} - {sql_stable_ln('2*df+1')})"
     " * (cast(tf as double) * 2.2)"
     " / (cast(tf as double)"
     "    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))"
@@ -348,7 +352,7 @@ WITH words AS (
   SELECT word, count(*) AS df FROM tf
   WHERE word IN ({_words_sql}) GROUP BY word
 ), p1scores AS (
-  SELECT tf.doc_id, cast(cast((sum(cast(cast((ln(1.0 + (cast(n as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) * (cast(tf as double) * 2.2) / (cast(tf as double)    + 1.2 * (0.25 + 0.75 * (cast(dl as double) / avgdl)))) as varchar(64)) as decimal(30,10)))) as varchar(64)) as double) as score
+  SELECT tf.doc_id, {sql_dsum(_TERM_SQL, 'score')}
   FROM tf JOIN dfs1 USING (word) JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 ), pass1 AS (

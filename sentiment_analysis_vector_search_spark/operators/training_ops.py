@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, table
 from ..functions.ranks import dist_ntile
+from ..functions.stable import sql_stable_ln
 from ..registry import register
 
 _N_SHARDS = 16
@@ -187,13 +188,22 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Heaps-bounded, never corpus-sized). Scalar totals broadcast as 1-row
 # relations. Top-K via orderBy+limit.
 #
-# Parity: all PMI arithmetic happens in doubles with ratios formed FIRST
-# (each factor ~O(1), far from the 2^53 edge at any SF) and an identical
-# operation order in both engines; round 6 before ranking, ties by pair.
+# Parity: PMI decomposes over integer counts — ln(P(ab)/(P(a)P(b))) =
+# ln(n_pair) - ln(n_bi) - ln(ca) - ln(cb) + 2 ln(n_uni) — so every log
+# is stable_ln over an exact integer and the combination is one fixed
+# correctly-rounded op order shared by both engines (r10 verdict #3:
+# engine-native ln in a hashed, ranked 6-dp column is a host-libm parity
+# hazard); round 6 before ranking, ties by pair.
 # ---------------------------------------------------------------------------
 
 _PMI_MIN_COUNT = 5
 _PMI_TOP = 30
+
+_PMI_EXPR = (
+    f"round(((({sql_stable_ln('n_pair')} - {sql_stable_ln('n_bi')})"
+    f" - {sql_stable_ln('ca')}) - {sql_stable_ln('cb')})"
+    f" + 2.0 * {sql_stable_ln('n_uni')}, 6)"
+)
 
 _PMI_ORACLE = f"""
 WITH toks AS (
@@ -202,21 +212,21 @@ WITH toks AS (
 ), uc AS (
   SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
 ), nu AS (
-  SELECT cast(sum(c) as double) AS n_uni FROM uc
+  SELECT cast(sum(c) as bigint) AS n_uni FROM uc
 ), bi AS (
   SELECT t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
   FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS p FROM toks)
 ), bc AS (
   SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
 ), nb AS (
-  SELECT cast(sum(n_pair) as double) AS n_bi FROM bc
+  SELECT cast(sum(n_pair) as bigint) AS n_bi FROM bc
 ), scored AS (
-  SELECT w1, w2, n_pair,
-         round(ln((cast(n_pair as double) / n_bi)
-                  / ((cast(a.c as double) / n_uni)
-                     * (cast(b.c as double) / n_uni))), 6) AS pmi
-  FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, nu, nb
-  WHERE n_pair >= {_PMI_MIN_COUNT}
+  SELECT w1, w2, n_pair, {_PMI_EXPR} AS pmi
+  FROM (
+    SELECT bc.w1, bc.w2, bc.n_pair, a.c AS ca, b.c AS cb, nu.n_uni, nb.n_bi
+    FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, nu, nb
+    WHERE n_pair >= {_PMI_MIN_COUNT}
+  )
 )
 SELECT w1, w2, n_pair, pmi, rk FROM (
   SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM scored
@@ -237,7 +247,7 @@ def tok_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)  # three consumers: nu, ca, cb
     )
-    nu = uc.agg(F.sum("c").cast("double").alias("n_uni"))
+    nu = uc.agg(F.sum("c").alias("n_uni"))
     pair_expr = (
         "CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
@@ -250,7 +260,7 @@ def tok_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .localCheckpoint(eager=False)  # two consumers: nb + the scored join
     )
-    nb = bc.agg(F.sum("n_pair").cast("double").alias("n_bi"))
+    nb = bc.agg(F.sum("n_pair").alias("n_bi"))
     ca = uc.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     cb = uc.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     scored = (
@@ -259,21 +269,7 @@ def tok_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "w2")
         .crossJoin(F.broadcast(nu))
         .crossJoin(F.broadcast(nb))
-        .select(
-            "w1",
-            "w2",
-            "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair").cast("double") / F.col("n_bi"))
-                    / (
-                        (F.col("ca").cast("double") / F.col("n_uni"))
-                        * (F.col("cb").cast("double") / F.col("n_uni"))
-                    )
-                ),
-                6,
-            ).alias("pmi"),
-        )
+        .select("w1", "w2", "n_pair", F.expr(_PMI_EXPR).alias("pmi"))
     )
     topk = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOP)
     w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))  # <=K rows
