@@ -193,6 +193,35 @@ def main(argv: list[str] | None = None) -> int:
     p_scd.add_argument("--checkpoint", help="apply: stream checkpoint dir")
     p_scd.add_argument("--buckets", type=int, default=8)
 
+    p_chk = sub.add_parser(
+        "checksum",
+        help="order/partitioning-insensitive table checksum (migration "
+        "validation): one-shot over any registered table or parquet "
+        "path, or an incremental per-shard manifest fold",
+    )
+    p_chk.add_argument(
+        "path", help="parquet dir/file, or an sf_dir when --table is given"
+    )
+    p_chk.add_argument(
+        "--table", default=None,
+        help="registered table name inside the sf_dir at PATH",
+    )
+    p_chk.add_argument(
+        "--round", type=int, default=None, dest="round_doubles",
+        help="opt-in lossy quantization for float columns (decimals); "
+        "without it float columns are refused",
+    )
+    p_chk.add_argument(
+        "--manifest-dir", default=None,
+        help="fold this path as ONE shard into a persisted additive "
+        "checksum manifest (fold of all shards == one-shot, replay-safe)",
+    )
+    p_chk.add_argument(
+        "--batch-id", type=int, default=None,
+        help="replay guard for the manifest fold; default derives a "
+        "stable id from the resolved path (the hotkeys rule)",
+    )
+
     p_roll = sub.add_parser(
         "rollup", help="materialized rollup: build / answer / add"
     )
@@ -454,6 +483,52 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "checksum":
+        import json
+        import os as _os
+
+        from .operators.dq import incremental_checksum, table_checksum
+        from .session import get_spark
+
+        spark = get_spark("cli-checksum")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.table:
+            from .catalog import table as _table
+
+            df = _table(spark, args.path, args.table)
+            name = args.table
+        else:
+            df = spark.read.parquet(args.path)
+            name = _os.path.basename(_os.path.abspath(args.path)) or "table"
+        if args.manifest_dir:
+            batch_id = args.batch_id
+            if batch_id is None:
+                import hashlib
+
+                batch_id = int(
+                    hashlib.md5(
+                        _os.path.abspath(args.path).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+            out = incremental_checksum(
+                args.manifest_dir, name, df,
+                round_doubles=args.round_doubles, batch_id=batch_id,
+            )
+            print(json.dumps(out))
+        else:
+            row = table_checksum(df, name, args.round_doubles).collect()[0]
+            print(
+                json.dumps(
+                    {
+                        "table_name": row["table_name"],
+                        "n_rows": row["n_rows"],
+                        "checksum": int(row["checksum"]),
+                    }
+                )
+            )
+        return 0
+
     if args.cmd == "cmsfreq":
         import json
 
@@ -516,6 +591,9 @@ def main(argv: list[str] | None = None) -> int:
                 .partitionBy("bucket")
                 .parquet(args.scd_dir)
             )
+            from .streaming.file_sink import check_scd_meta
+
+            check_scd_meta(args.scd_dir, args.buckets)
         else:
             if not args.checkpoint:
                 p.error("scd2 apply requires --checkpoint")

@@ -231,17 +231,51 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHK_MOD = 1 << 60
-_CHK_SEP = "\x1f"
+
+# Canonical row encoding v1 (r10 advice, low — the old encoding was
+# lossy: text coalesced NULL to '' so NULL-text and empty-text rows
+# hashed identically, and a \x1f inside any value aliased the field
+# separator). v1 is injective over the supported domain:
+#   int-ish  -> decimal string, NULL -> chr(30)
+#   string   -> length-prefixed "len:value", NULL -> chr(30)
+# Length prefixes make the fields self-delimiting, so a separator or
+# sentinel CHARACTER inside a value cannot alias the encoding (the
+# 1-char string "\x1e" encodes as "1:\x1e" != the NULL sentinel), and
+# chr(31) between fields is purely cosmetic. Both engines count length
+# in code points. Two tables share a checksum iff their row multisets
+# are identical under this encoding.
+
+
+def chk_field_sql(name: str, kind: str) -> str:
+    """One field's canonical-encoding SQL — parses on BOTH engines."""
+    if kind == "int":
+        return f"coalesce(cast({name} as varchar(64)), chr(30))"
+    if kind == "string":
+        return (
+            f"CASE WHEN {name} IS NULL THEN chr(30) "
+            f"ELSE cast(length({name}) as varchar(64)) || ':' || {name} END"
+        )
+    raise ValueError(f"unsupported checksum field kind: {kind}")
+
+
+def chk_canon_sql(fields: list[tuple[str, str]]) -> str:
+    parts = ", ".join(chk_field_sql(n, k) for n, k in fields)
+    return f"concat_ws(chr(31), {parts})"
+
+
+_DOC_CHK_FIELDS: list[tuple[str, str]] = [
+    ("doc_id", "int"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "int"),
+]
 
 
 def _chk_oracle() -> str:
     from ..functions.hashing import sql_md5_long
 
-    canon = (
-        "concat_ws(chr(31), cast(doc_id as varchar), coalesce(text, ''), "
-        "coalesce(lang, chr(30)), coalesce(source, chr(30)), "
-        "cast(n_chars as varchar))"
-    )
+    canon = chk_canon_sql(_DOC_CHK_FIELDS)
     return f"""
 SELECT 'documents' AS table_name,
        count(*) AS n_rows,
@@ -251,32 +285,144 @@ FROM documents
 """
 
 
+def checksum_agg(df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
+    """(n_rows, checksum) over a DataFrame: modular decimal(38,0) sum of
+    per-row md5 digests of the v1 canonical encoding — commutative and
+    mergeable (shard checksums add mod 2^60), so any partitioning,
+    ordering, or retry produces the identical value. Shared by the
+    graded query, the CLI ``checksum`` verb, and the incremental
+    manifest fold."""
+    from ..functions.hashing import md5_long
+
+    canon = F.expr(chk_canon_sql(fields))
+    digest = md5_long(F.concat(F.lit("chk:"), canon))
+    return df.select(digest.alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            f"cast(sum(cast(d as decimal(38,0))) % {_CHK_MOD} as bigint)"
+        ).alias("checksum"),
+    )
+
+
+def checksum_fields_for(df: DataFrame, round_doubles: int | None = None
+                        ) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Map an arbitrary DataFrame onto the v1 encoding: integral /
+    boolean / date columns encode as int-ish (their casts are exact and
+    engine-stable), strings length-prefix, timestamps become exact epoch
+    micros, and doubles are REFUSED unless ``round_doubles`` opts into a
+    documented lossy 6-dp-style quantization (a float's shortest repr is
+    not formatted identically across engines, so exactness would be a
+    false promise). Returns the projected df + field spec."""
+    from pyspark.sql import types as T
+
+    cols: list = []
+    fields: list[tuple[str, str]] = []
+    for f in df.schema.fields:
+        if isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.BooleanType, T.DateType, T.DecimalType),
+        ):
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+            fields.append((f.name, "int"))
+        elif isinstance(f.dataType, T.StringType):
+            cols.append(F.col(f.name))
+            fields.append((f.name, "string"))
+        elif isinstance(f.dataType, T.TimestampType):
+            cols.append(F.unix_micros(F.col(f.name)).alias(f.name))
+            fields.append((f.name, "int"))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # NTZ renders timezone-independently; the ISO string has no
+            # separator characters, so int-kind encoding is safe
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+            fields.append((f.name, "int"))
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            if round_doubles is None:
+                raise ValueError(
+                    f"column {f.name} is {f.dataType.simpleString()}: float "
+                    "formatting is not engine-portable — pass --round N for "
+                    "a documented lossy quantization, or project it away"
+                )
+            cols.append(
+                F.round(F.col(f.name), round_doubles)
+                .cast(f"decimal(38,{round_doubles})")
+                .cast("string")
+                .alias(f.name)
+            )
+            fields.append((f.name, "string"))
+        else:
+            raise ValueError(
+                f"column {f.name}: no canonical encoding for "
+                f"{f.dataType.simpleString()} — project it away first"
+            )
+    return df.select(*cols), fields
+
+
+def table_checksum(
+    df: DataFrame, table_name: str, round_doubles: int | None = None
+) -> DataFrame:
+    """Checksum ANY supported table/DataFrame (the CLI ``checksum`` verb
+    and the migration-validation entry point)."""
+    proj, fields = checksum_fields_for(df, round_doubles)
+    return checksum_agg(proj, fields).select(
+        F.lit(table_name).alias("table_name"), "n_rows", "checksum"
+    )
+
+
+def incremental_checksum(
+    manifest_dir: str,
+    table_name: str,
+    batch_df: DataFrame,
+    round_doubles: int | None = None,
+    batch_id: int | None = None,
+) -> dict:
+    """Fold one shard/batch into a persisted checksum manifest
+    (``{table_name}__checksum.json``): n_rows and the modular digest are
+    both additive, so after ANY number of folds the manifest equals the
+    one-shot checksum over the union (pytest-pinned). Additive = NOT
+    idempotent, so the applied-batch record rides inside the same atomic
+    os.replace as the fold (the incremental_cms protocol)."""
+    import json
+    import os
+
+    path = os.path.join(manifest_dir, f"{table_name}__checksum.json")
+    meta: dict = {}
+    n_rows, chk = 0, 0
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        n_rows, chk = int(raw["n_rows"]), int(raw["checksum"])
+    applied: list[int] = meta.get("applied_batch_ids", [])
+    if batch_id is not None and batch_id in applied:
+        return {"table_name": table_name, "n_rows": n_rows, "checksum": chk}
+    row = table_checksum(batch_df, table_name, round_doubles).collect()[0]
+    n_rows += int(row["n_rows"])
+    chk = (chk + int(row["checksum"])) % _CHK_MOD
+    out = {
+        "table_name": table_name,
+        "n_rows": n_rows,
+        "checksum": chk,
+        "encoding": "v1",
+    }
+    if batch_id is not None:
+        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = path + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+    return {"table_name": table_name, "n_rows": n_rows, "checksum": chk}
+
+
 @register("dq_table_checksum", oracle=_chk_oracle())
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order/partitioning-insensitive documents-table checksum: modular
-    sum of per-row md5 digests over a canonical column encoding — equal
-    across engines iff the tables hold identical row multisets."""
-    from ..functions.hashing import md5_long
-
+    sum of per-row md5 digests of the injective v1 canonical encoding —
+    equal across engines iff the tables hold identical row multisets."""
     docs = table(spark, sf_dir, "documents")
-    canon = F.concat_ws(
-        _CHK_SEP,
-        F.col("doc_id").cast("string"),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.coalesce(F.col("lang"), F.lit("\x1e")),
-        F.coalesce(F.col("source"), F.lit("\x1e")),
-        F.col("n_chars").cast("string"),
-    )
-    digest = md5_long(F.concat(F.lit("chk:"), canon))
-    return (
-        docs.select(digest.alias("d"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.expr(
-                f"cast(sum(cast(d as decimal(38,0))) % {_CHK_MOD} as bigint)"
-            ).alias("checksum"),
-        )
-        .select(
-            F.lit("documents").alias("table_name"), "n_rows", "checksum"
-        )
+    return checksum_agg(docs, _DOC_CHK_FIELDS).select(
+        F.lit("documents").alias("table_name"), "n_rows", "checksum"
     )

@@ -987,6 +987,39 @@ def stream_cms_maintenance(
         q.awaitTermination()
 
 
+def check_scd_meta(scd_dir: str, n_buckets: int) -> None:
+    """Pin the SCD2 dimension's bucket count to its on-disk layout.
+
+    ``bucket = pmod(user_id, n_buckets)`` decides which directory holds
+    a user's history; an apply run with a different ``n_buckets`` than
+    the build would look for open rows in the wrong directories and
+    silently duplicate history (r10 advice, low). First writer records
+    the dimension (atomic os.replace of ``_scd_meta.json`` — the
+    underscore name is invisible to parquet readers); every later
+    writer fails fast on a mismatch. A pre-existing dimension with no
+    meta (built before this check) adopts the caller's value."""
+    import json
+    import os
+
+    meta_path = os.path.join(scd_dir.rstrip("/"), "_scd_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if int(meta["n_buckets"]) != int(n_buckets):
+            raise ValueError(
+                f"SCD2 dimension at {scd_dir} was built with "
+                f"n_buckets={meta['n_buckets']}; refusing to apply with "
+                f"n_buckets={n_buckets} — rerun with the build value or "
+                "rebuild the dimension"
+            )
+        return
+    os.makedirs(scd_dir.rstrip("/"), exist_ok=True)
+    tmp = meta_path + ".__tmp__"
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": int(n_buckets)}, fh)
+    os.replace(tmp, meta_path)
+
+
 def stream_scd2_maintenance(
     spark: SparkSession,
     src_dir: str,
@@ -1021,7 +1054,18 @@ def stream_scd2_maintenance(
     re-delivers byte-identical (checkpointed file source) and skips the
     buckets whose swap already landed, applying only the missing ones
     (per-bucket exactly-once; SCALING rule 21's record-inside-artifact
-    leg, per partition)."""
+    leg, per partition). The record stores only the MAX applied batch id
+    (file-source batch ids are monotone, so "applied" == "<= max") —
+    bounded state on an unbounded stream; legacy list-form records read
+    as their max. The swap itself is two renames, so it is made
+    crash-recoverable (r10 advice, medium): the displaced directory gets
+    the DETERMINISTIC name ``bucket=N__old`` and ``_recover_swaps``
+    runs before every batch — a bucket=N__old with no bucket=N means
+    the crash hit between the renames (restore it); with both present
+    the second rename landed (drop the leftover). A ``_scd_meta.json``
+    at the table root records n_buckets at first write; a later apply
+    with a different --buckets fails fast instead of silently merging
+    against a mismatched pmod layout (r10 advice, low)."""
     import json
     import os
     import shutil
@@ -1044,15 +1088,37 @@ def stream_scd2_maintenance(
 
     base = scd_dir.rstrip("/")
     cols = ["user_id", "state", "valid_from", "valid_to", "is_current"]
+    check_scd_meta(base, n_buckets)
 
-    def _bucket_record(bdir: str) -> list[int]:
+    def _bucket_max(bdir: str) -> int:
+        """Highest batch id applied to this bucket (-1 if none). Reads
+        the bounded {"max_applied": N} record; legacy list records
+        (pre-r11) collapse to their max."""
         p = os.path.join(bdir, "_applied.json")
         if os.path.exists(p):
             with open(p) as fh:
-                return json.load(fh)
-        return []
+                rec = json.load(fh)
+            if isinstance(rec, list):
+                return max(rec) if rec else -1
+            return int(rec["max_applied"])
+        return -1
+
+    def _recover_swaps() -> None:
+        """Repair any bucket directory swap a crash left half-done."""
+        if not os.path.isdir(base):
+            return
+        for name in os.listdir(base):
+            if not name.endswith("__old"):
+                continue
+            old_dir = os.path.join(base, name)
+            dst = os.path.join(base, name[: -len("__old")])
+            if os.path.isdir(dst):
+                shutil.rmtree(old_dir)  # second rename landed; drop leftover
+            else:
+                os.rename(old_dir, dst)  # crash between renames; restore
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_swaps()
         ev = normalize_event_ts(batch_df)
         if ev.isEmpty():
             return
@@ -1065,7 +1131,7 @@ def stream_scd2_maintenance(
         todo = [
             b
             for b in affected
-            if batch_id not in _bucket_record(os.path.join(base, f"bucket={b}"))
+            if batch_id > _bucket_max(os.path.join(base, f"bucket={b}"))
         ]
         if not todo:
             return  # full replay: every bucket already recorded this batch
@@ -1181,10 +1247,12 @@ def stream_scd2_maintenance(
                 # but guard anyway
                 os.makedirs(new_dir, exist_ok=True)
             # the batch-id record rides INSIDE the directory swap
-            prior = _bucket_record(dst) if os.path.isdir(dst) else []
+            prior = _bucket_max(dst) if os.path.isdir(dst) else -1
             with open(os.path.join(new_dir, "_applied.json"), "w") as fh:
-                json.dump(sorted(set(prior + [batch_id])), fh)
-            old_dir = f"{dst}__old_{token}"
+                json.dump({"max_applied": max(prior, batch_id)}, fh)
+            # Deterministic old-dir name so a crash between the two
+            # renames is repairable by _recover_swaps on the next batch.
+            old_dir = f"{dst}__old"
             had_old = os.path.isdir(dst)
             if had_old:
                 os.rename(dst, old_dir)
@@ -1198,6 +1266,7 @@ def stream_scd2_maintenance(
                 shutil.rmtree(old_dir)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    _recover_swaps()  # stream start: heal even if no batch fires
     with _stream_confs(spark):
         q = (
             src.writeStream.foreachBatch(apply_batch)

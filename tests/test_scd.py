@@ -178,6 +178,128 @@ def test_stream_scd2_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_scd2_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """r10 advice (medium): a crash between the two swap renames leaves
+    ``bucket=N`` missing and ``bucket=N__old`` holding all history. The
+    deterministic old-dir name + recovery pass before each batch must
+    restore it, so the next apply still converges to the full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import (
+        normalize_event_ts,
+        read_events_raw,
+    )
+    from sentiment_analysis_vector_search_spark.operators.scd import (
+        scd2_from_events,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_scd2_maintenance,
+    )
+
+    ev = normalize_event_ts(read_events_raw(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    cut = ev.select(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    c = F.col("ts").cast("double")
+    src = str(tmp_path / "src")
+    _write_single(ev.where(c <= cut), tmp_path, "a", src, "events_a.parquet")
+    scd_dir = str(tmp_path / "scd")
+    ckpt = str(tmp_path / "ckpt")
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)
+
+    # simulate the crash window: first rename done, second never ran
+    bucket = next(
+        d for d in sorted(os.listdir(scd_dir)) if d.startswith("bucket=")
+    )
+    os.rename(
+        os.path.join(scd_dir, bucket), os.path.join(scd_dir, bucket + "__old")
+    )
+
+    _write_single(ev.where(c > cut), tmp_path, "b", src, "events_b.parquet")
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)
+    assert not os.path.exists(os.path.join(scd_dir, bucket + "__old"))
+    want = {
+        (r["user_id"], r["state"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in scd2_from_events(ev).collect()
+    }
+    assert _scd_table(spark, scd_dir) == want
+
+    # the leftover-after-success shape: both dst and __old present
+    os.makedirs(os.path.join(scd_dir, bucket + "__old"), exist_ok=True)
+    stream_scd2_maintenance(spark, src, scd_dir, ckpt)  # no new files
+    assert not os.path.exists(os.path.join(scd_dir, bucket + "__old"))
+    assert _scd_table(spark, scd_dir) == want
+
+
+def test_stream_scd2_bucket_pin_and_bounded_record(spark, sf_dir, tmp_path):
+    """r10 advice (low x2): an apply with a different --buckets than the
+    persisted layout must fail fast, and the per-bucket applied record
+    stays bounded ({"max_applied": N}) while legacy list records still
+    read as their max (fresh-checkpoint replay stays a no-op)."""
+    import json
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import (
+        normalize_event_ts,
+        read_events_raw,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_scd2_maintenance,
+    )
+
+    ev = normalize_event_ts(read_events_raw(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    cut = ev.select(
+        F.expr("percentile(cast(ts as double), 0.5)").alias("c")
+    ).collect()[0]["c"]
+    c = F.col("ts").cast("double")
+    src = str(tmp_path / "src")
+    _write_single(ev.where(c <= cut), tmp_path, "a", src, "events_a.parquet")
+    _write_single(ev.where(c > cut), tmp_path, "b", src, "events_b.parquet")
+    scd_dir = str(tmp_path / "scd")
+    stream_scd2_maintenance(spark, src, scd_dir, str(tmp_path / "ckpt"))
+
+    # bounded record: a dict with the max applied batch id only
+    recs = [
+        os.path.join(scd_dir, d, "_applied.json")
+        for d in os.listdir(scd_dir)
+        if d.startswith("bucket=") and not d.endswith("__old")
+    ]
+    assert recs
+    for p in recs:
+        if os.path.exists(p):
+            with open(p) as fh:
+                rec = json.load(fh)
+            assert set(rec) == {"max_applied"} and isinstance(
+                rec["max_applied"], int
+            )
+
+    # mismatched bucket count refuses before touching anything
+    with pytest.raises(ValueError, match="n_buckets"):
+        stream_scd2_maintenance(
+            spark, src, scd_dir, str(tmp_path / "ckpt_bad"), n_buckets=4
+        )
+
+    # legacy list-form record: fresh-checkpoint replay still skips
+    before = _scd_table(spark, scd_dir)
+    with open(recs[0]) as fh:
+        mx = json.load(fh)["max_applied"]
+    with open(recs[0], "w") as fh:
+        json.dump(list(range(mx + 1)), fh)
+    stream_scd2_maintenance(spark, src, scd_dir, str(tmp_path / "ckpt2"))
+    assert _scd_table(spark, scd_dir) == before
+
+
 def test_cli_scd2_build_and_apply(spark, sf_dir, tmp_path, capsys):
     """CLI: one-shot build, then a streamed apply of a later batch file
     on top of the built dimension — the summary line reflects the merge
