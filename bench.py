@@ -222,6 +222,10 @@ HEADLINE = [
     "q_nation_segment_unpivot",
     "dq_table_checksum",
     "q_orders_grouping_sets",
+    # new r11
+    "q_group_percentiles_exact",
+    "q_events_cms_salted_join",
+    "q_user_scd2_type1_overlay",
 ]
 
 

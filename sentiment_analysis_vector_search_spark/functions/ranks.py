@@ -80,3 +80,60 @@ def dist_ntile(
         )
         .select(tie_col, *([value_col] if keep_value else []), out_col)
     )
+
+
+def dist_group_rank(
+    df: DataFrame, group_col: str, value_col: str, tie_col: str
+) -> DataFrame:
+    """Exact PER-GROUP rank over (value_col, tie_col) without a
+    per-group sort window — the grouped complement of :func:`dist_ntile`
+    (r10 verdict #7a), for grouped order statistics where one group can
+    dominate the table (the 100 TB skew case a
+    ``row_number().over(partitionBy(group).orderBy(value))`` window
+    funnels into a single task).
+
+    Device: range-repartition on (group, value, tie) — a group larger
+    than one partition SPANS partitions, which is the whole point — then
+    per-partition sorted segments give contiguous (partition, group)
+    runs; their counts/offsets aggregate to |partitions| x |groups
+    present| rows (bounded metadata, broadcast), and the global in-group
+    rank is offset + in-segment index. Same exchange-reuse hardening as
+    dist_ntile: the partitioned frame is lazily localCheckpointed so
+    both consumers share ONE boundary sample.
+
+    Returns (group_col, value_col, tie_col, rk, n_g) with rk in
+    [1, n_g] dense within each group."""
+    spark = df.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
+    parts = (
+        df.select(group_col, value_col, tie_col)
+        .repartitionByRange(n_part, group_col, value_col, tie_col)
+        .sortWithinPartitions(group_col, value_col, tie_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    seg = parts.groupBy("_pid", group_col).agg(
+        F.count(F.lit(1)).alias("c"), F.min("_mid").alias("base")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = seg.select(
+        F.col("_pid").alias("_opid"),
+        F.col(group_col).alias("_og"),
+        "base",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(Window.partitionBy(group_col)).alias("n_g"),
+    )
+    return (
+        parts.join(
+            F.broadcast(offs),
+            (parts["_pid"] == offs["_opid"])
+            & (parts[group_col] == offs["_og"]),
+        )
+        .withColumn("rk", F.col("off") + (F.col("_mid") - F.col("base")) + 1)
+        .select(group_col, value_col, tie_col, "rk", "n_g")
+    )

@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 
-_SCD2_ORACLE = """
-WITH ordered AS (
+_SCD2_CTE = """
+ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
@@ -47,14 +47,20 @@ WITH ordered AS (
 ), changes AS (
   SELECT user_id, event_type AS state, ts AS valid_from, event_id
   FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+), hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, event_id) AS valid_to,
+         CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from, event_id)
+                   IS NULL THEN 1 ELSE 0 END AS is_current
+  FROM changes
 )
-SELECT user_id, state, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id
-                              ORDER BY valid_from, event_id) AS valid_to,
-       CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
-                                        ORDER BY valid_from, event_id)
-                 IS NULL THEN 1 ELSE 0 END AS is_current
-FROM changes
+"""
+
+_SCD2_ORACLE = f"""
+WITH {_SCD2_CTE}
+SELECT user_id, state, valid_from, valid_to, is_current FROM hist
 """
 
 
@@ -148,4 +154,60 @@ def scd2_from_events(ev: DataFrame) -> DataFrame:
         "valid_from",
         "valid_to",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_user_scd2_type1_overlay — Kimball's type-2-with-type-1-overlay (the
+# "hybrid / type 6" pattern, r10 verdict #7b): the state history stays
+# type 2 (validity intervals), while a volatile descriptive attribute —
+# here the user's CURRENT value tier — is type 1: its latest value
+# overwrites EVERY history row, so analysts slice full history by
+# today's tier without re-stating old rows. The standard warehouse
+# implementation is exactly this: rebuild/maintain the type-2 core,
+# then a key-grain join stamps the type-1 columns on.
+# ---------------------------------------------------------------------------
+
+_TIER_SQL = (
+    "CASE WHEN v >= 60 THEN 'high' WHEN v >= 20 THEN 'mid' ELSE 'low' END"
+)
+
+_OVERLAY_ORACLE = f"""
+WITH {_SCD2_CTE}
+, latest AS (
+  SELECT user_id, v FROM (
+    SELECT user_id, value AS v,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT h.user_id, h.state, h.valid_from, h.valid_to, h.is_current,
+       {_TIER_SQL} AS cur_tier
+FROM hist h JOIN latest l ON h.user_id = l.user_id
+"""
+
+
+@register("q_user_scd2_type1_overlay", oracle=_OVERLAY_ORACLE)
+def q_user_scd2_type1_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state history with a type-1 current-value-tier overlay:
+    every validity interval carries the tier of the user's LATEST event
+    value (bands at 20/60).
+
+    Scale shape: the type-2 core is the chunk-split scd2_from_events
+    build (no per-user global windows); the type-1 attribute is one
+    partial-agg ``max_by(value, (ts, event_id))`` per user and a
+    user-grain equi-join onto the runs — no new window anywhere. Parity:
+    the latest-event pick is tie-broken on the unique (ts, event_id)
+    pair (Spark max_by over a struct ≡ the oracle's DESC row_number),
+    and the tier banding compares raw doubles exactly — the emitted
+    column is a string, no float arithmetic crosses the hash."""
+    ev = table(spark, sf_dir, "events")
+    runs = scd2_from_events(ev)
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("v")
+    )
+    cur = latest.select("user_id", F.expr(_TIER_SQL).alias("cur_tier"))
+    return runs.join(cur, "user_id").select(
+        "user_id", "state", "valid_from", "valid_to", "is_current", "cur_tier"
     )

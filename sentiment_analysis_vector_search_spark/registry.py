@@ -161,92 +161,91 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #   / dedup r7 tail / similarity r7 tail are the r7-graded cohort that
 #   rotates in r10).
 #
-# r10 window (50), exactly as the r9 verdict item #1 stages it: the 12
-# late-r9 must-grades + 1 new-r10 (q_urgent_revenue_semi_reduce, the
-# r9 verdict #4 demo) + 37 of the 46-query aging-r7 cohort (the
-# overflow — sentiment_ops 9 — defers to r11; see below).
-GRADED_WINDOW: list[str] = [
-    # never driver-graded: late-r9 registrations (judge-sweep green at
-    # both SFs in r9 but past the 50-slot freeze — must-grade) — 12
-    "text_bigram_lm_score",
-    "sample_weighted",
-    "corpus_zipf_fit",
-    "q_nation_pagerank",
-    "rag_mmr_rerank",
-    "dedup_winnow",
-    "q_events_kmv_distinct",
-    "mm_audio_energy_stub",
-    "batch_by_length",
-    "domain_temperature_mix",
-    "q_value_quantile_sketch",
-    "q_events_range_join",
-    # new in r10 (must-grade on arrival) — 1: the KMV semi-join
-    # reduction demo (r9 verdict #4)
-    "q_urgent_revenue_semi_reduce",
-    # changed in r10 — representatives_kmeans (Lloyd-round job-count
-    # trim, r9 verdict #6); it sits in the aging-r7 cohort below anyway
-    # aging r7: relational + events suite
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q7_nation_trade",
-    "q13_order_count_dist",
-    "q_top_customers_window",
-    "q_market_share",
-    "q_events_window",
-    "q_events_sessions",
-    "q_events_json",
-    # aging r7: dedup tail
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_sentence_overlap",
-    # aging r7: similarity tail
-    "ann_bruteforce_topk",
-    "ann_bruteforce_topk_arrow",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    # aging r7: representatives
-    "representatives_kmeans",
-    "representatives_invariants",
-    # aging r7: multimodal
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "text_embed_stub",
-    "mm_resize_stub",
-    # aging r7: text_ops pair + rag pair + training trio + curation
-    "doc_top_keywords",
-    "tfidf_vectors",
-    "rag_retrieve",
-    "rag_chunk_retrieve",
-    "train_shuffle_shards",
-    "sample_epochs",
-    "bpe_merge_candidates",
-    "text_gopher_quality",
-    "decontaminate_ngrams",
-    "domain_mix_plan",
-    "q_order_deciles",
-    "rag_context_assemble",
-]
-# Deferred to r11 (r7-graded, unchanged, value-identical by diff audit —
-# the 9-slot overflow of the 46-query aging-r7 cohort; one coherent
-# suite so the r11 window has room for new ops): sentiment_ops 9
-# (sent_classify, sent_classify_arrow, sent_distribution,
-# sent_quality_score, sent_normalize, sent_trends, sent_trend_risk,
-# summarize_prompts, recommendation_prompts).
-# After r10: zero queries ungraded, and only those 9 predate r8.
+# r10 window (50) was: the 12 late-r9 must-grades + 1 new-r10
+# (q_urgent_revenue_semi_reduce) + 37 of the aging-r7 cohort. 49 graded
+# green; sample_weighted FAILED the driver hash (engine-ln last-ulp
+# divergence — the r10 verdict #1 finding) and is re-staged below on
+# top of its stable_ln fix.
 #
-# Staged r11 must-grades (late-r10 registrations past the 50-slot
-# freeze — same precedent as the late-r8/r9 tails): q_events_cms_freq,
-# bm25_rm3_expand, q_events_kmv_setops, q_part_skyline,
-# ann_ivf_filtered_topk, dedup_containment, er_fuzzy_part_names,
-# q_nation_trade_triangles, q_user_state_scd2, decontaminate_fuzzy,
-# q_nation_segment_unpivot, dq_table_checksum, q_orders_grouping_sets,
-# plus any later r10 additions noted below.
-# The r11 window = these + the deferred sentiment_ops
-# 9 + rag_context_assemble cohort + the aging-r8 cohort trimmed to 50
-# by age.
+# r11 window (50), exactly as the r10 verdict item #2 stages it, plus
+# the rotation rule's changed-query must-grades from this round's
+# stable_ln hardening (r10 verdict #1/#3) and the three new-r11 ops
+# (landed BEFORE the freeze per verdict #9 so they grade on arrival):
+GRADED_WINDOW: list[str] = [
+    # never driver-graded: late-r10 registrations (judge-sweep green at
+    # both SFs in r10 but past the 50-slot freeze — must-grade) — 13
+    "q_events_cms_freq",
+    "bm25_rm3_expand",
+    "q_events_kmv_setops",
+    "q_part_skyline",
+    "ann_ivf_filtered_topk",
+    "dedup_containment",
+    "er_fuzzy_part_names",
+    "q_nation_trade_triangles",
+    "q_user_state_scd2",
+    "decontaminate_fuzzy",
+    "q_nation_segment_unpivot",
+    "dq_table_checksum",  # also changed r11: injective v1 encoding
+    "q_orders_grouping_sets",
+    # changed in r11 (stable_ln conversion — engine-invariant log in
+    # every hashed/ranked column; the r10 driver-fail class) — 6.
+    # sample_weighted is THE r10 red row, re-graded on its fix.
+    "sample_weighted",
+    "text_bigram_lm_score",
+    "corpus_zipf_fit",
+    "bm25_retrieve",
+    "tok_bigram_pmi",
+    "corpus_data_card",
+    # new in r11 (must-grade on arrival) — 3
+    "q_group_percentiles_exact",
+    "q_events_cms_salted_join",
+    "q_user_scd2_type1_overlay",
+    # deferred from r10 (r7-graded, unchanged, value-identical by diff
+    # audit — the aging-r7 overflow) — 9: the sentiment_ops suite
+    "sent_classify",
+    "sent_classify_arrow",
+    "sent_distribution",
+    "sent_quality_score",
+    "sent_normalize",
+    "sent_trends",
+    "sent_trend_risk",
+    "summarize_prompts",
+    "recommendation_prompts",
+    # aging r8, trimmed to the remaining 19 slots as two coherent full
+    # suites: relational_ext (10) + relational_tpch2's r8 cohort (9)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_dormant_customers",
+    "q_revenue_rollup",
+    "q16_supplier_breadth",
+    "q_running_revenue",
+    "q_revenue_moving_avg",
+    "q2_min_cost_supplier",
+    "q8_national_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q_cube_revenue",
+]
+# Deferred to r12 (r8-graded, unchanged — the aging-r8 overflow, 31):
+# analytics_ext 7 (emb_label_centroids, q_events_funnel,
+# q_events_retention, pipeline_curate_stats, q_events_gapfill,
+# q_events_anomaly, q_user_overlap), q5_local_supplier, dedup 3
+# (dedup_embedding, dedup_components, dedup_keep_canonical), text_ops 7
+# (text_extract_blocks, text_extract_dates, top_words, text_lang_id,
+# text_quality, text_token_count, text_fingerprint), analytics4 3
+# (q_orders_market_basket, q_events_path_trigrams,
+# train_curriculum_order), curation2 3 (pack_sequences,
+# corpus_vocab_stats, emb_quality_audit), rag_prep 3 (chunk_documents,
+# contrastive_pairs, split_train_holdout), q_events_transitions,
+# chat_ops 3 (chat_suggested_questions, chat_context_summary,
+# run_params). After r11: zero queries ungraded and nothing predates r8.
 
 
 def load_all_modules() -> None:
@@ -276,6 +275,7 @@ def load_all_modules() -> None:
     from .operators import training_ops  # noqa: F401
     from .operators import chat_ops  # noqa: F401
     from .operators import analytics4  # noqa: F401
+    from .operators import analytics5  # noqa: F401
     from .operators import text_index  # noqa: F401
     from .operators import report_ops  # noqa: F401
     from .operators import lm_ops  # noqa: F401

@@ -1,0 +1,148 @@
+"""Semantic pins for the r11 grouped-order-statistics + CMS-salt ops."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+
+from sentiment_analysis_vector_search_spark.operators.analytics5 import (
+    q_events_cms_salted_join,
+    q_group_percentiles_exact,
+)
+
+
+def _mk_events(tmp_path, rows):
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d
+
+
+def test_dist_group_rank_matches_pandas_with_dominant_group(spark):
+    """Exact in-group ranks even when one group holds most rows (the
+    skew case a per-group window cannot distribute)."""
+    import random
+
+    from sentiment_analysis_vector_search_spark.functions.ranks import (
+        dist_group_rank,
+    )
+
+    rng = random.Random(11)
+    rows = [("big", rng.uniform(0, 100), i) for i in range(5000)]
+    rows += [("small", rng.uniform(0, 100), 10_000 + i) for i in range(37)]
+    df = spark.createDataFrame(rows, "g string, v double, tie long")
+    got = {
+        (r["g"], r["tie"]): (r["rk"], r["n_g"])
+        for r in dist_group_rank(df, "g", "v", "tie").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "v", "tie"])
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values(["v", "tie"]).reset_index(drop=True)
+        for i, row in grp.iterrows():
+            assert got[(g, row["tie"])] == (i + 1, len(grp))
+
+
+def test_group_percentiles_exact_planted(spark, tmp_path):
+    """Type-1 quantile semantics: value at rank ceil(q * n)."""
+    T = pd.Timestamp("2026-01-01")
+    rows = []
+    # group A: values 1..10 -> p25 = v[ceil(2.5)=3] = 3, p50 = 5, p75 = 8
+    for i in range(1, 11):
+        rows.append(
+            {"event_id": i, "ts": T, "user_id": 1, "event_type": "A",
+             "value": float(i), "props": "{}"}
+        )
+    # group B: single value
+    rows.append(
+        {"event_id": 99, "ts": T, "user_id": 2, "event_type": "B",
+         "value": 7.5, "props": "{}"}
+    )
+    d = _mk_events(tmp_path, rows)
+    got = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"], r["n"])
+        for r in q_group_percentiles_exact(spark, d).collect()
+    }
+    assert got["A"] == (3.0, 5.0, 8.0, 10)
+    assert got["B"] == (7.5, 7.5, 7.5, 1)
+
+
+def test_group_percentiles_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_group_percentiles_exact", sf_dir)
+
+
+def test_cms_salted_join_parity_and_totals(spark, sf_dir):
+    """Strategy-invariant values: the salted rollup equals the plain
+    groupBy over the same derived segments (and the inline assertion in
+    the operator already guarantees the CMS probe chose 'salted')."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+
+    got = {
+        r["segment"]: (r["n_events"], round(r["total_value"], 6))
+        for r in q_events_cms_salted_join(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("skew_key"),
+        "value",
+    )
+    want = {
+        r["segment"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy(
+            F.concat(
+                F.lit("seg_"), (F.abs(F.col("skew_key")) % 5).cast("string")
+            ).alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9)
+
+
+def test_scd2_type1_overlay_planted(spark, tmp_path):
+    """Every history row of a user carries the tier of their LATEST
+    event value (type 1 overwrites history), tie-broken on event_id."""
+    from sentiment_analysis_vector_search_spark.operators.scd import (
+        q_user_scd2_type1_overlay,
+    )
+
+    T = pd.Timestamp
+    rows = [
+        # user 1: two runs; latest event (ts tie -> higher event_id)
+        # has value 65 -> 'high' stamped on BOTH rows
+        {"event_id": 1, "ts": T("2026-01-01 10:00"), "user_id": 1,
+         "event_type": "view", "value": 5.0, "props": "{}"},
+        {"event_id": 2, "ts": T("2026-01-02 10:00"), "user_id": 1,
+         "event_type": "click", "value": 10.0, "props": "{}"},
+        {"event_id": 3, "ts": T("2026-01-02 10:00"), "user_id": 1,
+         "event_type": "click", "value": 65.0, "props": "{}"},
+        # user 2: one run, mid tier
+        {"event_id": 4, "ts": T("2026-01-01 09:00"), "user_id": 2,
+         "event_type": "signup", "value": 25.0, "props": "{}"},
+    ]
+    d = _mk_events(tmp_path, rows)
+    got = sorted(
+        (r["user_id"], r["state"], r["is_current"], r["cur_tier"])
+        for r in q_user_scd2_type1_overlay(spark, d).collect()
+    )
+    assert got == [
+        (1, "click", 1, "high"),
+        (1, "view", 0, "high"),
+        (2, "signup", 1, "mid"),
+    ]
+
+
+def test_scd2_type1_overlay_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_user_scd2_type1_overlay", sf_dir)
