@@ -99,6 +99,20 @@ SCALE_QUERIES = {
     # (fixed-size) eval set's collisions, so 100x corpus should track
     # the banding scan, not pair volume
     "decontaminate_fuzzy": "doc",
+    # r11 additions (r10 verdict #4) — the late-r10 join-heavies' scale
+    # claims become measured ratios:
+    # two corpus-sized scoring passes sharing checkpointed tf/dl; the
+    # vocabulary-grain rm/expansion stages are Heaps-sub-linear, so the
+    # corpus passes should dominate and the ratio stay <= ~1
+    "bm25_rm3_expand": "doc",
+    # edge DERIVATION is the fact-fact lineitem⋈orders spine at 100x;
+    # enumeration stays at edge grain (<= nations^2) — the claim that
+    # the triangle joins never touch fact volume
+    "q_nation_trade_triangles": "li",
+    # v3 corpus tiles part: distinct names x100 in per-tile disjoint
+    # blocks, block sizes unchanged — the cap+blocking claim is that
+    # comparator volume grows linearly in blocks, never quadratically
+    "er_fuzzy_part_names": "part",
     # relational facts (tiled lineitem/orders, v2 corpus) — LAST so the
     # wall-clock budget sheds them first if the pipeline ops run long:
     # q1 = pure scan+agg linearity; q21 = the decorrelated one-scan
@@ -125,12 +139,12 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # it are SKIPPED AND NAMED (no silent truncation) — the smoke is an
     # order-of-magnitude ratio check, not a completeness gate, and it must
     # not starve the main bench of its capture window.
-    # default raised 840 -> 1260 in r9, -> 1560 in r10: the smoke
-    # legitimately grew again (r9 verdict #2: LM gate + winnow +
-    # pagerank queries and the IVFPQ index block) and a too-small budget
-    # sheds blocks silently — a thinner artifact is worse than a longer
-    # smoke.
-    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1560"))
+    # default raised 840 -> 1260 in r9, -> 1560 in r10, -> 2100 in r11
+    # (r10 verdict #4 adds the rm3/triangles/er join-heavies — rm3 alone
+    # can legitimately run minutes at 100x): the smoke legitimately
+    # grows and a too-small budget sheds blocks silently — a thinner
+    # artifact is worse than a longer smoke.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2100"))
     out = ensure_scale_data(spark, tiles=tiles, emb_tiles=emb_tiles)
 
     detail: dict = {"dir": out, "tiles": tiles, "emb_tiles": emb_tiles, "queries": {}}

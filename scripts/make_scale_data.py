@@ -112,6 +112,28 @@ def _lineitem(spark: SparkSession, src: str, tiles: int) -> DataFrame:
     )
 
 
+def _part(spark: SparkSession, src: str, tiles: int) -> DataFrame:
+    # v3 (r11): part tiles too, for the ER smoke — p_partkey offset per
+    # tile and the name's LAST token (er_fuzzy_part_names' blocking key)
+    # suffixed ~<tile>, so each tile contributes its own disjoint blocks:
+    # distinct names x tiles, block SIZES unchanged. Within a block the
+    # shared suffix adds equal trailing characters, so in-block
+    # Levenshtein distances are exactly the tile-0 distances — the scale
+    # run measures block-join volume growth, not changed semantics.
+    # Fact tables keep their original part keys (same-catalog growth);
+    # only tile 0's parts join them, which no smoke query does.
+    pt = spark.read.parquet(f"{src}/part.parquet")
+    rest = [c for c in pt.columns if c not in ("p_partkey", "p_name")]
+    suffixed = (
+        "concat(p_name, '~', cast(tile as string))"
+    )
+    return _tiled(pt, tiles).select(
+        (F.col("p_partkey") + F.col("tile") * _ID_OFFSET).alias("p_partkey"),
+        F.expr(suffixed).alias("p_name"),
+        *rest,
+    )
+
+
 def _orders(spark: SparkSession, src: str, tiles: int) -> DataFrame:
     od = spark.read.parquet(f"{src}/orders.parquet")
     rest = [c for c in od.columns if c != "o_orderkey"]
@@ -142,7 +164,7 @@ def _manifest(src: str, tiles: int, emb_tiles: int) -> dict:
         st = os.stat(os.path.join(src, f"{t}.parquet"))
         fp[t] = [st.st_mtime_ns, st.st_size]
     return {
-        "version": 2,  # v2: + tiled lineitem/orders, copied dims
+        "version": 3,  # v3: + tiled part (ER smoke); v2: lineitem/orders
         "tiles": tiles,
         "emb_tiles": emb_tiles,
         "src": src,
@@ -173,8 +195,9 @@ def ensure_scale_data(
     _write_single_file(_events(spark, src, tiles), out, "events")
     _write_dir(_lineitem(spark, src, tiles), out, "lineitem")
     _write_dir(_orders(spark, src, tiles), out, "orders")
+    _write_single_file(_part(spark, src, tiles), out, "part")
     # dims unchanged — copy so any registered query runs against the dir
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    for t in ("region", "nation", "customer", "supplier"):
         shutil.copyfile(
             os.path.join(src, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
         )
