@@ -226,6 +226,8 @@ HEADLINE = [
     "q_group_percentiles_exact",
     "q_events_cms_salted_join",
     "q_user_scd2_type1_overlay",
+    "sample_char_budget",
+    "q_events_psi_drift",
 ]
 
 

@@ -137,3 +137,70 @@ def dist_group_rank(
         .withColumn("rk", F.col("off") + (F.col("_mid") - F.col("base")) + 1)
         .select(group_col, value_col, tie_col, "rk", "n_g")
     )
+
+
+def dist_group_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Exact PER-GROUP rank AND running sum of ``val_col`` in
+    (order_col, tie_col) order, without a per-group global window — the
+    prefix-sum extension of :func:`dist_group_rank` (same range
+    partitioning, same bounded offset metadata; r11).
+
+    The within-segment running sum DOES use a window, but its partition
+    is one (physical partition, group) segment — bounded by the task's
+    input split, never by group size — the same chunk-bound discipline
+    as the (user, day) event windows. Per-(partition, group) value sums
+    join the count offsets in one broadcast relation, so the global
+    prefix is segment_offset + local running sum.
+
+    Sums are exact only for integral ``val_col`` (the caller's
+    contract; use a decimal cast upstream for fractional values).
+    Returns (group_col, order_col, tie_col, val_col, rk, cum)."""
+    spark = df.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
+    parts = (
+        df.select(group_col, order_col, tie_col, val_col)
+        .repartitionByRange(n_part, group_col, order_col, tie_col)
+        .sortWithinPartitions(group_col, order_col, tie_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    seg = parts.groupBy("_pid", group_col).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(val_col).alias("s"),
+        F.min("_mid").alias("base"),
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = seg.select(
+        F.col("_pid").alias("_opid"),
+        F.col(group_col).alias("_og"),
+        "base",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("sum_off"),
+    )
+    w_local = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy("_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parts.withColumn("_lcum", F.sum(val_col).over(w_local))
+        .join(
+            F.broadcast(offs),
+            (parts["_pid"] == offs["_opid"])
+            & (parts[group_col] == offs["_og"]),
+        )
+        .withColumn("rk", F.col("off") + (F.col("_mid") - F.col("base")) + 1)
+        .withColumn("cum", F.col("sum_off") + F.col("_lcum"))
+        .select(group_col, order_col, tie_col, val_col, "rk", "cum")
+    )

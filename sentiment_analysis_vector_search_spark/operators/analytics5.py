@@ -22,6 +22,23 @@ planner actually issues when the suspect set is known (null keys,
 default tenants, bot accounts) — while MG answers "which keys are hot".
 Values are strategy-invariant; the oracle checks the plain SQL join.
 
+``sample_char_budget`` — per-source corpus sampling to a CHARACTER
+BUDGET (the token-budget draw every pretraining mix executes: "at most
+B units from each source, chosen deterministically"): docs order by an
+md5 draw and accumulate until the budget, via the new
+``dist_group_prefix_sum`` device — the prefix-sum extension of
+dist_group_rank, so no per-source global window even when one source IS
+most of the corpus. Output volume is bounded by budget x |sources|
+regardless of corpus size. Complements cap_per_source (count cap) with
+the budget semantics real mixes use.
+
+``q_events_psi_drift`` — Population Stability Index between two user
+cohorts' value distributions per event type (THE standard drift gate
+between training snapshots / ingest batches): fixed-width integer bins,
+add-one smoothing so empty bins stay defined, and every log is
+stable_ln over exact integer counts — the engine-invariant form of
+PSI's (p-q)·ln(p/q).
+
 Reference scope note: the reference's pandas pipeline computes grouped
 describe()-style stats in memory (Data_preprocessing/
 Sentiment_data_analysis.py); these are the distributed-exact
@@ -34,8 +51,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.ranks import dist_group_rank
-from ..functions.stable import dsum, sql_dsum
+from ..functions.hashing import md5_long, sql_md5_long
+from ..functions.ranks import dist_group_prefix_sum, dist_group_rank
+from ..functions.stable import (
+    dsum,
+    sql_dec2double,
+    sql_dsum,
+    sql_stable_ln,
+    sql_vardec,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -173,4 +197,179 @@ def q_events_cms_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_char_budget
+# ---------------------------------------------------------------------------
+
+_CB_BUDGET = 5_000  # chars per source
+
+
+_CB_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         {sql_md5_long("'cbudget:' || cast(doc_id as varchar)")} AS hk
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, rk, cast(cum as bigint) AS cum_chars
+FROM c WHERE cum <= {_CB_BUDGET}
+"""
+
+
+@register("sample_char_budget", oracle=_CB_ORACLE)
+def sample_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source draw to a character budget: docs rank by
+    an md5 hash (a uniform draw that is stable under retries, appends,
+    and engine choice) and survive while the running character total
+    stays within the budget.
+
+    Scale shape: the rank AND running sum come from
+    ``dist_group_prefix_sum`` — range partitioning spreads a dominant
+    source over many tasks, the only window runs per (physical
+    partition, source) segment, and the offset relation is bounded
+    metadata. Output is <= budget x |sources| rows no matter the corpus
+    size. Parity: the entire pipeline is integer-exact (hash ranks,
+    integer char counts) — nothing to round."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        md5_long(
+            F.concat(F.lit("cbudget:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    ps = dist_group_prefix_sum(keyed, "source", "hk", "doc_id", "n_chars")
+    return (
+        ps.where(F.col("cum") <= _CB_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "rk",
+            F.col("cum").cast("bigint").alias("cum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_events_psi_drift
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_WIDTH = 50  # value bin width; bin = min(floor(value / 50), 9)
+
+# Shared PSI term over staged integer columns (c, d: smoothed-from
+# cohort bin counts; m, n: cohort totals): every log is stable_ln over
+# an exact integer, the rational arithmetic is correctly rounded in one
+# fixed op order — engine-invariant end to end.
+_PSI_TERM = (
+    f"((cast(c + 1 as double) / cast(m + {_PSI_BINS} as double))"
+    f" - (cast(d + 1 as double) / cast(n + {_PSI_BINS} as double)))"
+    f" * ((({sql_stable_ln('c + 1')} - {sql_stable_ln(f'm + {_PSI_BINS}')})"
+    f" - {sql_stable_ln('d + 1')}) + {sql_stable_ln(f'n + {_PSI_BINS}')})"
+)
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, user_id % 2 AS cohort,
+         least(greatest(cast(floor(value / {_PSI_WIDTH}) as int), 0),
+               {_PSI_BINS - 1}) AS bin
+  FROM events
+), cnt AS (
+  SELECT event_type, cohort, bin, count(*) AS nc FROM ev GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type,
+         cast(sum(CASE WHEN cohort = 0 THEN nc ELSE 0 END) as bigint) AS m,
+         cast(sum(CASE WHEN cohort = 1 THEN nc ELSE 0 END) as bigint) AS n
+  FROM cnt GROUP BY 1
+), bins AS (
+  SELECT t.event_type, x.bin
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(range({_PSI_BINS})) AS bin) x
+), pre AS (
+  SELECT b.event_type,
+         coalesce(a.nc, 0) AS c, coalesce(d0.nc, 0) AS d, t.m, t.n
+  FROM bins b
+  LEFT JOIN cnt a ON a.event_type = b.event_type AND a.bin = b.bin
+                 AND a.cohort = 0
+  LEFT JOIN cnt d0 ON d0.event_type = b.event_type AND d0.bin = b.bin
+                  AND d0.cohort = 1
+  JOIN tot t ON t.event_type = b.event_type
+)
+SELECT event_type, max(m) AS n_a, max(n) AS n_b,
+       round({sql_dec2double(f"sum({sql_vardec(_PSI_TERM)})")}, 6) AS psi
+FROM pre GROUP BY event_type
+"""
+
+
+@register("q_events_psi_drift", oracle=_PSI_ORACLE)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the even/odd user cohorts' value distributions per
+    event type: Σ_bins (p_i − q_i)·ln(p_i/q_i) over fixed-width integer
+    bins with add-one smoothing (p_i = (c_i+1)/(m+B)), so empty bins
+    stay defined and the full bin set is enumerated deterministically.
+
+    Scale shape: ONE fact-scan partial aggregate at (type, cohort, bin)
+    grain; totals and the bin scaffold derive from that tiny relation
+    (≤ |types| × B rows), so the PSI arithmetic never touches fact
+    volume. Parity: stable_ln over integer counts (SCALING rule 31),
+    decimal-summed terms, round 6."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / _PSI_WIDTH).cast("int"), F.lit(0)
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cnt = (
+        ev.groupBy("event_type", "cohort", "bin")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .localCheckpoint(eager=False)  # three consumers of a tiny relation
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("nc")).otherwise(0)).alias("m"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("nc")).otherwise(0)).alias("n"),
+    )
+    bins = (
+        cnt.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+    )
+    a = cnt.where(F.col("cohort") == 0).select(
+        "event_type", "bin", F.col("nc").alias("ca")
+    )
+    b = cnt.where(F.col("cohort") == 1).select(
+        "event_type", "bin", F.col("nc").alias("cb")
+    )
+    pre = (
+        bins.join(a, ["event_type", "bin"], "left")
+        .join(b, ["event_type", "bin"], "left")
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.coalesce("ca", F.lit(0)).alias("c"),
+            F.coalesce("cb", F.lit(0)).alias("d"),
+            "m",
+            "n",
+        )
+    )
+    return pre.groupBy("event_type").agg(
+        F.max("m").alias("n_a"),
+        F.max("n").alias("n_b"),
+        F.round(dsum(F.expr(_PSI_TERM)), 6).alias("psi"),
     )

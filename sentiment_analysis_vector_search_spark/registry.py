@@ -196,10 +196,12 @@ GRADED_WINDOW: list[str] = [
     "bm25_retrieve",
     "tok_bigram_pmi",
     "corpus_data_card",
-    # new in r11 (must-grade on arrival) — 3
+    # new in r11 (must-grade on arrival) — 5
     "q_group_percentiles_exact",
     "q_events_cms_salted_join",
     "q_user_scd2_type1_overlay",
+    "sample_char_budget",
+    "q_events_psi_drift",
     # deferred from r10 (r7-graded, unchanged, value-identical by diff
     # audit — the aging-r7 overflow) — 9: the sentiment_ops suite
     "sent_classify",
@@ -211,8 +213,10 @@ GRADED_WINDOW: list[str] = [
     "sent_trend_risk",
     "summarize_prompts",
     "recommendation_prompts",
-    # aging r8, trimmed to the remaining 19 slots as two coherent full
-    # suites: relational_ext (10) + relational_tpch2's r8 cohort (9)
+    # aging r8, trimmed to the remaining 17 slots: relational_ext (10)
+    # + relational_tpch2's r8 cohort minus its last two (q21 and
+    # q_cube_revenue roll to the r12 defer list to make room for the
+    # two later-r11 ops above)
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_effect",
@@ -230,10 +234,9 @@ GRADED_WINDOW: list[str] = [
     "q12_priority_shipping",
     "q15_top_supplier",
     "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q_cube_revenue",
 ]
-# Deferred to r12 (r8-graded, unchanged — the aging-r8 overflow, 31):
+# Deferred to r12 (r8-graded, unchanged — the aging-r8 overflow, 33):
+# q21_waiting_suppliers, q_cube_revenue,
 # analytics_ext 7 (emb_label_centroids, q_events_funnel,
 # q_events_retention, pipeline_curate_stats, q_events_gapfill,
 # q_events_anomaly, q_user_overlap), q5_local_supplier, dedup 3

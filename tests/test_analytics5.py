@@ -6,6 +6,7 @@ import math
 import os
 
 import pandas as pd
+import pytest
 
 from sentiment_analysis_vector_search_spark.operators.analytics5 import (
     q_events_cms_salted_join,
@@ -146,3 +147,118 @@ def test_scd2_type1_overlay_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "q_user_scd2_type1_overlay", sf_dir)
+
+
+def test_dist_group_prefix_sum_matches_pandas(spark):
+    """Rank and cumulative sum per group, dominant group included."""
+    import random
+
+    from sentiment_analysis_vector_search_spark.functions.ranks import (
+        dist_group_prefix_sum,
+    )
+
+    rng = random.Random(3)
+    rows = [("big", rng.randint(0, 10_000), i, rng.randint(1, 500))
+            for i in range(4000)]
+    rows += [("small", rng.randint(0, 10_000), 10_000 + i, rng.randint(1, 500))
+             for i in range(23)]
+    df = spark.createDataFrame(rows, "g string, o long, tie long, v long")
+    got = {
+        (r["g"], r["tie"]): (r["rk"], r["cum"])
+        for r in dist_group_prefix_sum(df, "g", "o", "tie", "v").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "o", "tie", "v"])
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values(["o", "tie"]).reset_index(drop=True)
+        cum = 0
+        for i, row in grp.iterrows():
+            cum += row["v"]
+            assert got[(g, row["tie"])] == (i + 1, cum)
+
+
+def test_sample_char_budget_semantics(spark, sf_dir):
+    """Every kept row's running total respects the budget, prefixes are
+    closed (rank k kept => ranks 1..k-1 kept), and at least one source
+    is actually cut at test SF (the budget binds)."""
+    from sentiment_analysis_vector_search_spark.operators.analytics5 import (
+        _CB_BUDGET,
+        sample_char_budget,
+    )
+
+    got = sample_char_budget(spark, sf_dir).toPandas()
+    assert (got["cum_chars"] <= _CB_BUDGET).all()
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs_by_src = docs.groupby("source").size()
+    kept_by_src = got.groupby("source").size()
+    # prefix-closed: kept ranks are exactly 1..k per source
+    for src, grp in got.groupby("source"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+        # cum is the running sum of n_chars in rank order
+        grp = grp.sort_values("rk")
+        assert (grp["n_chars"].cumsum() == grp["cum_chars"]).all()
+    assert (kept_by_src < n_docs_by_src.loc[kept_by_src.index]).any()
+
+
+def test_sample_char_budget_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "sample_char_budget", sf_dir)
+
+
+def test_psi_drift_planted_and_properties(spark, tmp_path):
+    """PSI semantics: identical cohort distributions give PSI ~ 0; a
+    planted shift gives a clearly positive PSI; python reference agrees
+    to 6dp."""
+    from sentiment_analysis_vector_search_spark.functions.stable import (
+        py_stable_ln,
+    )
+    from sentiment_analysis_vector_search_spark.operators.analytics5 import (
+        _PSI_BINS,
+        _PSI_WIDTH,
+        q_events_psi_drift,
+    )
+
+    T = pd.Timestamp("2026-01-01")
+    rows = []
+    eid = 0
+    # type "same": both cohorts uniform over bins 0..3
+    for b in range(4):
+        for u in (0, 1, 2, 3):  # users 0,2 cohort 0; 1,3 cohort 1
+            eid += 1
+            rows.append({"event_id": eid, "ts": T, "user_id": u,
+                         "event_type": "same",
+                         "value": float(b * _PSI_WIDTH + 1), "props": "{}"})
+    # type "shift": cohort 0 all in bin 0, cohort 1 all in bin 9
+    for i in range(8):
+        eid += 1
+        rows.append({"event_id": eid, "ts": T, "user_id": 0,
+                     "event_type": "shift", "value": 1.0, "props": "{}"})
+        eid += 1
+        rows.append({"event_id": eid, "ts": T, "user_id": 1,
+                     "event_type": "shift", "value": 480.0, "props": "{}"})
+    d = _mk_events(tmp_path, rows)
+    got = {r["event_type"]: r for r in q_events_psi_drift(spark, d).collect()}
+    assert got["same"]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert got["shift"]["psi"] > 1.0
+
+    # python reference for the shifted type
+    def psi(ca, cb, m, n):
+        tot = 0.0
+        for i in range(_PSI_BINS):
+            c, dd = ca.get(i, 0), cb.get(i, 0)
+            p = (c + 1) / (m + _PSI_BINS)
+            q = (dd + 1) / (n + _PSI_BINS)
+            lnr = ((py_stable_ln(c + 1) - py_stable_ln(m + _PSI_BINS))
+                   - py_stable_ln(dd + 1)) + py_stable_ln(n + _PSI_BINS)
+            tot += round((p - q) * lnr, 10)
+        return tot
+
+    want = psi({0: 8}, {9: 8}, 8, 8)
+    assert got["shift"]["psi"] == pytest.approx(want, abs=1e-6)
+    assert got["shift"]["n_a"] == 8 and got["shift"]["n_b"] == 8
+
+
+def test_psi_drift_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_events_psi_drift", sf_dir)
