@@ -94,6 +94,29 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     return rows
 
 
+def _settle(spark) -> None:
+    """Release leftover checkpoint blocks between queries.
+
+    Operators localCheckpoint multi-consumer relations; the blocks live
+    in the block manager until the RDD object is garbage-collected and
+    the ContextCleaner unpersists it. Under the vanilla session's 1 GiB
+    default heap, a full sf0.1 sweep accumulates enough un-collected
+    blocks that a later wide stage OOMs (observed r11: the sweep died at
+    query ~53 in two independent runs once the window reorder moved the
+    checkpoint-heavy queries earlier). Dropping the Python refs and
+    nudging the JVM GC after each query lets the cleaner reclaim
+    UNREFERENCED blocks only — cross-query memos (representatives'
+    cached fit) stay referenced and untouched, so results are
+    unaffected."""
+    import gc
+
+    gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — best-effort hygiene
+        pass
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
@@ -150,6 +173,8 @@ def main() -> int:
             msg = str(e).split("\n")[0][:200]
             print(f"  {name}: ERROR {type(e).__name__}: {msg}")
             n_fail += 1
+        finally:
+            _settle(spark)
     print(f"\n{n_pass} hash-match, {n_rowsonly} rows-only, {n_fail} failed @ {sf_dir}")
     if slow:
         print("slow (>2s): " + ", ".join(f"{n}={t:.1f}s" for n, t in slow))
