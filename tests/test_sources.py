@@ -348,7 +348,7 @@ def test_cli_lint_verb(sf_dir, capsys):
 
     from sentiment_analysis_vector_search_spark.__main__ import main
 
-    rc = main(["lint", "q_events_cms", "--sf-dir", sf_dir])
+    rc = main(["lint", "q_events_cms_freq", "--sf-dir", sf_dir])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["checked"] == 1 and out["clean"] == 1
     rc = main(["lint", "no_such_prefix", "--sf-dir", sf_dir])
