@@ -172,6 +172,29 @@ def _manifest(src: str, tiles: int, emb_tiles: int) -> dict:
     }
 
 
+def _warm_page_cache(out: str) -> None:
+    """Sequentially read every tiled parquet file once on corpus REUSE.
+
+    A fresh build leaves the corpus page-hot (the writer just produced
+    it) — the cache state the smoke's ratio comments assume and the one
+    a fresh-container driver run always sees. A manifest-match reuse
+    run on a long-lived host starts page-COLD instead, and r11 measured
+    the asymmetry directly: rag_retrieve 70.6s on a cold reuse run vs
+    26.7s on the rebuild run at the same HEAD (2.6x, pure page cache).
+    One sequential pass (~seconds from local NVMe, bounded by corpus
+    bytes) pins both configurations to the same hot state."""
+    for root, _, files in os.walk(out):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            try:
+                with open(os.path.join(root, name), "rb") as f:
+                    while f.read(1 << 24):
+                        pass
+            except OSError:
+                pass
+
+
 def ensure_scale_data(
     spark: SparkSession,
     src: str = "/root/testdata/sf0.1",
@@ -186,6 +209,7 @@ def ensure_scale_data(
         try:
             with open(manifest_path) as f:
                 if json.load(f) == want:
+                    _warm_page_cache(out)
                     return out
         except (OSError, json.JSONDecodeError):
             pass
