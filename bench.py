@@ -228,6 +228,8 @@ HEADLINE = [
     "q_user_scd2_type1_overlay",
     "sample_char_budget",
     "q_events_psi_drift",
+    # late r11 (post-freeze; staged r12 must-grade)
+    "q_group_percentiles_interp",
 ]
 
 

@@ -117,6 +117,99 @@ def q_group_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_group_percentiles_interp — the type-7 (numpy/pandas default) twin of
+# q_group_percentiles_exact: linear interpolation between the two
+# bracketing order statistics, h = (n-1)q + 1, p = v_lo + (h - lo) *
+# (v_hi - v_lo). Same dist_group_rank device; the interpolation is one
+# shared expression text of correctly-rounded IEEE ops over the two
+# selected raw doubles, so it is engine-invariant with no rounding
+# step (q in {.25, .5, .75} and n make h an exact quarter-integer on
+# both engines' literal types).
+# ---------------------------------------------------------------------------
+
+
+def _gi_interp(tag: str, q: float) -> str:
+    h = f"((cast(n as double) - 1.0) * {q} + 1.0)"
+    return f"(lo{tag} + ({h} - floor({h})) * (hi{tag} - lo{tag}))"
+
+
+def _gi_sel(tag: str, q: float) -> str:
+    lo = f"floor((n_g - 1) * {q} + 1)"
+    return (
+        f"max(CASE WHEN rk = {lo} THEN value END) AS lo{tag}, "
+        f"max(CASE WHEN rk = least({lo} + 1, n_g) THEN value END) AS hi{tag}"
+    )
+
+
+_GI_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_g
+  FROM events
+), agg AS (
+  SELECT event_type, max(n_g) AS n,
+         {_gi_sel('25', 0.25)},
+         {_gi_sel('50', 0.5)},
+         {_gi_sel('75', 0.75)}
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       {_gi_interp('25', 0.25)} AS p25,
+       {_gi_interp('50', 0.5)} AS p50,
+       {_gi_interp('75', 0.75)} AS p75,
+       n
+FROM agg
+"""
+
+
+@register("q_group_percentiles_interp", oracle=_GI_ORACLE)
+def q_group_percentiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-interpolated (type-7) per-group quartiles through
+    dist_group_rank — matches pandas' default quantile on every group
+    without a per-group sort window (pytest-pinned vs pandas)."""
+    ev = table(spark, sf_dir, "events")
+    ranked = dist_group_rank(ev, "event_type", "value", "event_id")
+
+    def lo(q: float):
+        return F.floor((F.col("n_g") - F.lit(1)) * F.lit(q) + F.lit(1))
+
+    def sel(q: float):
+        return (
+            F.max(F.when(F.col("rk") == lo(q), F.col("value"))),
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.least(lo(q) + F.lit(1), F.col("n_g")),
+                    F.col("value"),
+                )
+            ),
+        )
+
+    hits = ranked.where(
+        (F.col("rk") == lo(0.25))
+        | (F.col("rk") == F.least(lo(0.25) + 1, F.col("n_g")))
+        | (F.col("rk") == lo(0.5))
+        | (F.col("rk") == F.least(lo(0.5) + 1, F.col("n_g")))
+        | (F.col("rk") == lo(0.75))
+        | (F.col("rk") == F.least(lo(0.75) + 1, F.col("n_g")))
+    )
+    aggs = []
+    for tag, q in (("25", 0.25), ("50", 0.5), ("75", 0.75)):
+        a, b = sel(q)
+        aggs += [a.alias(f"lo{tag}"), b.alias(f"hi{tag}")]
+    agg = hits.groupBy("event_type").agg(F.max("n_g").alias("n"), *aggs)
+    return agg.select(
+        "event_type",
+        F.expr(_gi_interp("25", 0.25)).alias("p25"),
+        F.expr(_gi_interp("50", 0.5)).alias("p50"),
+        F.expr(_gi_interp("75", 0.75)).alias("p75"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_events_cms_salted_join
 # ---------------------------------------------------------------------------
 

@@ -235,6 +235,12 @@ GRADED_WINDOW: list[str] = [
     "q15_top_supplier",
     "q20_part_promotion",
 ]
+# Staged r12 must-grades (late-r11 registrations past the 50-slot
+# freeze — the deliberately small freeze-tail the r10 verdict #9 asks
+# for): q_group_percentiles_interp (judge-sweep green at both SFs on
+# registration; the type-7 twin of the in-window exact variant), plus
+# any later r11 additions noted here.
+#
 # Deferred to r12 (r8-graded, unchanged — the aging-r8 overflow, 33):
 # q21_waiting_suppliers, q_cube_revenue,
 # analytics_ext 7 (emb_label_centroids, q_events_funnel,

@@ -987,6 +987,51 @@ def stream_cms_maintenance(
         q.awaitTermination()
 
 
+def stream_checksum_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "documents",
+) -> None:
+    """Continuously-maintained table checksum: streaming files →
+    ``foreachBatch`` → ``operators.dq.incremental_checksum``. Each
+    micro-batch is scanned once (one partial-agg digest pass, two
+    scalars to the driver) and folded into the persisted manifest, so
+    the migration-validation digest of everything ingested is always
+    current WITHOUT re-reading the table — the fifth maintained
+    artifact next to KMV / MG / bottom-k / CMS, closing the r10 verdict
+    #6 loop (shard checksums fold incrementally like the other
+    maintained artifacts).
+
+    Exactly-once with NO crash window: the digest and row count are
+    additive, so the applied-batch record rides inside the manifest
+    JSON's single os.replace (fold and record commit together, the
+    incremental_cms protocol)."""
+    from ..operators.dq import incremental_checksum
+
+    src = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("pathGlobFilter", f"{table_name}*.parquet")
+        .option("maxFilesPerTrigger", "1")  # one source file per batch
+        .parquet(sf_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_checksum(
+            manifest_dir, table_name, batch_df, batch_id=batch_id
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def check_scd_meta(scd_dir: str, n_buckets: int) -> None:
     """Pin the SCD2 dimension's bucket count to its on-disk layout.
 

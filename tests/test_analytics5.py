@@ -262,3 +262,27 @@ def test_psi_drift_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "q_events_psi_drift", sf_dir)
+
+
+def test_group_percentiles_interp_matches_pandas(spark, sf_dir):
+    """Type-7 semantics: matches pandas' default quantile per group."""
+    from sentiment_analysis_vector_search_spark.operators.analytics5 import (
+        q_group_percentiles_interp,
+    )
+
+    got = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"], r["n"])
+        for r in q_group_percentiles_interp(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    for t, grp in ev.groupby("event_type"):
+        v = grp["value"]
+        assert got[t][3] == len(grp)
+        for i, q in enumerate((0.25, 0.5, 0.75)):
+            assert got[t][i] == pytest.approx(v.quantile(q), rel=1e-12), (t, q)
+
+
+def test_group_percentiles_interp_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_group_percentiles_interp", sf_dir)

@@ -525,3 +525,52 @@ def test_stream_sample_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
     )
     with open(path) as f:
         assert json.load(f)["rows"] == want
+
+
+def test_stream_checksum_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
+    """Streamed per-batch checksum folds must equal the one-shot graded
+    checksum over everything ingested (additive digest + row count), a
+    re-drain must be a no-op, and a fresh-checkpoint replay must be
+    skipped by the recorded batch ids."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.operators.dq import (
+        dq_table_checksum,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_checksum_maintenance,
+    )
+
+    src_dir = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    os.makedirs(src_dir)
+    docs.where(F.col("doc_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/documents_a.parquet", index=False
+    )
+    docs.where(F.col("doc_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/documents_b.parquet", index=False
+    )
+    man_dir = str(tmp_path / "man")
+    ckpt = str(tmp_path / "ckpt")
+    stream_checksum_maintenance(spark, src_dir, man_dir, ckpt)
+
+    with open(os.path.join(man_dir, "documents__checksum.json")) as f:
+        man = json.load(f)
+    want = dq_table_checksum(spark, sf_dir).collect()[0]
+    assert man["n_rows"] == want["n_rows"]
+    assert man["checksum"] == want["checksum"]
+    assert len(man["__meta__"]["applied_batch_ids"]) == 2
+
+    # re-drain: no new files -> manifest byte-identical
+    stream_checksum_maintenance(spark, src_dir, man_dir, ckpt)
+    with open(os.path.join(man_dir, "documents__checksum.json")) as f:
+        assert json.load(f) == man
+
+    # fresh checkpoint: same files re-deliver as the same batch ids —
+    # the record inside the manifest must skip the double-fold
+    stream_checksum_maintenance(spark, src_dir, man_dir, str(tmp_path / "ck2"))
+    with open(os.path.join(man_dir, "documents__checksum.json")) as f:
+        again = json.load(f)
+    assert again["n_rows"] == want["n_rows"]
+    assert again["checksum"] == want["checksum"]
