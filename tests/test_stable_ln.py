@@ -83,3 +83,35 @@ def test_ln2_literal_is_shortest_repr_of_math_log2():
 
     assert LN2 == math.log(2.0)
     assert float(repr(LN2)) == LN2
+
+
+def test_powers_of_two_are_exact_multiples_of_ln2():
+    # z = 0 collapses the series: stable_ln(2^k) == k * LN2 exactly
+    for k in range(0, 52):
+        assert py_stable_ln(1 << k) == k * LN2
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 52) - 1))
+    def test_hypothesis_accuracy_over_full_domain(a):
+        getcontext().prec = 50
+        got = py_stable_ln(a)
+        if a == 1:
+            assert got == 0.0
+        else:
+            assert got == pytest.approx(float(Decimal(a).ln()), rel=1e-14)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=(1 << 31) - 1))
+    def test_hypothesis_d_form_matches_ratio(a):
+        # ln(a / 2^31) == ln(a) - 31 ln 2 to within a couple of ulps of
+        # the independently computed decimal reference
+        getcontext().prec = 50
+        true = float((Decimal(a) / Decimal(1 << 31)).ln())
+        assert py_stable_ln(a, 31) == pytest.approx(true, rel=1e-13, abs=1e-13)
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
