@@ -38,3 +38,18 @@ def test_survey_checklist_has_no_unchecked_rows():
     sec = _survey_section2()
     unchecked = [l for l in sec.splitlines() if l.strip().startswith("- [ ]")]
     assert not unchecked, unchecked
+
+
+def test_graded_window_is_the_queries_prefix_with_oracles():
+    """The driver grades the FIRST 50 registry entries: the window list
+    must be exactly that prefix and every member must carry an oracle
+    (a rows-only window slot would silently weaken a graded row)."""
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.registry import GRADED_WINDOW
+
+    qs = list(entrymod.queries())
+    assert qs[: len(GRADED_WINDOW)] == GRADED_WINDOW
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in GRADED_WINDOW if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
