@@ -100,6 +100,64 @@ def stable_ln(a: str, d: int = 0) -> Column:
     return F.expr(sql_stable_ln(a, d))
 
 
+# ---------------------------------------------------------------------------
+# Staged emission (r11 verdict #2). sql_stable_ln inlines its argument
+# into every Horner term — 8,440 chars for a simple column argument —
+# and that TEXT size is pure Catalyst parse/analysis cost: the driver
+# bench showed bm25_retrieve 0.75s -> 4.4s (x6) and tok_bigram_pmi x2.3
+# once their scoring expressions carried two-to-five inlined calls.
+# Oversized exprs also risk codegen falling back to interpreted eval
+# (JVM 64KB method limit) — a per-row hazard on fact-grain columns.
+#
+# stable_ln_stages emits the IDENTICAL op DAG as three short named
+# intermediate columns (e, z, z2 — each computed once) plus a final
+# Horner over the short names (~1 KB total instead of ~8.4 KB per call).
+# Naming an intermediate does not change its IEEE value, so staged and
+# inline forms are bit-identical (pytest-pinned in test_stable_ln.py);
+# oracles can keep the inline sql_stable_ln text (DuckDB parse cost is
+# irrelevant) while Spark plans use the staged columns. Spark >= 3.3's
+# CollapseProject refuses to inline a non-cheap alias referenced more
+# than once (SPARK-36718), so the staging survives optimization: z2
+# feeds 20 Horner terms but is evaluated once per row.
+# ---------------------------------------------------------------------------
+
+
+def stable_ln_stages(
+    a: str, d: int = 0, prefix: str = "_sln"
+) -> tuple[list[tuple[str, str]], str]:
+    """Staged twin of :func:`sql_stable_ln`: returns
+    ``([(col_name, expr_text), ...], final_expr_text)`` where the final
+    text references only the short stage names. Same op sequence, same
+    bits; ~8x smaller generated text."""
+    e, z, z2 = f"{prefix}_e", f"{prefix}_z", f"{prefix}_z2"
+    p = f"(cast(1 as bigint) << {e})"
+    stages = [
+        (e, f"(length(bin(cast({a} as bigint))) - 1)"),
+        (
+            z,
+            f"(cast(cast({a} as bigint) - {p} as double)"
+            f" / cast(cast({a} as bigint) + {p} as double))",
+        ),
+        (z2, f"({z} * {z})"),
+    ]
+    s = repr(_LN_COEF[_LN_K - 1])
+    for j in range(_LN_K - 2, -1, -1):
+        s = f"({s} * {z2} + {_LN_COEF[j]!r})"
+    final = f"(cast({e} - {d} as double) * {LN2!r} + (2.0 * {z}) * {s})"
+    return stages, final
+
+
+def with_stable_ln(df, a: str, out: str, d: int = 0):
+    """Append column ``out`` = stable_ln(a, d) to ``df`` via staged
+    intermediates (named after ``out`` so multiple calls on one relation
+    never collide), dropping the intermediates afterwards. Bit-identical
+    to ``F.expr(sql_stable_ln(a, d))`` — see module note above."""
+    stages, final = stable_ln_stages(a, d, prefix=f"_{out}")
+    for name, text in stages:
+        df = df.withColumn(name, F.expr(text))
+    return df.withColumn(out, F.expr(final)).drop(*[n for n, _ in stages])
+
+
 def py_stable_ln(a: int, d: int = 0) -> float:
     """Pure-Python reference: the identical operation sequence in host
     IEEE doubles. Tests pin Spark == DuckDB == this, bit for bit."""

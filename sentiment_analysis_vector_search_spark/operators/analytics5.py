@@ -39,10 +39,14 @@ add-one smoothing so empty bins stay defined, and every log is
 stable_ln over exact integer counts — the engine-invariant form of
 PSI's (p-q)·ln(p/q).
 
-Reference scope note: the reference's pandas pipeline computes grouped
-describe()-style stats in memory (Data_preprocessing/
-Sentiment_data_analysis.py); these are the distributed-exact
-re-expressions of that surface.
+Scope note: these four operators are LLM-data-pipeline extensions (the
+grouped-order-statistics / drift-gate surface a 100 TB curation run
+needs), not reference parity — the reference has no grouped-quantile or
+drift operator. Its nearest analysis surface is the in-memory pandas
+aggregation inside summarize_sentiments_fun.py (per-label means over a
+collected frame), which cannot express per-group exact quantiles at
+scale; these are the distributed-exact re-expressions of that style of
+grouped describe() analytics.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ from ..functions.stable import (
     sql_dsum,
     sql_stable_ln,
     sql_vardec,
+    with_stable_ln,
 )
 from ..registry import register
 
@@ -399,7 +404,7 @@ WITH ev AS (
   JOIN tot t ON t.event_type = b.event_type
 )
 SELECT event_type, max(m) AS n_a, max(n) AS n_b,
-       round({sql_dec2double(f"sum({sql_vardec(_PSI_TERM)})")}, 6) AS psi
+       {sql_dec2double(f"sum({sql_vardec(_PSI_TERM)})")} AS psi
 FROM pre GROUP BY event_type
 """
 
@@ -415,7 +420,8 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain; totals and the bin scaffold derive from that tiny relation
     (≤ |types| × B rows), so the PSI arithmetic never touches fact
     volume. Parity: stable_ln over integer counts (SCALING rule 31),
-    decimal-summed terms, round 6."""
+    decimal-summed terms, raw double out (no final round — see the
+    in-body comment; a real 1e-6 midpoint tie exists at sf0.001)."""
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("user_id") % 2).alias("cohort"),
@@ -461,8 +467,30 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # Staged stable_ln (r11 verdict #2): four inline calls cost ~34 KB
+    # of plan text; the staged form is the identical op DAG — bit-equal
+    # to the oracle's inline _PSI_TERM.
+    for col, out in [
+        ("c + 1", "_ln_c1"),
+        (f"m + {_PSI_BINS}", "_ln_mb"),
+        ("d + 1", "_ln_d1"),
+        (f"n + {_PSI_BINS}", "_ln_nb"),
+    ]:
+        pre = with_stable_ln(pre, col, out)
+    psi_term = (
+        f"((cast(c + 1 as double) / cast(m + {_PSI_BINS} as double))"
+        f" - (cast(d + 1 as double) / cast(n + {_PSI_BINS} as double)))"
+        " * (((_ln_c1 - _ln_mb) - _ln_d1) + _ln_nb)"
+    )
+    # NO final round (the text_bigram_lm_score precedent, and a bug this
+    # repo's boundary-distance pin CAUGHT: at sf0.001 the 'error' cohort
+    # PSI decimal sum is exactly 0.0575625000 — dead on a 1e-6 rounding
+    # midpoint, where Spark's HALF_UP and DuckDB's float round disagree.
+    # The decimal sum is exact and order-independent and the
+    # decimal->double cast is correctly rounded on both engines, so the
+    # raw double is bit-identical everywhere.
     return pre.groupBy("event_type").agg(
         F.max("m").alias("n_a"),
         F.max("n").alias("n_b"),
-        F.round(dsum(F.expr(_PSI_TERM)), 6).alias("psi"),
+        dsum(F.expr(psi_term)).alias("psi"),
     )

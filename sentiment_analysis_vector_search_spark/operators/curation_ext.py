@@ -414,8 +414,15 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     # per_src is |sources| rows — broadcast into the lang-mix relation
     mix = lc.join(F.broadcast(per_src.select("source", "n_docs")), "source")
-    ent = mix.groupBy("source").agg(
-        dsum(F.expr(_ENT_TERM)).alias("raw_ent")
+    # Staged stable_ln (r11 verdict #2): identical op DAG to the
+    # oracle's inline _ENT_TERM, ~17 KB less plan text.
+    from ..functions.stable import with_stable_ln
+
+    staged = with_stable_ln(
+        with_stable_ln(mix, "n_docs", "_ln_n"), "c", "_ln_c"
+    )
+    ent = staged.groupBy("source").agg(
+        dsum(F.expr("(c * 1.0 / n_docs) * (_ln_n - _ln_c)")).alias("raw_ent")
     )
     w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
     top = (

@@ -38,7 +38,13 @@ from pyspark.sql.window import Window
 
 from ..catalog import fan_out, table
 from ..functions.hashing import MOD31, md5_long, sql_md5_long
-from ..functions.stable import dsum, sql_dec2double, sql_stable_ln, sql_vardec
+from ..functions.stable import (
+    dsum,
+    sql_dec2double,
+    sql_stable_ln,
+    sql_vardec,
+    with_stable_ln,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -144,7 +150,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") + F.col("v")).alias("cv"),
         )
     )
-    scored = pre.select("doc_id", F.expr(_LM_LOGP).alias("logp"))
+    # Staged stable_ln (r11 verdict #2): same op DAG as the oracle's
+    # inline _LM_LOGP text, bit-identical, ~8x less plan-compile text.
+    scored = with_stable_ln(with_stable_ln(pre, "np1", "_ln_np1"), "cv", "_ln_cv")
+    scored = scored.select(
+        "doc_id", F.round(F.col("_ln_np1") - F.col("_ln_cv"), 6).alias("logp")
+    )
     # NO final round: the decimal sum is exact and order-independent, the
     # double division is correctly rounded on both engines, so the raw
     # double is bit-identical everywhere — while an explicit round(x, 6)
@@ -236,9 +247,9 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
     )
-    pts = ranked.select(
-        F.expr(f"round({sql_stable_ln('rk')}, 6)").alias("x"),
-        F.expr(f"round({sql_stable_ln('c')}, 6)").alias("y"),
+    pts = with_stable_ln(with_stable_ln(ranked, "rk", "_ln_rk"), "c", "_ln_c")
+    pts = pts.select(
+        F.round("_ln_rk", 6).alias("x"), F.round("_ln_c", 6).alias("y")
     )
     s = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -292,7 +303,7 @@ WITH hashed AS (
   SELECT doc_id, source, n_chars, {_WS_KEY} AS wkey
   FROM hashed
 )
-SELECT doc_id, source, n_chars, round(wkey, 6) AS wkey, rk FROM (
+SELECT doc_id, source, n_chars, wkey, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id) AS rk
   FROM keyed
 ) WHERE rk <= {_WS_K}
@@ -323,8 +334,12 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         ((h % F.lit(MOD31)) + F.lit(1)).alias("ha"),
     )
-    keyed = hashed.select(
-        "doc_id", "source", "n_chars", F.expr(_WS_KEY).alias("wkey")
+    # Staged stable_ln — same op DAG as the oracle's inline _WS_KEY.
+    keyed = with_stable_ln(hashed, "ha", "_ln_u", 31).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("_ln_u / greatest(n_chars, 1)").alias("wkey"),
     )
     w1 = Window.partitionBy(
         "source", F.pmod(F.col("doc_id"), F.lit(_WS_SALTS))
@@ -336,5 +351,14 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= _WS_K)
-        .select("doc_id", "source", "n_chars", F.round("wkey", 6).alias("wkey"), "rk")
+        # Emit the UNROUNDED key: it is bit-identical cross-engine by
+        # construction (stable_ln over the exact md5 integer, then one
+        # IEEE division), whereas a final engine round(x, 6) is NOT —
+        # Spark rounds via BigDecimal-on-shortest-repr HALF_UP, DuckDB
+        # via float arithmetic, and on a 1e-6 grid boundary they can
+        # land on adjacent doubles (the r10/r11 driver hash fails on
+        # this very column). The harness canonicalizes both sides with
+        # ONE rounding implementation, which cannot diverge on
+        # identical input doubles.
+        .select("doc_id", "source", "n_chars", "wkey", "rk")
     )

@@ -115,3 +115,66 @@ try:
         assert py_stable_ln(a, 31) == pytest.approx(true, rel=1e-13, abs=1e-13)
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+# ---------------------------------------------------------------------------
+# Staged emission (r11 verdict #2): stable_ln_stages / with_stable_ln
+# must be bit-identical to the inline form — naming an intermediate
+# cannot change its IEEE value — while shrinking the generated text.
+# ---------------------------------------------------------------------------
+
+
+def test_staged_matches_inline_bitexact_spark_and_duckdb(spark):
+    from sentiment_analysis_vector_search_spark.functions.stable import (
+        stable_ln_stages,
+        with_stable_ln,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in _vals()], "a long").repartition(4)
+    for d in (0, 31):
+        rows = with_stable_ln(df, "a", "v", d).collect()
+        for r in rows:
+            assert _bits(r["v"]) == _bits(py_stable_ln(r["a"], d)), r["a"]
+        # intermediates are dropped from the emitted schema
+        assert set(with_stable_ln(df, "a", "v", d).columns) == {"a", "v"}
+    # the staged texts also parse on DuckDB and agree bit-for-bit
+    con = duckdb.connect()
+    con.execute("create table t(a bigint)")
+    con.executemany("insert into t values (?)", [(v,) for v in _vals()[:500]])
+    stages, final = stable_ln_stages("a", 31, "_s")
+    sel = "select a"
+    q = "t"
+    for name, text in stages:
+        q = f"(select *, {text} as {name} from {q})"
+    for a, v in con.sql(f"select a, {final} from {q}").fetchall():
+        assert _bits(v) == _bits(py_stable_ln(a, 31)), a
+    con.close()
+
+
+def test_staged_text_is_small():
+    from sentiment_analysis_vector_search_spark.functions.stable import (
+        stable_ln_stages,
+    )
+
+    stages, final = stable_ln_stages("some_col + 7", 31, "_x")
+    total = sum(len(t) for _, t in stages) + len(final)
+    # the r11 verdict's target: <= ~1 KB per surface (inline was 8,440
+    # chars for a bare column argument)
+    assert total <= 1200, total
+    assert len(sql_stable_ln("some_col + 7", 31)) > 6 * total
+
+
+def test_staged_projection_survives_optimizer(spark):
+    """CollapseProject must NOT re-inline the staged z2 into the 20
+    Horner terms (SPARK-36718 keeps non-cheap aliases referenced more
+    than once staged) — otherwise the fix would be cosmetic."""
+    from sentiment_analysis_vector_search_spark.functions.stable import (
+        with_stable_ln,
+    )
+
+    df = spark.range(100).selectExpr("id + 1 as a")
+    plan = with_stable_ln(df, "a", "v", 31)._jdf.queryExecution().optimizedPlan().toString()
+    # the optimized plan keeps a staged projection: the z2 attribute
+    # (named _v_z2 by with_stable_ln) must still appear as a producer
+    assert "_v_z2" in plan, plan
