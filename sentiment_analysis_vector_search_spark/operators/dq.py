@@ -279,8 +279,8 @@ def _chk_oracle() -> str:
     return f"""
 SELECT 'documents' AS table_name,
        count(*) AS n_rows,
-       cast(sum({sql_md5_long(f"'chk:' || {canon}")}) % {_CHK_MOD} as bigint)
-         AS checksum
+       cast(coalesce(sum({sql_md5_long(f"'chk:' || {canon}")}) % {_CHK_MOD}, 0)
+         as bigint) AS checksum
 FROM documents
 """
 
@@ -296,10 +296,16 @@ def checksum_agg(df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
 
     canon = F.expr(chk_canon_sql(fields))
     digest = md5_long(F.concat(F.lit("chk:"), canon))
+    # coalesce: sum() over ZERO rows is NULL (both engines), so an empty
+    # table/batch must checksum to 0, not crash the int() in
+    # incremental_checksum or the CLI one-shot (r11 advice, medium). The
+    # empty multiset's digest is the additive identity — folding an
+    # empty shard is a no-op by construction.
     return df.select(digest.alias("d")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(
-            f"cast(sum(cast(d as decimal(38,0))) % {_CHK_MOD} as bigint)"
+            f"cast(coalesce(sum(cast(d as decimal(38,0))) % {_CHK_MOD}, 0)"
+            " as bigint)"
         ).alias("checksum"),
     )
 
@@ -381,7 +387,18 @@ def incremental_checksum(
     both additive, so after ANY number of folds the manifest equals the
     one-shot checksum over the union (pytest-pinned). Additive = NOT
     idempotent, so the applied-batch record rides inside the same atomic
-    os.replace as the fold (the incremental_cms protocol)."""
+    os.replace as the fold (the incremental_cms protocol).
+
+    The applied-batch record is the BOUNDED ``{"max_applied": N}`` form
+    (the SCD2-sink r11 fix, r11 advice low): Structured Streaming file-
+    source batch ids are strictly monotone per checkpoint, so one
+    integer replays exactly as well as the full id list and the manifest
+    stays O(1) on an unbounded stream. Single-writer contract: the
+    read-modify-write is NOT locked — one maintenance stream (or one CLI
+    fold sequence) per manifest path at a time; Structured Streaming
+    guarantees that for the streaming path (one query per checkpoint),
+    and concurrent ad-hoc CLI folds against one manifest are unsupported
+    (fold shards sequentially — each fold is one cheap Spark job)."""
     import json
     import os
 
@@ -393,8 +410,12 @@ def incremental_checksum(
             raw = json.load(f)
         meta = raw.get("__meta__", {})
         n_rows, chk = int(raw["n_rows"]), int(raw["checksum"])
-    applied: list[int] = meta.get("applied_batch_ids", [])
-    if batch_id is not None and batch_id in applied:
+    # legacy manifests stored the full id list; monotone ids make the
+    # max an equivalent replay guard
+    max_applied: int = meta.get(
+        "max_applied", max(meta.get("applied_batch_ids", [-1]), default=-1)
+    )
+    if batch_id is not None and batch_id <= max_applied:
         return {"table_name": table_name, "n_rows": n_rows, "checksum": chk}
     row = table_checksum(batch_df, table_name, round_doubles).collect()[0]
     n_rows += int(row["n_rows"])
@@ -406,7 +427,7 @@ def incremental_checksum(
         "encoding": "v1",
     }
     if batch_id is not None:
-        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+        out["__meta__"] = {"max_applied": batch_id}
     elif meta:
         out["__meta__"] = meta
     os.makedirs(manifest_dir, exist_ok=True)

@@ -1018,6 +1018,12 @@ def stream_checksum_maintenance(
     )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Empty micro-batches fold to (0, 0) safely since checksum_agg
+        # coalesces its modular sum, but skipping them entirely matches
+        # the other maintenance streams and saves a no-op Spark job per
+        # zero-row shard (r11 advice, medium).
+        if batch_df.isEmpty():
+            return
         incremental_checksum(
             manifest_dir, table_name, batch_df, batch_id=batch_id
         )

@@ -286,3 +286,56 @@ def test_group_percentiles_interp_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "q_group_percentiles_interp", sf_dir)
+
+
+def test_dist_group_devices_keep_null_groups(spark):
+    """NULL-group rows must rank within their own group (window
+    PARTITION BY semantics), not vanish through a null-rejecting join
+    (r11 advice, low — the fix is eqNullSafe in the offsets join)."""
+    from sentiment_analysis_vector_search_spark.functions.ranks import (
+        dist_group_prefix_sum,
+        dist_group_rank,
+    )
+
+    rows = [("a", 2.0, 1), (None, 1.0, 2), (None, 3.0, 3), ("a", 1.0, 4)]
+    df = spark.createDataFrame(rows, "g string, v double, tie long")
+    got = {
+        (r["g"], r["tie"]): (r["rk"], r["n_g"])
+        for r in dist_group_rank(df, "g", "v", "tie").collect()
+    }
+    assert len(got) == 4
+    assert got[(None, 2)] == (1, 2) and got[(None, 3)] == (2, 2)
+    assert got[("a", 4)] == (1, 2) and got[("a", 1)] == (2, 2)
+
+    pdf = [("a", 1, 1, 10), (None, 1, 2, 5), (None, 2, 3, 7), ("a", 2, 4, 1)]
+    df2 = spark.createDataFrame(pdf, "g string, o int, tie long, v long")
+    cum = {
+        (r["g"], r["tie"]): (r["rk"], r["cum"])
+        for r in dist_group_prefix_sum(df2, "g", "o", "tie", "v").collect()
+    }
+    assert len(cum) == 4
+    assert cum[(None, 2)] == (1, 5) and cum[(None, 3)] == (2, 12)
+    assert cum[("a", 1)] == (1, 10) and cum[("a", 4)] == (2, 11)
+
+
+def test_grouped_rank_strategy_chooser():
+    """The many-small-groups crossover (r11 verdict #7): the device only
+    when the offsets broadcast fits AND a group can dominate a task."""
+    from sentiment_analysis_vector_search_spark.functions.ranks import (
+        grouped_rank_strategy,
+    )
+
+    # dominant-group regime: 10 groups over 1e9 rows -> device
+    few = {"g": {"n_rows": 1_000_000_000, "n_nulls": 0, "approx_ndv": 10.0,
+                 "min_value": "a", "max_value": "z"}}
+    assert grouped_rank_strategy(few, "g", 2000) == "dist"
+    # millions of tiny groups: offsets broadcast alone blows the budget
+    many = {"g": {"n_rows": 1_000_000_000, "n_nulls": 0,
+                  "approx_ndv": 5_000_000.0,
+                  "min_value": "a", "max_value": "z"}}
+    assert grouped_rank_strategy(many, "g", 2000) == "window"
+    # moderate ndv that fits the broadcast but where every group is far
+    # below a task's fair share -> plain window (device buys nothing)
+    mid = {"g": {"n_rows": 1_000_000, "n_nulls": 0, "approx_ndv": 5000.0,
+                 "min_value": "a", "max_value": "z"}}
+    assert grouped_rank_strategy(mid, "g", 32) == "window"

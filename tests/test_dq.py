@@ -164,3 +164,44 @@ def test_cli_checksum_and_incremental_manifest(spark, sf_dir, tmp_path, capsys):
         man, "documents", spark.read.parquet(db), batch_id=1
     )
     assert replay == out
+
+
+def test_checksum_empty_table_and_bounded_record(spark, sf_dir, tmp_path):
+    """Zero-row inputs checksum to (0, 0) instead of crashing on the
+    NULL modular sum (r11 advice, medium), the empty fold is additive
+    identity, the manifest record is the bounded {"max_applied": N}
+    form, and legacy list records still replay-guard (r11 advice, low)."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.operators.dq import (
+        incremental_checksum,
+        table_checksum,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    empty = docs.where("doc_id < 0")
+    row = table_checksum(empty, "documents").collect()[0]
+    assert (row["n_rows"], row["checksum"]) == (0, 0)
+
+    man = str(tmp_path / "man")
+    base = incremental_checksum(man, "documents", docs, batch_id=0)
+    # empty fold: no crash, additive identity
+    out = incremental_checksum(man, "documents", empty, batch_id=1)
+    assert out == {"table_name": "documents",
+                   "n_rows": base["n_rows"], "checksum": base["checksum"]}
+    path = os.path.join(man, "documents__checksum.json")
+    with open(path) as f:
+        rec = json.load(f)["__meta__"]
+    assert rec == {"max_applied": 1}
+    # any batch id <= max_applied skips (monotone file-source ids)
+    replay = incremental_checksum(man, "documents", docs, batch_id=0)
+    assert replay["checksum"] == base["checksum"]
+    # legacy manifests with the old growing list still guard replays
+    with open(path) as f:
+        old = json.load(f)
+    old["__meta__"] = {"applied_batch_ids": [0, 1]}
+    with open(path, "w") as f:
+        json.dump(old, f)
+    legacy = incremental_checksum(man, "documents", docs, batch_id=1)
+    assert legacy["checksum"] == base["checksum"]

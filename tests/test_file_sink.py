@@ -560,7 +560,8 @@ def test_stream_checksum_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
     want = dq_table_checksum(spark, sf_dir).collect()[0]
     assert man["n_rows"] == want["n_rows"]
     assert man["checksum"] == want["checksum"]
-    assert len(man["__meta__"]["applied_batch_ids"]) == 2
+    # bounded record (r11 advice): one integer, not a growing id list
+    assert man["__meta__"] == {"max_applied": 1}
 
     # re-drain: no new files -> manifest byte-identical
     stream_checksum_maintenance(spark, src_dir, man_dir, ckpt)
