@@ -19,8 +19,10 @@
   zeros, so the bucket id is engine-exact (no float log parity risk).
 
 Reference scope note: the reference app profiles its corpus only via
-pandas ``describe()`` during vectorization (Context_analyzer.py); these
-are the engine-grade equivalents a data-pipeline user needs at scale.
+in-memory pandas aggregation — per-source ``value_counts()`` and mean
+scores over a collected frame (Context_analyzer_RoBERTa_fun.py:591,
+:683); these are the engine-grade profiling equivalents a data-pipeline
+user needs at scale.
 """
 
 from __future__ import annotations

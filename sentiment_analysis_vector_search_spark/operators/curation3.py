@@ -11,8 +11,9 @@ mixes a 10-token doc with a 500-token one (where the short doc would be
 token mass, the padding waste the bucket still pays, and how many
 batches the bucket yields — the report a training-infra owner reads to
 pick bucket boundaries. Reference scope analogue: the reference
-processes comments in fixed-size batches (sentiment_model_analyzer.py's
-batch loop); this is the length-aware version a 100 TB corpus needs.
+processes comments in fixed-size batches of 100
+(Context_analyzer_RoBERTa_fun.py:481,:624 — its BATCH_SIZE loop); this
+is the length-aware version a 100 TB corpus needs.
 
 ``domain_temperature_mix`` — temperature-based source sampling
 (sqrt-temperature, tau = 0.5): sampling shares proportional to

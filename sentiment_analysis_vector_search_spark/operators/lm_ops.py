@@ -2,9 +2,10 @@
 KenLM-style perplexity gate and the Efraimidis–Spirakis weighted pick
 every large-scale pretraining pipeline runs between dedup and packing.
 
-Reference scope note: the reference scores documents with a transformer
-classifier (RoBERTa fine-tune, Data_preprocessing/Fine_tune_RoBERTa.py)
-— a per-doc quality score used to gate ingestion. The statistical LM
+Reference scope note: the reference scores documents with a pretrained
+transformer classifier (distilbert SST-2 fine-tune,
+Context_analyzer_RoBERTa_fun.py:526) — a per-doc score used to gate and
+rank content. The statistical LM
 gate here is the corpus-derived analogue of that signal (CCNet/KenLM
 practice) built entirely from one tokenized pass, so it runs at corpus
 scale with no model server.

@@ -11,7 +11,7 @@ header —
 - contains ``google``                              -> ``Google Reviews``
 - contains ``yelp``                                -> ``Yelp``
 - otherwise: the basename, with ``_`` and ``-`` replaced by spaces and
-  the ``.html`` / ``.txt`` suffixes stripped (pdf_data_loader.py:44-49),
+  the ``.html`` / ``.txt`` suffixes stripped (pdf_generation/pdf_data_loader.py:44-49),
   in exactly that replace order.
 
 The synthetic ``documents`` table carries opaque ``source`` tags, not
@@ -43,7 +43,7 @@ _PATH_SQL = """CASE cast(doc_id % 5 AS int)
   ELSE '/uploads/' || upper(source) || '-comments'
 END"""
 
-# pdf_data_loader.py:44-49 — basename, then the literal replace chain
+# pdf_generation/pdf_data_loader.py:44-49 — basename, then the literal replace chain
 # in reference order ('_'->' ', '-'->' ', strip '.html', strip '.txt').
 # replace() is literal (not regex) in BOTH Spark SQL and DuckDB.
 _PRETTY_SQL = (
@@ -62,7 +62,7 @@ END"""
 
 def fix_source_name_col(file_path: Column) -> Column:
     """``extract_source_info_from_db``'s per-path mapping as a Column
-    (pdf_data_loader.py:38-53): brand substrings first, else prettified
+    (pdf_generation/pdf_data_loader.py:38-53): brand substrings first, else prettified
     basename. Reusable anywhere a display source is wanted (data cards,
     report headers)."""
     low = F.lower(file_path)

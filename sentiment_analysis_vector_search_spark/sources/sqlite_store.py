@@ -4,7 +4,7 @@ actually uses (r8 verdict "What's missing" #2).
 The reference persists crawled comments in a SQLite ``comment_blocks``
 table (block_text, score, length, is_candidate, file_path) and reads it
 back filtered — Context_analyzer_RoBERTa_fun.py:437 (``score >= 0.3 AND
-length >= 30``), pdf_data_loader.py:30 (``SELECT DISTINCT file_path FROM
+length >= 30``), pdf_generation/pdf_data_loader.py:30 (``SELECT DISTINCT file_path FROM
 comments``). This module reads such a store into the engine's canonical
 ``documents`` schema behind the same sources contract as
 ``read_documents`` / ``read_html_dir``.
