@@ -230,6 +230,9 @@ HEADLINE = [
     "q_events_psi_drift",
     # late r11 (post-freeze; staged r12 must-grade)
     "q_group_percentiles_interp",
+    # new r12 (pre-freeze; graded on arrival)
+    "q_source_weighted_percentiles",
+    "q_value_hist_quantiles",
 ]
 
 

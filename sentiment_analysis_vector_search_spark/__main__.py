@@ -63,6 +63,15 @@ def main(argv: list[str] | None = None) -> int:
     p_idx.add_argument("out_dir")
     p_idx.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_ivfr = sub.add_parser(
+        "ivf-refresh",
+        help="measure IVF codebook drift; re-train + re-assign behind "
+        "the crash-recoverable swap when it passes --max-drift",
+    )
+    p_ivfr.add_argument("index_dir")
+    p_ivfr.add_argument("--max-drift", type=float, default=0.02)
+    p_ivfr.add_argument("--force", action="store_true")
+
     p_vac = sub.add_parser(
         "vacuum", help="snapshot-table maintenance: expire versions + orphans"
     )
@@ -339,6 +348,20 @@ def main(argv: list[str] | None = None) -> int:
                 spark, table(spark, args.sf_dir, "documents"), args.out_dir
             )
         print(f"built {args.kind} index at {args.out_dir}")
+        return 0
+
+    if args.cmd == "ivf-refresh":
+        import json
+
+        from .operators.similarity import ivf_codebook_refresh
+        from .session import get_spark
+
+        spark = get_spark("cli-ivf-refresh")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = ivf_codebook_refresh(
+            spark, args.index_dir, max_drift=args.max_drift, force=args.force
+        )
+        print(json.dumps(out, sort_keys=True))
         return 0
 
     if args.cmd == "vacuum":

@@ -494,3 +494,68 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_b"),
         dsum(F.expr(psi_term)).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_weighted_percentiles — WEIGHTED per-group percentiles through
+# dist_group_prefix_sum (r11 verdict #8b: the natural composition of the
+# round's two devices). Statistic: per source, the doc-length value L_q
+# such that q% of the source's CHARACTER MASS lives in docs of length
+# <= L_q (weight = value = n_chars). That is the packing/chunking
+# statistic a pretraining mix actually needs — the unweighted median
+# doc length says where the DOCS are, the char-mass median says where
+# the TOKENS are, and on heavy-tailed corpora they differ wildly.
+#
+# Device: the per-row cumulative weight comes from dist_group_prefix_sum
+# (range-partitioned, no per-group global window even when one source is
+# most of the corpus); group totals are a partial-agg |sources|-row
+# relation broadcast back. The quantile row is then selected by pure
+# integer arithmetic: cum and total are exact bigint sums of n_chars, so
+# "first row with 100*cum >= q*total" is engine-exact with no float op
+# anywhere — and because cum is nondecreasing in (value, tie) rank
+# order, that first row's value is simply min(value) over qualifying
+# rows, which both engines express as one conditional aggregate.
+#
+# Scale shape: one fact scan through the prefix-sum device (its windows
+# are per-(partition, group) segments, never group-sized), one
+# |sources|-row broadcast, one partial-agg groupBy. 100*cum stays far
+# inside bigint (10^16 for a 100 TB single-source corpus).
+# ---------------------------------------------------------------------------
+
+_WP_QS = (25, 50, 75, 90)
+
+
+def _wp_sel(pct: int) -> str:
+    return f"min(CASE WHEN 100 * cum >= {pct} * total THEN n_chars END)"
+
+
+_WP_ORACLE = f"""
+WITH pre AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER (PARTITION BY source) AS total
+  FROM documents
+)
+SELECT source,
+       {", ".join(f"{_wp_sel(p)} AS wp{p}" for p in _WP_QS)},
+       cast(max(total) as bigint) AS char_mass
+FROM pre GROUP BY source
+"""
+
+
+@register("q_source_weighted_percentiles", oracle=_WP_ORACLE)
+def q_source_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-mass-weighted doc-length percentiles per source (wp50 = the
+    length below which half the source's characters live), exact, with
+    no per-group sort window — see the module-level device note."""
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    pre = dist_group_prefix_sum(docs, "source", "n_chars", "doc_id", "n_chars")
+    tot = pre.groupBy("source").agg(F.max("cum").alias("total"))
+    j = pre.join(F.broadcast(tot), "source")
+    aggs = [F.expr(_wp_sel(p)).alias(f"wp{p}") for p in _WP_QS]
+    return j.groupBy("source").agg(
+        *aggs, F.max("total").cast("bigint").alias("char_mass")
+    )

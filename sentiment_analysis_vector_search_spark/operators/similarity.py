@@ -861,6 +861,186 @@ def ivf_index_add(
 
 
 # ---------------------------------------------------------------------------
+# IVF codebook lifecycle: drift measurement + refresh (r11 verdict #8c —
+# the one lifecycle step the serving-index family lacked). Ingest
+# against a FROZEN codebook (ivf_index_add / stream_ivf_ingest) slowly
+# pulls each cell's true mean away from its stored centroid; when that
+# drift passes a threshold, probe quality decays and the store owner
+# re-trains. ivf_index_drift measures the signal (bounded: one partial
+# agg to |cells| x dim rows against the broadcast codebook);
+# ivf_codebook_refresh runs ONE Lloyd step — new centroid = mean of the
+# vectors currently in the cell, then a full re-assign against the new
+# codebook (the same broadcast-assign shape as ivf_index_add, one index
+# scan) — and commits both directories behind a marker-file swap
+# protocol so a crash at ANY point leaves a recoverable index:
+#   1. write codebook__new / assignments__new (complete before commit)
+#   2. atomically write _refresh_commit.json   <- the commit point
+#   3. per directory: rename cur -> cur__old, rename new -> cur, rm old
+#   4. remove the marker
+# ivf_index_recover (run at refresh start and at index-query open)
+# rolls FORWARD when the marker exists (the new index is complete by
+# invariant 1) and rolls BACK stray __new dirs when it does not (the
+# swap never committed). The SCD2 bucket-swap protocol, lifted to a
+# two-directory artifact (file_sink.py:1107 precedent).
+# ---------------------------------------------------------------------------
+
+_IVF_REFRESH_MARKER = "_refresh_commit.json"
+
+
+def ivf_index_drift(spark: SparkSession, index_dir: str) -> dict:
+    """Max/mean per-cell centroid drift of a persisted IVF index:
+    1 - cosine(stored centroid, mean of currently assigned vectors).
+    One assignments pass (partial-agg to |cells| x dim rows), codebook
+    broadcast; three scalars to the driver."""
+    from ..functions.stable import davg
+
+    cents = spark.read.parquet(f"{index_dir}/codebook")
+    asg = spark.read.parquet(f"{index_dir}/assignments")
+    cell_mean = (
+        asg.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(davg(F.col("val")).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda x: x["cv"],
+            ).alias("m")
+        )
+    )
+    dot = F.expr(
+        "aggregate(zip_with(m, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    mnrm = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(m, m, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+    )
+    d = (
+        cell_mean.join(cents, cell_mean["cell"] == cents["label"])
+        .select((F.lit(1.0) - dot / (mnrm * F.col("cn"))).alias("drift"))
+        .agg(
+            F.max("drift").alias("max_drift"),
+            F.avg("drift").alias("mean_drift"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_drift": float(d["max_drift"]),
+        "mean_drift": float(d["mean_drift"]),
+        "n_cells": int(d["n_cells"]),
+    }
+
+
+def ivf_index_recover(index_dir: str) -> None:
+    """Complete (marker present) or roll back (no marker) a refresh swap
+    a crash left half-done — idempotent, cheap, safe to run at every
+    index open."""
+    import shutil
+
+    marker = os.path.join(index_dir, _IVF_REFRESH_MARKER)
+    committed = os.path.exists(marker)
+    for name in ("codebook", "assignments"):
+        cur = os.path.join(index_dir, name)
+        new = cur + "__new"
+        old = cur + "__old"
+        if committed:
+            # forward: the __new dirs were complete before the marker
+            if os.path.isdir(new):
+                if os.path.isdir(cur):
+                    if os.path.isdir(old):
+                        shutil.rmtree(old)
+                    os.rename(cur, old)
+                os.rename(new, cur)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        else:
+            # back: an uncommitted staging attempt; current index wins
+            if os.path.isdir(new):
+                shutil.rmtree(new)
+            if os.path.isdir(old) and not os.path.isdir(cur):
+                os.rename(old, cur)  # defensive; unreachable by protocol
+            elif os.path.isdir(old):
+                shutil.rmtree(old)
+    if committed:
+        os.remove(marker)
+
+
+def ivf_codebook_refresh(
+    spark: SparkSession,
+    index_dir: str,
+    max_drift: float = 0.02,
+    force: bool = False,
+) -> dict:
+    """Drift-triggered codebook re-train + full re-assign behind the
+    marker-file swap (module note above). Returns the drift measurement
+    plus {"refreshed": bool}. No-op (measurement only) while max cell
+    drift stays under ``max_drift`` and ``force`` is False."""
+    import json
+
+    from ..functions.stable import davg
+    from ..sinks import spread_repartition
+
+    ivf_index_recover(index_dir)
+    drift = ivf_index_drift(spark, index_dir)
+    if not force and drift["max_drift"] < max_drift:
+        return {**drift, "refreshed": False}
+
+    asg = spark.read.parquet(f"{index_dir}/assignments")
+    # one Lloyd step: cell -> mean of its current members (davg: the
+    # _trained_codebook arithmetic, so centroids stay engine-stable)
+    cents_new = (
+        asg.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(davg(F.col("val")).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda x: x["cv"],
+            ).alias("c")
+        )
+        .select(
+            F.col("cell").alias("label"),
+            "c",
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(c, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+            ).alias("cn"),
+        )
+        .localCheckpoint(eager=True)  # two consumers: write + re-assign
+    )
+    sim = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    ) / (F.col("nrm") * F.col("cn"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    reassigned = (
+        asg.select("vec_id", "v", "nrm")
+        .crossJoin(F.broadcast(cents_new))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
+    )
+    cb_new = os.path.join(index_dir, "codebook__new")
+    asg_new = os.path.join(index_dir, "assignments__new")
+    cents_new.coalesce(1).write.mode("overwrite").parquet(cb_new)
+    spread_repartition(reassigned, "cell", "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(asg_new)
+    # commit point: both __new dirs are complete on disk
+    marker = os.path.join(index_dir, _IVF_REFRESH_MARKER)
+    tmp = marker + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"drift_at_refresh": drift}, f)
+    os.replace(tmp, marker)
+    ivf_index_recover(index_dir)  # the swap IS forward recovery
+    return {**drift, "refreshed": True}
+
+
+# ---------------------------------------------------------------------------
 # range (radius) search: ALL neighbors with cosine >= tau, not a fixed k —
 # the vector-store verb dedup and recall-audit workloads use (top-k bounds
 # work; range search bounds quality). Same broadcast-queries scan shape as

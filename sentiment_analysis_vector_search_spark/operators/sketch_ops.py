@@ -550,3 +550,157 @@ def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_a").cast("bigint") - kmv_i, F.lit(0).cast("bigint")
         ).alias("kmv_a_minus_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_value_hist_quantiles — histogram-interpolated quantile estimates
+# with the exact audit (r11 verdict #8a, realized as the SQL-expressible
+# mergeable quantile summary): a fixed-width bin histogram IS a
+# mergeable quantile sketch — bin counts add across shards/batches/
+# engines with no merge-order sensitivity (unlike KLL's compaction
+# coin-flips), the estimate is deterministic integer+IEEE arithmetic,
+# and stats.column_histogram / incremental_analyze already maintain the
+# same structure incrementally. This query runs the estimator as a
+# graded surface next to the exact percentile, per event type — the
+# calibration audit for q_value_percentiles' documented scale path
+# (swap exact percentile for a maintained summary at 100 TB).
+#
+# Estimator: t = q * n; first bin with cum >= t; within-bin linear
+# interpolation est = W*bin + W*(t - cum_before)/cnt. cum/cnt are exact
+# bigints and the float ops run in one fixed order, so est is
+# bit-identical cross-engine and emitted RAW (no rounding anywhere on
+# the estimate — the sample_weighted/psi lesson). The exact columns are
+# engine percentile_cont/percentile rounded to 6dp (the
+# q_value_quantile_sketch precedent); err subtracts two already-equal
+# doubles, so it needs no rounding either.
+#
+# Scale shape: ONE fact-scan partial aggregate to (type, bin) grain
+# (<= |types| x B rows); the cumulative window and quantile selection
+# run over that bounded relation (global-window comment: bounded by
+# B=64 x |types|). The exact leg is the AUDIT — at 100 TB you keep the
+# histogram and drop the exact column.
+# ---------------------------------------------------------------------------
+
+_HQ_W = 10  # bin width
+_HQ_B = 64  # bins: covers value in [0, 640) with clamp
+_HQ_QS = (("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
+
+
+def _hq_est(tag: str) -> str:
+    # first qualifying bin's fields are f_bin/f_cnt/f_cum; t = qv * n
+    return (
+        f"(cast({_HQ_W} as double) * f_bin_{tag}"
+        f" + cast({_HQ_W} as double)"
+        f" * ((t_{tag} - cast(f_cum_{tag} - f_cnt_{tag} as double))"
+        f" / cast(f_cnt_{tag} as double)))"
+    )
+
+
+_HQ_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         least(greatest(cast(floor(value / {_HQ_W}) as int), 0), {_HQ_B - 1})
+           AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+), sel AS (
+  SELECT event_type, max(n) AS n,
+         {", ".join(
+             f"min(CASE WHEN cast(cum as double) >= {qv} * cast(n as double)"
+             f" THEN bin END) AS b_{tag}" for tag, qv in _HQ_QS)}
+  FROM c GROUP BY event_type
+), f AS (
+  SELECT s.event_type, s.n,
+         {", ".join(
+             f"{qv} * cast(s.n as double) AS t_{tag}, "
+             f"c{i}.bin AS f_bin_{tag}, cast(c{i}.cnt as bigint) AS f_cnt_{tag},"
+             f" cast(c{i}.cum as bigint) AS f_cum_{tag}"
+             for i, (tag, qv) in enumerate(_HQ_QS))}
+  FROM sel s
+  {" ".join(
+      f"JOIN c c{i} ON c{i}.event_type = s.event_type AND c{i}.bin = s.b_{tag}"
+      for i, (tag, _qv) in enumerate(_HQ_QS))}
+), ex AS (
+  SELECT event_type,
+         {", ".join(
+             f"round(cast(quantile_cont(value, {qv}) as double), 6)"
+             f" AS exact_{tag}" for tag, qv in _HQ_QS)}
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, cast(f.n as bigint) AS n_rows,
+       {", ".join(
+           f"{_hq_est(tag)} AS est_{tag}, ex.exact_{tag},"
+           f" abs({_hq_est(tag)} - ex.exact_{tag}) AS err_{tag}"
+           for tag, _qv in _HQ_QS)}
+FROM f JOIN ex ON ex.event_type = f.event_type
+"""
+
+
+@register("q_value_hist_quantiles", oracle=_HQ_ORACLE)
+def q_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-interpolated p50/p90/p99 per event type next to the
+    exact percentiles — the mergeable-summary calibration audit (see
+    module note; estimates raw, exact legs 6dp by precedent)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / _HQ_W).cast("int"), F.lit(0)),
+            F.lit(_HQ_B - 1),
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # windows over the (type, bin) relation: bounded by |types| x 64 rows
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("event_type")
+    c = b.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_n)
+    ).localCheckpoint(eager=False)  # two consumers: sel + the fetch joins
+    sel_aggs = [
+        F.min(
+            F.when(
+                F.col("cum").cast("double")
+                >= F.expr(qv) * F.col("n").cast("double"),
+                F.col("bin"),
+            )
+        ).alias(f"b_{tag}")
+        for tag, qv in _HQ_QS
+    ]
+    sel = c.groupBy("event_type").agg(F.max("n").alias("n"), *sel_aggs)
+    f = sel
+    for i, (tag, qv) in enumerate(_HQ_QS):
+        ci = c.select(
+            F.col("event_type").alias(f"_et{i}"),
+            F.col("bin").alias(f"f_bin_{tag}"),
+            F.col("cnt").cast("bigint").alias(f"f_cnt_{tag}"),
+            F.col("cum").cast("bigint").alias(f"f_cum_{tag}"),
+        )
+        f = f.join(
+            F.broadcast(ci),
+            (F.col(f"_et{i}") == F.col("event_type"))
+            & (F.col(f"f_bin_{tag}") == F.col(f"b_{tag}")),
+        ).withColumn(f"t_{tag}", F.expr(qv) * F.col("n").cast("double"))
+    ex = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {qv}D)"), 6).alias(f"exact_{tag}")
+            for tag, qv in _HQ_QS
+        ]
+    )
+    cols = [F.col("event_type"), F.col("n").cast("bigint").alias("n_rows")]
+    for tag, _qv in _HQ_QS:
+        est = F.expr(_hq_est(tag))
+        cols += [
+            est.alias(f"est_{tag}"),
+            F.col(f"exact_{tag}"),
+            F.abs(est - F.col(f"exact_{tag}")).alias(f"err_{tag}"),
+        ]
+    return f.join(F.broadcast(ex), "event_type").select(*cols)

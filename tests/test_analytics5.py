@@ -339,3 +339,49 @@ def test_grouped_rank_strategy_chooser():
     mid = {"g": {"n_rows": 1_000_000, "n_nulls": 0, "approx_ndv": 5000.0,
                  "min_value": "a", "max_value": "z"}}
     assert grouped_rank_strategy(mid, "g", 32) == "window"
+
+
+def test_source_weighted_percentiles_planted(spark, tmp_path):
+    """Char-mass percentile semantics: wp_q = smallest length L with
+    >= q% of the source's characters in docs of length <= L."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.operators.analytics5 import (
+        q_source_weighted_percentiles,
+    )
+
+    d = str(tmp_path)
+    # source 'a': lengths 1..4 -> total 10; cums 1,3,6,10
+    #   wp25: first cum*4 >= 10 -> len 2 (cum 3, 12 >= 10)
+    #   wp50: first cum*2 >= 10 -> len 3 (cum 6)
+    #   wp75: 100*cum >= 750 -> len 4 (cum 10); wp90 -> len 4
+    # source 'b': one whale (100) + two minnows (1) -> total 102
+    #   all percentiles land on the whale except none below it
+    rows = [
+        {"doc_id": i, "text": "x", "lang": "en", "source": "a", "n_chars": i}
+        for i in (1, 2, 3, 4)
+    ]
+    rows += [
+        {"doc_id": 10, "text": "x", "lang": "en", "source": "b", "n_chars": 1},
+        {"doc_id": 11, "text": "x", "lang": "en", "source": "b", "n_chars": 1},
+        {"doc_id": 12, "text": "x", "lang": "en", "source": "b",
+         "n_chars": 100},
+    ]
+    pd.DataFrame(rows).to_parquet(
+        os.path.join(d, "documents.parquet"), index=False
+    )
+    got = {
+        r["source"]: r for r in q_source_weighted_percentiles(spark, d).collect()
+    }
+    a = got["a"]
+    assert (a["wp25"], a["wp50"], a["wp75"], a["wp90"]) == (2, 3, 4, 4)
+    assert a["char_mass"] == 10
+    b = got["b"]
+    assert (b["wp25"], b["wp50"], b["wp75"], b["wp90"]) == (100, 100, 100, 100)
+    assert b["char_mass"] == 102
+
+
+def test_source_weighted_percentiles_parity(spark, sf_dir):
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_source_weighted_percentiles", sf_dir)

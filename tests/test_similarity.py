@@ -329,3 +329,90 @@ def test_filtered_ann_pushdown_filter_and_recall(spark, sf_dir):
         top = [ids[j] for j in np.argsort(-sims) if ok[j]][:10]
         recalls.append(len(set(top) & got.get(ids[qi], set())) / 10)
     assert sum(recalls) / len(recalls) >= 0.25, recalls
+
+
+def test_ivf_codebook_refresh_drift_trigger_and_swap(spark, sf_dir, tmp_path):
+    """The r12 lifecycle step: drift measurement, threshold gate, one
+    Lloyd-step refresh + full re-assign, and the marker-file swap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+        ivf_codebook_refresh,
+        ivf_index_drift,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, index_dir)
+
+    d0 = ivf_index_drift(spark, index_dir)
+    assert d0["n_cells"] >= 2 and 0.0 <= d0["max_drift"] < 1.0
+    # gate: threshold above the measured drift -> measurement-only no-op
+    out = ivf_codebook_refresh(spark, index_dir, max_drift=d0["max_drift"] + 1.0)
+    assert out["refreshed"] is False
+    assert not os.path.isdir(os.path.join(index_dir, "codebook__new"))
+
+    n_before = spark.read.parquet(f"{index_dir}/assignments").count()
+    out = ivf_codebook_refresh(spark, index_dir, force=True)
+    assert out["refreshed"] is True
+    # swap is complete: no staging/marker leftovers, row count preserved,
+    # every vector still assigned to exactly one cell
+    for leftover in ("codebook__new", "assignments__new", "codebook__old",
+                     "assignments__old", "_refresh_commit.json"):
+        assert not os.path.exists(os.path.join(index_dir, leftover)), leftover
+    asg = spark.read.parquet(f"{index_dir}/assignments")
+    assert asg.count() == n_before
+    assert asg.groupBy("vec_id").count().where("count > 1").count() == 0
+    # after the refresh each stored centroid IS within one Lloyd step of
+    # its members, so drift re-measured against the NEW assignment is
+    # finite and the index still serves top-k
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, index_dir, queries)
+    assert got.groupBy("query_id").count().where("count > 0").count() >= 1
+    assert got.where("rk > 10").count() == 0
+
+
+def test_ivf_refresh_crash_recovery(spark, sf_dir, tmp_path):
+    """Marker present -> recovery rolls FORWARD to the new index;
+    marker absent -> stray __new staging rolls BACK to the current."""
+    import json
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_recover,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, index_dir)
+    cb = os.path.join(index_dir, "codebook")
+    asg = os.path.join(index_dir, "assignments")
+
+    # uncommitted staging (crash before the marker): rolled back
+    shutil.copytree(cb, cb + "__new")
+    ivf_index_recover(index_dir)
+    assert not os.path.isdir(cb + "__new") and os.path.isdir(cb)
+
+    # committed refresh, crash mid-swap in the WORST state: codebook
+    # already displaced to __old, new not yet renamed, assignments
+    # untouched -> forward recovery installs __new everywhere
+    shutil.copytree(cb, cb + "__new")
+    shutil.copytree(asg, asg + "__new")
+    with open(os.path.join(index_dir, "_refresh_commit.json"), "w") as f:
+        json.dump({"drift_at_refresh": {}}, f)
+    os.rename(cb, cb + "__old")
+    ivf_index_recover(index_dir)
+    for leftover in ("codebook__new", "assignments__new", "codebook__old",
+                     "assignments__old", "_refresh_commit.json"):
+        assert not os.path.exists(os.path.join(index_dir, leftover)), leftover
+    # index is readable and complete after recovery
+    assert spark.read.parquet(cb).count() >= 2
+    assert spark.read.parquet(asg).count() > 0

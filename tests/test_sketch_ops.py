@@ -265,3 +265,38 @@ def test_kmv_setops_small_sets_are_exact(spark, tmp_path):
     assert row["kmv_union"] == row["exact_union"] == 40
     assert row["kmv_intersection"] == row["exact_intersection"] == 10
     assert row["kmv_a_minus_b"] == row["exact_a_minus_b"] == 10
+
+
+def test_hist_quantiles_planted_and_parity(spark, sf_dir, tmp_path):
+    """Histogram estimator semantics on a planted distribution, then
+    oracle parity at the graded SF."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        q_value_hist_quantiles,
+    )
+    from tests.parity import assert_parity
+
+    d = str(tmp_path)
+    T = pd.Timestamp("2026-01-01")
+    # 100 uniform values in [0, 100): 10 per bin across bins 0..9.
+    # t(p50) = 50 -> first bin with cum >= 50 is bin 4 (cum 50);
+    # est = 10*4 + 10*(50-40)/10 = 50.
+    rows = [
+        {"event_id": i, "ts": T, "user_id": 1, "event_type": "u",
+         "value": float(i), "props": "{}"}
+        for i in range(100)
+    ]
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    got = {r["event_type"]: r for r in q_value_hist_quantiles(spark, d).collect()}
+    u = got["u"]
+    assert u["n_rows"] == 100
+    assert u["est_p50"] == pytest.approx(50.0, abs=1e-12)
+    assert u["est_p90"] == pytest.approx(90.0, abs=1e-12)
+    assert u["est_p99"] == pytest.approx(99.0, abs=1e-12)
+    # exact type-7 percentiles of 0..99: p50=49.5 -> |err| <= bin width
+    assert abs(u["err_p50"]) <= 10.0 and abs(u["err_p99"]) <= 10.0
+    assert_parity(spark, "q_value_hist_quantiles", sf_dir)
