@@ -291,7 +291,12 @@ _GC_SETTLE_MIN_REPS = 5
 # settle the heap and take up to 2 extra reps so the median (over ALL
 # recorded reps; nothing is discarded) re-centers on the quiet value.
 _RETRY_RATIO = 2.0
-_RETRY_MAX = 2
+# r12: 2 -> 3. r11's driver artifact recorded several >=2x raw swings
+# that two extra reps could not fully re-center (stream_interval_join
+# 1.8-9.9s); a third retry is cheap relative to the information it buys
+# — the median is over ALL recorded reps, so retries only ever improve
+# its centering.
+_RETRY_MAX = 3
 
 
 def _jvm_settle(spark) -> None:
@@ -349,13 +354,19 @@ def _time_queries(
         else:
             n_reps = reps
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
-        if name in _GC_SETTLE:
+        if name in _GC_SETTLE or name in _ITERATIVE:
             # settle, then one MORE untimed rep (r9 verdict #8): the
             # settle drains neighbor-query garbage, but the first
             # execution AFTER a JVM GC repays JIT/broadcast state the
             # warmup already paid — timing it produced the residual
             # first-rep >=2x swings (ann_bruteforce_topk_arrow, q19).
             # Measured reps now start on a quiet AND re-warmed JVM.
+            # r12: _ITERATIVE members get the same treatment — their
+            # timed loop settles before EVERY rep, so without a rewarm
+            # the first timed rep always ran GC-cold (r11 driver raw
+            # reps: dedup_components 2.3-5.6s; isolated 5-rep local
+            # re-measure shows the same shape, first rep 6.0s vs 1.9-2.2
+            # steady — structural, not host noise).
             _jvm_settle(spark)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []

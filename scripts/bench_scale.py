@@ -171,6 +171,17 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
         # affordable inside the 2100s budget and worth it to keep the
         # headline max honest.
         "dedup_containment",
+        # r12 adjudication of BENCH_r11's 1.19 headline (the round's only
+        # >= 1.0 default ratio, r11 verdict #4): isolated fresh-JVM at
+        # the same HEAD measured scale 74.1s vs the driver suite's
+        # 210.5s — ratio 0.26 against a 3-rep base median of 2.85s.
+        # Strongly SUB-linear; the 1.19 was the same suite-churn
+        # artifact class as ann_pq_adc_topk's r10 2.4x (minhash runs
+        # right after the 100x document tile rebuild/churn). No band-
+        # width blowup exists to fix — dedup_index_stats' occupancy
+        # tripwire stays the real-drift guard; the bench remedy is the
+        # established one: second rep, keep the min.
+        "dedup_minhash_lsh",
     }
     for name in SCALE_QUERIES:
         if time.perf_counter() - started > budget:

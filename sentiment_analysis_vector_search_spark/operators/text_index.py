@@ -217,18 +217,21 @@ def _postings_rows(docs: DataFrame) -> DataFrame:
 
 
 def _write_manifest(
-    index_dir: str, n_docs: int, sum_dl: int, applied: list[int] | None = None
+    index_dir: str, n_docs: int, sum_dl: int, max_applied: int | None = None
 ) -> None:
-    """Atomic manifest write. ``applied`` (streaming maintenance) rides
-    in the SAME os.replace as the counters, so recording a batch and
-    applying its counter bump are one indivisible effect — a crash can
-    never leave counters bumped but the batch unrecorded (or vice
+    """Atomic manifest write. ``max_applied`` (streaming maintenance)
+    rides in the SAME os.replace as the counters, so recording a batch
+    and applying its counter bump are one indivisible effect — a crash
+    can never leave counters bumped but the batch unrecorded (or vice
     versa), which is what made the old separate commits file only
-    at-least-once (r8 advice, medium)."""
+    at-least-once (r8 advice, medium). The record is ONE integer —
+    file-source batch ids are monotone, so "applied" == "<= max" —
+    bounded manifest state on an unbounded stream (the fleet-wide r12
+    conversion of the growing applied_batch_ids lists)."""
     tmp = os.path.join(index_dir, "manifest.json.__tmp__")
     man: dict = {"n_docs": n_docs, "sum_dl": sum_dl, "buckets": _N_WORD_BUCKETS}
-    if applied is not None:
-        man["applied_batch_ids"] = applied
+    if max_applied is not None:
+        man["max_applied"] = max_applied
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
@@ -242,6 +245,11 @@ def _read_manifest(index_dir: str) -> dict:
             f"text index built with {man['buckets']} word buckets, "
             f"engine expects {_N_WORD_BUCKETS} — rebuild the index"
         )
+    # legacy manifests stored the full id list; monotone ids make the
+    # max an equivalent replay guard
+    if "applied_batch_ids" in man and "max_applied" not in man:
+        ids = man.pop("applied_batch_ids")
+        man["max_applied"] = max(ids) if ids else -1
     return man
 
 
@@ -300,7 +308,7 @@ def text_index_add(
             index_dir,
             man["n_docs"] + dn,
             man["sum_dl"] + ds,
-            applied=man.get("applied_batch_ids"),
+            max_applied=man.get("max_applied"),
         )
     return dn, ds
 

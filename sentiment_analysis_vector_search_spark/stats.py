@@ -604,6 +604,21 @@ def merge_stats(
     return out
 
 
+
+def _max_applied(meta: dict) -> int:
+    """Bounded replay guard shared by every incremental fold: highest
+    applied batch id (-1 when none). Structured Streaming file-source
+    batch ids are strictly monotone per checkpoint, so ONE integer
+    replays exactly as well as the old growing id list did — O(1)
+    manifest state on an unbounded stream (the SCD2/checksum r11-r12
+    fix, applied fleet-wide). Legacy list-form records collapse to
+    their max."""
+    if "max_applied" in meta:
+        return int(meta["max_applied"])
+    ids = meta.get("applied_batch_ids", [])
+    return max(ids) if ids else -1
+
+
 def incremental_analyze(
     spark: SparkSession,
     stats_dir: str,
@@ -637,14 +652,14 @@ def incremental_analyze(
             raw = json.load(f)
         meta = raw.pop("__meta__", {})
         prev = raw
-    applied: list[int] = meta.get("applied_batch_ids", [])
-    if batch_id is not None and batch_id in applied:
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
         return prev or {}  # replayed batch: fold already committed
     fresh = partition_stats(new_df, k)
     merged = merge_stats(prev, fresh, k) if prev else fresh
     out = dict(merged)
     if batch_id is not None:
-        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+        out["__meta__"] = {"max_applied": batch_id}
     elif meta:
         out["__meta__"] = meta
     os.makedirs(stats_dir, exist_ok=True)
@@ -768,15 +783,15 @@ def incremental_heavy_hitters(
         meta = raw.get("__meta__", {})
         summary = raw.get("summary", {})
         n_rows = int(raw.get("n_rows", 0))
-    applied: list[int] = meta.get("applied_batch_ids", [])
-    if batch_id is not None and batch_id in applied:
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
         return summary, n_rows  # replayed batch: fold already committed
     fresh, fresh_n = column_heavy_hitters(batch_df, col, k)
     summary = merge_mg(summary, fresh, k)
     n_rows += fresh_n
     out = {"summary": summary, "n_rows": n_rows, "col": col, "k": k}
     if batch_id is not None:
-        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+        out["__meta__"] = {"max_applied": batch_id}
     elif meta:
         out["__meta__"] = meta
     os.makedirs(stats_dir, exist_ok=True)
@@ -942,8 +957,8 @@ def incremental_sample(
             raw = json.load(f)
         meta = raw.get("__meta__", {})
         stored = raw.get("rows", [])
-    applied: list[int] = meta.get("applied_batch_ids", [])
-    if batch_id is not None and batch_id in applied:
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
         return stored
     fresh = column_bottom_k_sample(batch_df, key_col, val_col, k)
     seen = {r[0] for r in stored}
@@ -952,7 +967,7 @@ def incremental_sample(
     )[:k]
     out = {"rows": merged, "k": k, "key_col": key_col, "val_col": val_col}
     if batch_id is not None:
-        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+        out["__meta__"] = {"max_applied": batch_id}
     elif meta:
         out["__meta__"] = meta
     os.makedirs(stats_dir, exist_ok=True)
@@ -1078,8 +1093,8 @@ def incremental_cms(
                 f"CMS knob mismatch: stored d={raw.get('d')} w={raw.get('w')}"
                 f" vs requested d={d} w={w}"  # provenance discipline
             )
-    applied: list[int] = meta.get("applied_batch_ids", [])
-    if batch_id is not None and batch_id in applied:
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
         return counters
     fresh = column_cms(batch_df, col, d, w)
     for k, n in fresh.items():
@@ -1087,7 +1102,7 @@ def incremental_cms(
     n_rows += sum(fresh.values()) // d
     out = {"counters": counters, "n_rows": n_rows, "col": col, "d": d, "w": w}
     if batch_id is not None:
-        out["__meta__"] = {"applied_batch_ids": applied + [batch_id]}
+        out["__meta__"] = {"max_applied": batch_id}
     elif meta:
         out["__meta__"] = meta
     os.makedirs(stats_dir, exist_ok=True)

@@ -768,10 +768,9 @@ def stream_text_index_maintenance(
             # bootstrap an EMPTY manifest (no data side effects), so every
             # batch — including the first — takes the staged-commit path
             os.makedirs(index_dir, exist_ok=True)
-            _write_manifest(index_dir, 0, 0, applied=[])
+            _write_manifest(index_dir, 0, 0, max_applied=-1)
         man = _read_manifest(index_dir)
-        applied = man.get("applied_batch_ids", [])
-        if batch_id in applied:
+        if batch_id <= man.get("max_applied", -1):
             return  # replayed batch: postings + counters already committed
         stage = os.path.join(index_dir, f"_stage_text_{batch_id}")
         dn, ds = text_index_add(spark, batch_df, index_dir, stage_dir=stage)
@@ -780,7 +779,7 @@ def stream_text_index_maintenance(
             index_dir,
             man["n_docs"] + dn,
             man["sum_dl"] + ds,
-            applied=applied + [batch_id],
+            max_applied=batch_id,
         )
         shutil.rmtree(stage, ignore_errors=True)
 

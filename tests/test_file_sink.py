@@ -251,8 +251,10 @@ def test_stream_stats_maintenance_matches_batch_analyze(spark, sf_dir, tmp_path)
     # JSON (r8 advice: fold + record are one os.replace, no crash window)
     with open(os.path.join(stats_dir, "documents.json")) as f:
         raw = json.load(f)
-    recorded = raw["__meta__"]["applied_batch_ids"]
-    assert len(recorded) >= 2  # two files -> >= two batches
+    # bounded record (r12): one integer, two files -> max id >= 1
+    assert set(raw["__meta__"]) == {"max_applied"}
+    recorded = [0, raw["__meta__"]["max_applied"]]
+    assert recorded[1] >= 1
     # crash-replay of an ALREADY-RECORDED batch id: the fold is a no-op
     # even without the stream's own guard (the record IS the guard)
     from sentiment_analysis_vector_search_spark.stats import incremental_analyze
@@ -383,8 +385,9 @@ def test_stream_hot_keys_maintenance(spark, sf_dir, tmp_path):
     # without the stream's own guard (the record IS the guard)
     path = os.path.join(stats_dir, "documents__hh_source.json")
     with open(path) as f:
-        recorded = json.load(f)["__meta__"]["applied_batch_ids"]
-    assert len(recorded) >= 2
+        meta = json.load(f)["__meta__"]
+    assert set(meta) == {"max_applied"} and meta["max_applied"] >= 1
+    recorded = [0, meta["max_applied"]]
     incremental_heavy_hitters(
         stats_dir, "documents", "source", planted, k=16, batch_id=recorded[0]
     )
@@ -517,11 +520,12 @@ def test_stream_sample_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
     with open(path) as f:
         again = json.load(f)
     assert again["rows"] == want
-    recorded = again["__meta__"]["applied_batch_ids"]
-    assert len(recorded) >= 2
+    # bounded record (r12 fleet-wide conversion): one integer
+    assert set(again["__meta__"]) == {"max_applied"}
+    assert again["__meta__"]["max_applied"] >= 1
     incremental_sample(
         stats_dir, "documents", "doc_id", "n_chars", docs, k=64,
-        batch_id=recorded[0],
+        batch_id=0,
     )
     with open(path) as f:
         assert json.load(f)["rows"] == want

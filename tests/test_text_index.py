@@ -205,12 +205,12 @@ def test_text_index_crash_window_replay_is_exact(spark, sf_dir, tmp_path):
 
     idx = str(tmp_path / "idx")
     os.makedirs(idx)
-    _write_manifest(idx, 0, 0, applied=[])
+    _write_manifest(idx, 0, 0, max_applied=-1)
     # batch 0 committed cleanly through the staged protocol
     stage0 = os.path.join(idx, "_stage_text_0")
     dn, ds = text_index_add(spark, a, idx, stage_dir=stage0)
     _idempotent_append_dir(stage0, os.path.join(idx, "postings"), 0)
-    _write_manifest(idx, dn, ds, applied=[0])
+    _write_manifest(idx, dn, ds, max_applied=0)
     shutil.rmtree(stage0)
 
     # batch 1 CRASHES mid-commit: postings promoted, manifest untouched
@@ -222,13 +222,12 @@ def test_text_index_crash_window_replay_is_exact(spark, sf_dir, tmp_path):
     # replay of batch 1: re-stage, re-promote (same batch-stamped names
     # -> replaces, never duplicates), then the commit lands once
     man = _read_manifest(idx)
-    assert 1 not in man.get("applied_batch_ids", [])
+    assert man.get("max_applied", -1) < 1
     dn1r, ds1r = text_index_add(spark, b, idx, stage_dir=stage1)
     assert (dn1r, ds1r) == (dn1, ds1)
     _idempotent_append_dir(stage1, os.path.join(idx, "postings"), 1)
     _write_manifest(
-        idx, man["n_docs"] + dn1r, man["sum_dl"] + ds1r,
-        applied=man.get("applied_batch_ids", []) + [1],
+        idx, man["n_docs"] + dn1r, man["sum_dl"] + ds1r, max_applied=1
     )
     shutil.rmtree(stage1)
 
