@@ -189,6 +189,45 @@ def dist_group_rank(
     )
 
 
+def dist_group_rank_auto(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    stats: dict[str, dict] | None = None,
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Strategy-aware grouped rank: runs :func:`dist_group_rank` or the
+    plain per-group window per :func:`grouped_rank_strategy`, returning
+    the identical (group, value, tie, rk, n_g) surface either way
+    (pytest-pinned equal). Callers with persisted/derived ``table_stats``
+    pass them; without stats the device is used (the conservative choice
+    — it is correct in both regimes, merely wasteful in the
+    many-tiny-groups one)."""
+    strategy = "dist"
+    if stats is not None and group_col in stats:
+        n_part = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            8,
+        )
+        strategy = grouped_rank_strategy(
+            stats, group_col, n_part, broadcast_max_bytes
+        )
+    if strategy == "dist":
+        return dist_group_rank(df, group_col, value_col, tie_col)
+    w = Window.partitionBy(group_col).orderBy(value_col, tie_col)
+    # bounded-group regime by the chooser's own gate: every group is far
+    # below a task's fair share, so the per-group window never funnels a
+    # data-sized partition (the global-window comment discipline)
+    return df.select(group_col, value_col, tie_col).select(
+        group_col,
+        value_col,
+        tie_col,
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n_g"),
+    )
+
+
 def dist_group_prefix_sum(
     df: DataFrame,
     group_col: str,

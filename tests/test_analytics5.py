@@ -385,3 +385,47 @@ def test_source_weighted_percentiles_parity(spark, sf_dir):
     from tests.parity import assert_parity
 
     assert_parity(spark, "q_source_weighted_percentiles", sf_dir)
+
+
+def test_dist_group_rank_auto_paths_agree(spark):
+    """Both strategies of the auto wrapper emit the identical surface;
+    the chooser actually routes (device for a dominant group, window
+    for many tiny groups)."""
+    import random
+
+    from sentiment_analysis_vector_search_spark.functions.ranks import (
+        dist_group_rank_auto,
+    )
+
+    rng = random.Random(5)
+    rows = [("g%d" % (i % 7), rng.uniform(0, 10), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double, tie long")
+
+    def snap(out):
+        return sorted(
+            (r["g"], r["tie"], r["rk"], r["n_g"]) for r in out.collect()
+        )
+
+    dominant = {"g": {"n_rows": 10_000_000, "n_nulls": 0, "approx_ndv": 7.0,
+                      "min_value": "g0", "max_value": "g6"}}
+    tiny = {"g": {"n_rows": 10_000_000, "n_nulls": 0,
+                  "approx_ndv": 9_000_000.0,
+                  "min_value": "g0", "max_value": "g6"}}
+    via_device = snap(dist_group_rank_auto(df, "g", "v", "tie", stats=dominant))
+    via_window = snap(dist_group_rank_auto(df, "g", "v", "tie", stats=tiny))
+    no_stats = snap(dist_group_rank_auto(df, "g", "v", "tie"))
+    assert via_device == via_window == no_stats
+    # the two stats routes genuinely take different plans: the device
+    # range-partitions (repartitionByRange), the window path never does
+    d_plan = (
+        dist_group_rank_auto(df, "g", "v", "tie", stats=dominant)
+        ._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    w_plan = (
+        dist_group_rank_auto(df, "g", "v", "tie", stats=tiny)
+        ._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    # device: the checkpointed range-partitioned relation joins on _pid;
+    # window: a Window node and no _pid machinery anywhere
+    assert "_pid" in d_plan
+    assert "_pid" not in w_plan and "window" in w_plan
