@@ -558,12 +558,16 @@ def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable quantile summary): a fixed-width bin histogram IS a
 # mergeable quantile sketch — bin counts add across shards/batches/
 # engines with no merge-order sensitivity (unlike KLL's compaction
-# coin-flips), the estimate is deterministic integer+IEEE arithmetic,
-# and stats.column_histogram / incremental_analyze already maintain the
-# same structure incrementally. This query runs the estimator as a
-# graded surface next to the exact percentile, per event type — the
-# calibration audit for q_value_percentiles' documented scale path
-# (swap exact percentile for a maintained summary at 100 TB).
+# coin-flips; equi-width column_histogram is NOT mergeable either — its
+# bucket bounds depend on the observed min/max), and the estimate is
+# deterministic integer+IEEE arithmetic. The maintained leg lives in
+# stats.column_fixed_histogram / incremental_histogram /
+# stream_histogram_maintenance (the sixth maintained artifact), whose
+# hist_quantile serves the SAME interpolation from <= bins integers of
+# driver metadata. This query runs the estimator as a graded surface
+# next to the exact percentile, per event type — the calibration audit
+# for q_value_percentiles' documented scale path (swap exact percentile
+# for the maintained summary at 100 TB).
 #
 # Estimator: t = q * n; first bin with cum >= t; within-bin linear
 # interpolation est = W*bin + W*(t - cum_before)/cnt. cum/cnt are exact

@@ -440,6 +440,146 @@ def stats_informed_join(
     return big.join(small, on=key_col, how=how)
 
 
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — the MERGEABLE histogram (r12). column_histogram
+# below derives its bucket bounds from the observed min/max, which makes
+# it a fine one-shot CBO artifact but NOT batch-mergeable: two batches
+# with different ranges bucket differently. The fixed-width form (bin =
+# clamp(floor(value / width), 0, bins-1)) has data-independent bounds,
+# so per-batch counts ADD — across shards, engines, and arrival orders —
+# making it the maintainable quantile summary behind
+# q_value_hist_quantiles' estimator (operators/sketch_ops.py): keep the
+# artifact current per batch, serve interpolated quantiles from B
+# integers of driver metadata, never rescan the table.
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 10.0
+HIST_BINS = 64
+
+
+def column_fixed_histogram(
+    df: DataFrame, col: str, width: float = HIST_WIDTH, bins: int = HIST_BINS
+) -> dict[int, int]:
+    """bin -> count over ``col`` in ONE partial-agg scan (<= ``bins``
+    rows to the driver). Non-finite values are excluded (the
+    column_histogram precedent)."""
+    cd = F.col(col).cast("double")
+    finite = (
+        cd.isNotNull()
+        & ~F.isnan(cd)
+        & (cd != F.lit(float("inf")))
+        & (cd != F.lit(float("-inf")))
+    )
+    rows = (
+        df.where(finite)
+        .groupBy(
+            F.least(
+                F.greatest(F.floor(cd / F.lit(width)).cast("int"), F.lit(0)),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {int(r["bin"]): int(r["n"]) for r in rows}
+
+
+def incremental_histogram(
+    stats_dir: str,
+    name: str,
+    col: str,
+    batch_df: DataFrame,
+    width: float = HIST_WIDTH,
+    bins: int = HIST_BINS,
+    batch_id: int | None = None,
+) -> dict[int, int]:
+    """Fold one batch into a persisted fixed-width histogram
+    (``{name}__hist_{col}.json``): counts are additive, so after ANY
+    number of folds the artifact equals a one-shot histogram over the
+    union (pytest-pinned). Knob mismatch fails fast (the CMS provenance
+    discipline); the replay guard is the bounded ``max_applied`` record
+    inside the same atomic write (SCALING rules 21/35)."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__hist_{col}.json")
+    meta: dict = {}
+    counts: dict[int, int] = {}
+    n_rows = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        counts = {int(k): int(v) for k, v in raw.get("counts", {}).items()}
+        n_rows = int(raw.get("n_rows", 0))
+        if raw.get("width") != width or raw.get("bins") != bins:
+            raise ValueError(
+                f"histogram knob mismatch: stored width={raw.get('width')} "
+                f"bins={raw.get('bins')} vs requested width={width} bins={bins}"
+            )
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
+        return counts
+    fresh = column_fixed_histogram(batch_df, col, width, bins)
+    for b, n in fresh.items():
+        counts[b] = counts.get(b, 0) + n
+    n_rows += sum(fresh.values())
+    out: dict = {
+        "counts": {str(k): v for k, v in sorted(counts.items())},
+        "n_rows": n_rows,
+        "col": col,
+        "width": width,
+        "bins": bins,
+    }
+    if batch_id is not None:
+        out["__meta__"] = {"max_applied": batch_id}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return counts
+
+
+def load_histogram(stats_dir: str, name: str, col: str) -> dict:
+    """Read back a persisted fixed-width histogram artifact (the whole
+    JSON: counts/n_rows/width/bins); empty dict when absent."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__hist_{col}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    raw["counts"] = {int(k): int(v) for k, v in raw.get("counts", {}).items()}
+    return raw
+
+
+def hist_quantile(counts: dict[int, int], width: float, q: float) -> float:
+    """Interpolated quantile from a fixed-width histogram — the SAME
+    arithmetic as q_value_hist_quantiles' in-engine estimator (t = q*n,
+    first bin with cum >= t, within-bin linear interpolation), so the
+    served value from the maintained artifact matches the graded
+    query's estimate on identical counts."""
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("empty histogram")
+    t = q * float(n)
+    cum = 0
+    for b in sorted(counts):
+        prev = cum
+        cum += counts[b]
+        if float(cum) >= t:
+            return float(width) * b + float(width) * (
+                (t - float(prev)) / float(counts[b])
+            )
+    b = max(counts)
+    return float(width) * (b + 1)  # q == 1.0 edge
+
+
 def column_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
     """Equi-width histogram over a numeric column in ONE partial-agg
     scan: (bucket, lo, hi, n_rows). The CBO artifact behind range

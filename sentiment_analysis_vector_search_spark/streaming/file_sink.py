@@ -986,6 +986,59 @@ def stream_cms_maintenance(
         q.awaitTermination()
 
 
+def stream_histogram_maintenance(
+    spark: SparkSession,
+    sf_dir: str,
+    stats_dir: str,
+    checkpoint_dir: str,
+    col: str = "value",
+    width: float | None = None,
+    bins: int | None = None,
+) -> None:
+    """Continuously-maintained fixed-width histogram of ``events.col``:
+    streaming files → ``foreachBatch`` → ``stats.incremental_histogram``
+    — the maintenance leg of q_value_hist_quantiles' mergeable quantile
+    summary (r12). Each micro-batch is scanned once (one partial-agg
+    pass, <= bins rows to the driver) and its counts ADD into the
+    persisted artifact, so interpolated quantiles are always current
+    from B integers of driver metadata without rescanning the table —
+    the sixth maintained artifact next to KMV / MG / bottom-k / CMS /
+    checksum.
+
+    Exactly-once with no crash window: counts are additive, so the
+    bounded ``max_applied`` record rides inside the artifact JSON's
+    single os.replace (the incremental_cms protocol, SCALING rule 35)."""
+    from .. import stats as st
+    from ..catalog import read_events_raw
+
+    w = st.HIST_WIDTH if width is None else width
+    b = st.HIST_BINS if bins is None else bins
+    raw = read_events_raw(spark, sf_dir)
+    src = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        st.incremental_histogram(
+            stats_dir, "events", col, batch_df, width=w, bins=b,
+            batch_id=batch_id,
+        )
+
+    with _stream_confs(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_checksum_maintenance(
     spark: SparkSession,
     sf_dir: str,

@@ -579,3 +579,71 @@ def test_stream_checksum_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
         again = json.load(f)
     assert again["n_rows"] == want["n_rows"]
     assert again["checksum"] == want["checksum"]
+
+
+def test_stream_histogram_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
+    """Streamed per-batch histogram folds equal a one-shot fixed-width
+    histogram over everything ingested; re-drain and fresh-checkpoint
+    replay are no-ops; the served quantile matches the graded
+    q_value_hist_quantiles estimator arithmetic and tracks the exact
+    percentile within one bin width."""
+    import json
+    import os
+
+    import numpy as np
+
+    from sentiment_analysis_vector_search_spark.catalog import read_events_raw
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_fixed_histogram,
+        hist_quantile,
+        load_histogram,
+    )
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_histogram_maintenance,
+    )
+
+    ev = read_events_raw(spark, sf_dir)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ev.where(F.col("event_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/events.parquet", index=False
+    )
+    ev.where(F.col("event_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/events_b.parquet", index=False
+    )
+    stats_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    stream_histogram_maintenance(spark, src_dir, stats_dir, ckpt)
+
+    art = load_histogram(stats_dir, "events", "value")
+    want = column_fixed_histogram(ev, "value")
+    assert art["counts"] == want  # streamed == one-shot
+    assert art["n_rows"] == sum(want.values())
+    assert art["__meta__"] == {"max_applied": 1}
+
+    # re-drain + fresh-checkpoint replay: byte-identical artifact
+    path = os.path.join(stats_dir, "events__hist_value.json")
+    with open(path) as f:
+        before = f.read()
+    stream_histogram_maintenance(spark, src_dir, stats_dir, ckpt)
+    stream_histogram_maintenance(spark, src_dir, stats_dir, str(tmp_path / "c2"))
+    with open(path) as f:
+        assert f.read() == before
+
+    # served quantile: same arithmetic as the graded estimator, within
+    # one bin width of the exact percentile
+    vals = [r["value"] for r in ev.select("value").collect()]
+    for q in (0.5, 0.9, 0.99):
+        est = hist_quantile(art["counts"], art["width"], q)
+        exact = float(np.percentile(vals, q * 100, method="linear"))
+        assert abs(est - exact) <= art["width"], (q, est, exact)
+
+    # knob mismatch fails fast (provenance discipline)
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        incremental_histogram,
+    )
+
+    with pytest.raises(ValueError, match="knob mismatch"):
+        incremental_histogram(stats_dir, "events", "value", ev, width=5.0)
