@@ -143,6 +143,28 @@ def main(argv: list[str] | None = None) -> int:
         "--quantiles", default="0.5,0.95", help="comma-separated q values"
     )
 
+    p_hist = sub.add_parser(
+        "hist",
+        help="fold one parquet batch into the persisted fixed-width "
+        "histogram and print interpolated quantile estimates",
+    )
+    p_hist.add_argument("table")
+    p_hist.add_argument("col")
+    p_hist.add_argument("batch_path", help="parquet path of the NEW batch only")
+    p_hist.add_argument("stats_dir")
+    p_hist.add_argument("--width", type=float, default=None)
+    p_hist.add_argument("--bins", type=int, default=None)
+    p_hist.add_argument(
+        "--quantiles", default="0.5,0.9,0.99", help="comma-separated q values"
+    )
+    p_hist.add_argument(
+        "--batch-id",
+        type=int,
+        default=None,
+        help="replay guard for the NON-idempotent additive fold; omit "
+        "for ad-hoc one-shot use",
+    )
+
     p_je = sub.add_parser(
         "joinest",
         help="estimate an equi-join's output rows and the physical "
@@ -668,6 +690,43 @@ def main(argv: list[str] | None = None) -> int:
                     "n_sample": len(rows),
                     "k": args.k,
                     "quantiles": {str(q): sample_quantile(rows, q) for q in qs},
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        return 0
+
+    if args.cmd == "hist":
+        import json
+
+        from . import stats as st
+        from .session import get_spark
+
+        spark = get_spark("cli-hist")
+        spark.sparkContext.setLogLevel("ERROR")
+        w = st.HIST_WIDTH if args.width is None else args.width
+        b = st.HIST_BINS if args.bins is None else args.bins
+        counts = st.incremental_histogram(
+            args.stats_dir,
+            args.table,
+            args.col,
+            spark.read.parquet(args.batch_path),
+            width=w,
+            bins=b,
+            batch_id=args.batch_id,
+        )
+        qs = [float(q) for q in args.quantiles.split(",") if q]
+        print(
+            json.dumps(
+                {
+                    "n_rows": sum(counts.values()),
+                    "n_bins_used": len(counts),
+                    "width": w,
+                    "bins": b,
+                    "quantiles": {
+                        str(q): st.hist_quantile(counts, w, q) for q in qs
+                    },
                 },
                 indent=1,
                 sort_keys=True,

@@ -772,7 +772,11 @@ def ann_ivf_index_query(
     partition filters so the assignment scan is statically pruned — the
     collect moves nq x nprobe cell ids, bounded metadata. The rerank is
     the same broadcast-queries candidate join as the in-memory path.
+    Opens with ``ivf_index_recover`` (two existence checks when idle) so
+    a refresh swap a crash left half-done is completed/rolled back
+    before the read — queries never see a torn index.
     """
+    ivf_index_recover(index_dir)
     cents_n = spark.read.parquet(f"{index_dir}/codebook")
     q = queries.select(
         "query_id",

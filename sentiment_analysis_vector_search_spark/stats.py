@@ -543,6 +543,24 @@ def incremental_histogram(
     return counts
 
 
+def fixed_hist_rows(art: dict) -> list[dict]:
+    """Adapt a persisted fixed-width histogram artifact
+    (:func:`load_histogram`) into the bucket rows
+    :func:`estimated_range_rows` consumes (lo/hi/n_rows dicts) — the
+    maintained artifact feeds the planner's range selectivity the way a
+    one-shot column_histogram scan does, with NO rescan: the sketch
+    loop (KMV→ndv, MG→salt, bottom-k→selectivity, CMS→hot-key probe,
+    histogram→range mass) stays closed for the sixth artifact too. The
+    last bin is open-ended by construction (values clamp into it); its
+    ``hi`` edge is still width*(b+1) — the same bounded-support
+    assumption the fixed-width estimator itself makes."""
+    w = float(art["width"])
+    return [
+        {"bucket": b, "lo": w * b, "hi": w * (b + 1), "n_rows": n}
+        for b, n in sorted(art["counts"].items())
+    ]
+
+
 def load_histogram(stats_dir: str, name: str, col: str) -> dict:
     """Read back a persisted fixed-width histogram artifact (the whole
     JSON: counts/n_rows/width/bins); empty dict when absent."""

@@ -416,3 +416,37 @@ def test_ivf_refresh_crash_recovery(spark, sf_dir, tmp_path):
     # index is readable and complete after recovery
     assert spark.read.parquet(cb).count() >= 2
     assert spark.read.parquet(asg).count() > 0
+
+
+def test_ivf_query_open_recovers_torn_swap(spark, sf_dir, tmp_path):
+    """ann_ivf_index_query completes a committed-but-torn refresh swap
+    at open, so readers never see a missing/partial directory."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, index_dir)
+    cb = os.path.join(index_dir, "codebook")
+    # committed refresh crashed with the codebook displaced and __new
+    # not yet installed — a plain read of codebook/ would fail
+    shutil.copytree(cb, cb + "__new")
+    with open(os.path.join(index_dir, "_refresh_commit.json"), "w") as f:
+        json.dump({}, f)
+    os.rename(cb, cb + "__old")
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, index_dir, queries)
+    assert got.count() > 0
+    assert os.path.isdir(cb)
+    assert not os.path.exists(os.path.join(index_dir, "_refresh_commit.json"))

@@ -770,3 +770,58 @@ def test_stream_cms_maintenance_drains_and_folds(spark, sf_dir, tmp_path):
     # re-drain: checkpointed source re-delivers nothing, sketch unchanged
     stream_cms_maintenance(spark, sf_dir, sd, ck)
     assert load_cms(sd, "documents", "source")[0] == counters
+
+
+def test_fixed_hist_feeds_range_selectivity_and_cli(spark, sf_dir, tmp_path, capsys):
+    """The maintained fixed-width histogram closes the planner loop:
+    fixed_hist_rows adapts the artifact into estimated_range_rows'
+    bucket form and beats the uniform estimate on skewed data; the CLI
+    `hist` verb folds and serves quantiles; replayed batch ids no-op."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.stats import (
+        estimated_range_rows,
+        fixed_hist_rows,
+        incremental_histogram,
+        load_histogram,
+        table_stats,
+    )
+
+    # skewed frame: 900 rows in [0, 10), 100 rows in [500, 510)
+    import pandas as pd
+
+    d = str(tmp_path / "skew")
+    os.makedirs(d)
+    vals = [float(i % 10) for i in range(900)] + [500.0 + (i % 10) for i in range(100)]
+    pd.DataFrame(
+        {"event_id": range(1000), "value": vals}
+    ).to_parquet(os.path.join(d, "events.parquet"), index=False)
+    df = spark.read.parquet(os.path.join(d, "events.parquet"))
+
+    stats_dir = str(tmp_path / "stats")
+    incremental_histogram(stats_dir, "events", "value", df, batch_id=0)
+    art = load_histogram(stats_dir, "events", "value")
+    rows = fixed_hist_rows(art)
+    # uniform stats would smear mass over [0, 510]; the artifact pins it
+    stats = {"value": {"n_rows": 1000, "n_nulls": 0, "approx_ndv": 20.0,
+                       "min_value": "0.0", "max_value": "509.0"}}
+    uniform = estimated_range_rows(stats, "value", 0.0, 10.0)
+    backed = estimated_range_rows(stats, "value", 0.0, 10.0, histogram=rows)
+    assert abs(backed - 900.0) < 1.0
+    assert abs(uniform - 900.0) > 800.0  # uniform is wildly off here
+
+    # replayed fold: no-op (bounded record guard)
+    incremental_histogram(stats_dir, "events", "value", df, batch_id=0)
+    assert load_histogram(stats_dir, "events", "value")["n_rows"] == 1000
+
+    # CLI verb: quantiles from the artifact; p50 in the dense low band
+    rc = main(["hist", "events", "value", os.path.join(d, "events.parquet"),
+               str(tmp_path / "cli_stats")])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert out["n_rows"] == 1000
+    assert 0.0 <= out["quantiles"]["0.5"] <= 10.0
+    assert 500.0 <= out["quantiles"]["0.99"] <= 510.0
