@@ -390,8 +390,8 @@ WITH lc AS (
   ) WHERE rk = 1
 )
 SELECT n.source, n.n_docs, n.n_bpe_tokens, t.top_lang,
-       round(t.c * 1.0 / n.n_docs, 6) AS top_lang_share,
-       round(e.raw_ent, 6) AS lang_entropy,
+       t.c * 1.0 / n.n_docs AS top_lang_share,
+       e.raw_ent AS lang_entropy,
        n.p50_chars, n.p90_chars
 FROM n JOIN top t USING (source) JOIN ent e ON e.source = n.source
 """
@@ -431,9 +431,11 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("lang").alias("top_lang"),
-            F.round(
-                F.col("c") * F.lit(1.0) / F.col("n_docs"), 6
-            ).alias("top_lang_share"),
+            # raw quotient, no round (SCALING rule 33): identical ints
+            # through one correctly-rounded division — bit-identical
+            (F.col("c") * F.lit(1.0) / F.col("n_docs")).alias(
+                "top_lang_share"
+            ),
         )
     )
     return (
@@ -445,7 +447,10 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens",
             "top_lang",
             "top_lang_share",
-            F.round("raw_ent", 6).alias("lang_entropy"),
+            # raw decimal-summed entropy, no round (rule 33) — an
+            # exact short decimal is the LIKELIEST value class to sit
+            # on a 1e-6 midpoint (the psi sf0.001 tie)
+            F.col("raw_ent").alias("lang_entropy"),
             F.round(F.col("p")[0], 6).alias("p50_chars"),
             F.round(F.col("p")[1], 6).alias("p90_chars"),
         )

@@ -60,7 +60,14 @@ _LM_HI = -2.5
 # Shared per-bigram log-prob: ln((n_pair + 1) / (c + V)) over staged
 # integer columns np1 = n_pair + 1 and cv = c + V, computed as the
 # difference of two stable_ln calls — one text, both engines, bit-equal.
-_LM_LOGP = f"round({sql_stable_ln('np1')} - {sql_stable_ln('cv')}, 6)"
+# RAW difference, no round (SCALING rule 33): both lns are bit-identical
+# cross-engine and the subtraction is one correctly-rounded IEEE op, so
+# the raw double is bit-identical too — while a per-row round(x, 6)
+# diverges exactly when a value lands on a 1e-6 midpoint ON THE DRIVER'S
+# (unseen) corpus, the mechanism that failed sample_weighted twice. The
+# downstream decimal quantization (sql_vardec, varchar-bridged) is one
+# shared implementation contract on both engines.
+_LM_LOGP = f"({sql_stable_ln('np1')} - {sql_stable_ln('cv')})"
 
 _LM_ORACLE = f"""
 WITH toks AS (
@@ -108,7 +115,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain shuffled equi-joins on (w1, w2) / w1 — AQE handles skewed stop
     words. The per-doc aggregate is a partial-agg groupBy. Parity: each
     log-prob is stable_ln(n_pair+1) - stable_ln(c+V) over exact integer
-    columns, rounded to 6dp per row, then decimal-summed — bit-identical
+    columns, raw per row (rule 33), then decimal-summed — bit-identical
     on both engines at any partitioning."""
     docs = fan_out(spark, table(spark, sf_dir, "documents"))
     toks = docs.select(
@@ -155,7 +162,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inline _LM_LOGP text, bit-identical, ~8x less plan-compile text.
     scored = with_stable_ln(with_stable_ln(pre, "np1", "_ln_np1"), "cv", "_ln_cv")
     scored = scored.select(
-        "doc_id", F.round(F.col("_ln_np1") - F.col("_ln_cv"), 6).alias("logp")
+        "doc_id", (F.col("_ln_np1") - F.col("_ln_cv")).alias("logp")
     )
     # NO final round: the decimal sum is exact and order-independent, the
     # double division is correctly rounded on both engines, so the raw
@@ -195,8 +202,8 @@ WITH toks AS (
   SELECT row_number() OVER (ORDER BY c DESC, w) AS rk, c
   FROM (SELECT * FROM uc ORDER BY c DESC, w LIMIT {_ZF_N})
 ), pts AS (
-  SELECT round({sql_stable_ln('rk')}, 6) AS x,
-         round({sql_stable_ln('c')}, 6) AS y
+  SELECT {sql_stable_ln('rk')} AS x,
+         {sql_stable_ln('c')} AS y
   FROM ranked
 ), s AS (
   SELECT cast(count(*) as double) AS n,
@@ -227,7 +234,7 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tokenized pass → vocabulary-grain counts (Heaps-
     bounded); the top-N head comes via orderBy+limit (TakeOrdered, no
     global window) and ranking/fitting run over N rows. Per-point logs
-    are stable_ln over integer rank/count rounded to 6dp (engine-
+    are raw stable_ln over integer rank/count (engine-
     invariant by construction), the OLS sums are exact decimals, and the
     closed-form arithmetic is ordered identically on both engines — raw
     doubles out, no final round."""
@@ -248,10 +255,9 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
     )
+    # raw staged lns, no per-point round (SCALING rule 33 — see _LM_LOGP)
     pts = with_stable_ln(with_stable_ln(ranked, "rk", "_ln_rk"), "c", "_ln_c")
-    pts = pts.select(
-        F.round("_ln_rk", 6).alias("x"), F.round("_ln_c", 6).alias("y")
-    )
+    pts = pts.select(F.col("_ln_rk").alias("x"), F.col("_ln_c").alias("y"))
     s = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum(F.col("x")).alias("sx"),

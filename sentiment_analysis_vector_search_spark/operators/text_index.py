@@ -132,7 +132,7 @@ WITH words AS (
   FROM tf JOIN dfs USING (word) JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score, rk FROM (
+SELECT doc_id, score, rk FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rk
   FROM scores
@@ -159,7 +159,7 @@ def _tf_rows(docs: DataFrame) -> DataFrame:
 def _score_topk(
     postings: DataFrame, n: int, avgdl: float, k: int = _BM25_K
 ) -> DataFrame:
-    """(doc_id, tf, dl, df per word) postings -> rounded BM25 top-k.
+    """(doc_id, tf, dl, df per word) postings -> raw-score BM25 top-k.
     Shared by the batch query and the index query so the two paths are
     STRUCTURALLY identical (the pytest byte-identity pin)."""
     scored = (
@@ -171,8 +171,12 @@ def _score_topk(
     )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))  # over <=k rows
+    # RAW score, no round (SCALING rule 33): the decimal-summed
+    # stable_ln-derived score is bit-identical cross-engine AND an exact
+    # short decimal — the value class LIKELIEST to sit on a 1e-6
+    # rounding midpoint (the psi sf0.001 tie); rounding it buys nothing.
     return topk.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id", F.round("score", 6).alias("score"), "rk"
+        "doc_id", "score", "rk"
     )
 
 
@@ -383,7 +387,7 @@ WITH words AS (
   FROM tf JOIN dfs1 USING (word) JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 ), pass1 AS (
-  SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM (
     SELECT doc_id, score,
            row_number() OVER (ORDER BY score DESC, doc_id) AS rk
     FROM p1scores
@@ -405,7 +409,7 @@ WITH words AS (
   SELECT word, {_RM3_ALPHA} AS wgt FROM (VALUES ({_words_sql.replace("', '", "'), ('")})) AS q(word)
   UNION ALL
   SELECT word,
-         round({1.0 - _RM3_ALPHA} * rm_w / (SELECT max(rm_w) FROM chosen), 6) AS wgt
+         {1.0 - _RM3_ALPHA} * rm_w / (SELECT max(rm_w) FROM chosen) AS wgt
   FROM chosen
 ), dfs2 AS (
   SELECT word, count(*) AS df FROM tf
@@ -418,7 +422,7 @@ WITH words AS (
   JOIN dl USING (doc_id), stats
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 6) AS score, rk FROM (
+SELECT doc_id, score, rk FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id) AS rk
   FROM scores
@@ -473,7 +477,11 @@ def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = chosen.collect()
     max_w = max(r["rm_w"] for r in rows) if rows else 1.0
     vocab = [(w, _RM3_ALPHA) for w in _BM25_WORDS] + [
-        (r["word"], round((1.0 - _RM3_ALPHA) * r["rm_w"] / max_w, 6))
+        # raw wgt (rule 33): rm_w/max_w are bit-identical cross-engine
+        # and this Python float op order matches the oracle's SQL text
+        # exactly — while a round here would be PYTHON banker's rounding
+        # vs DuckDB float rounding, two more divergent implementations
+        ((r["word"], (1.0 - _RM3_ALPHA) * r["rm_w"] / max_w))
         for r in rows
     ]
     qvocab = spark.createDataFrame(vocab, "word string, wgt double")
@@ -491,6 +499,7 @@ def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_K)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # raw score out (rule 33 — see _score_topk)
     return topk.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id", F.round("score", 6).alias("score"), "rk"
+        "doc_id", "score", "rk"
     )

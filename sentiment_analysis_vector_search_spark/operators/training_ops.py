@@ -193,16 +193,20 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is stable_ln over an exact integer and the combination is one fixed
 # correctly-rounded op order shared by both engines (r10 verdict #3:
 # engine-native ln in a hashed, ranked 6-dp column is a host-libm parity
-# hazard); round 6 before ranking, ties by pair.
+# hazard); raw pmi ranks and emits (rule 33), ties by pair.
 # ---------------------------------------------------------------------------
 
 _PMI_MIN_COUNT = 5
 _PMI_TOP = 30
 
+# RAW combination, no round (SCALING rule 33): every ln is bit-identical
+# cross-engine and the fixed op order keeps the combination bit-identical
+# too; a final round(x, 6) would re-introduce the 1e-6-midpoint
+# divergence class on unseen driver data.
 _PMI_EXPR = (
-    f"round(((({sql_stable_ln('n_pair')} - {sql_stable_ln('n_bi')})"
+    f"(((({sql_stable_ln('n_pair')} - {sql_stable_ln('n_bi')})"
     f" - {sql_stable_ln('ca')}) - {sql_stable_ln('cb')})"
-    f" + 2.0 * {sql_stable_ln('n_uni')}, 6)"
+    f" + 2.0 * {sql_stable_ln('n_uni')})"
 )
 
 _PMI_ORACLE = f"""
@@ -287,7 +291,7 @@ def tok_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w2",
         "n_pair",
         F.expr(
-            "round((((_ln_np - _ln_nb) - _ln_ca) - _ln_cb) + 2.0 * _ln_nu, 6)"
+            "(((_ln_np - _ln_nb) - _ln_ca) - _ln_cb) + 2.0 * _ln_nu"
         ).alias("pmi"),
     )
     topk = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(_PMI_TOP)

@@ -43,7 +43,8 @@ def _py_bigram_lm(texts: dict[int, str]):
     out = {}
     for d, ws in toks.items():
         lps = [
-            round(math.log((bc[(a, b)] + 1.0) / (uc[a] + v)), 6)
+            # raw logp (rule 33): the engine emits unrounded stable_ln
+            math.log((bc[(a, b)] + 1.0) / (uc[a] + v))
             for a, b in zip(ws, ws[1:])
         ]
         if lps:
@@ -110,7 +111,8 @@ def test_zipf_fit_matches_python_reference(spark, tmp_path):
     cnt = Counter(words)
     ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
     pts = [
-        (round(math.log(rk + 1), 6), round(math.log(c), 6))
+        # raw points (rule 33): the engine emits unrounded stable_ln
+        (math.log(rk + 1), math.log(c))
         for rk, (_, c) in enumerate(ordered)
     ]
     n = float(len(pts))

@@ -1,32 +1,42 @@
-"""Boundary-distance pins for 6-dp-rounded stable_ln surfaces (r11
-verdict #1 follow-through).
+"""Round-boundary discipline pins (SCALING rule 33, r12).
 
 Spark's ``round(x, 6)`` (BigDecimal over the shortest decimal repr,
 HALF_UP) and DuckDB's (float arithmetic) can land on ADJACENT doubles
-when the input sits essentially ON a 1e-6 grid midpoint — that is the
-mechanism that failed sample_weighted's driver hash twice (r10/r11).
-sample_weighted now emits the unrounded key, but five graded surfaces
-still round a stable_ln-derived double to 6 dp before hashing. Those
-are safe only while every emitted value sits FAR from its grid
-midpoint; this test measures that distance at the graded SFs so any
-future near-tie fails at build time instead of in a driver grade.
+when the input sits essentially ON a 1e-6 grid midpoint — the mechanism
+that failed sample_weighted's driver hash twice (r10/r11). And the
+driver grades on its OWN generated corpus, so a local far-from-midpoint
+measurement is evidence, not proof.
 
-The pre-round doubles are recomputed here in pure Python from the
-INTEGER inputs (pulled via plain DuckDB SQL) using py_stable_ln and the
-same IEEE op order as the engine expressions — bit-identical by the
-test_stable_ln pins, so a Python-side distance check covers both
-engines.
+Therefore the rule has two legs, both pinned here:
+
+1. A hashed column whose pre-round double is ALREADY bit-identical
+   cross-engine (stable_ln-derived, decimal-summed, or an exact-integer
+   quotient) must be emitted RAW — rounding it buys nothing and carries
+   the midpoint hazard on unseen data. Guards assert the registered
+   oracles keep these surfaces unrounded: sample_weighted's wkey, psi,
+   zipf x/y, bigram-lm logp, pmi, data-card entropy + share. The psi
+   case documents a REAL tie this file's earlier boundary sweep caught:
+   the sf0.001 'error' PSI decimal sum is exactly 0.0575625000 — 0.37
+   ulps from a 1e-6 midpoint.
+
+2. A column that MUST round (its two engine legs genuinely differ in
+   low bits — percentile interpolation implementations) is safe only
+   while the value sits far from its grid midpoints. The boundary
+   distance of those surfaces is measured at both graded SFs (local
+   evidence; the raw-emit rule keeps the hashed-surface exposure to
+   exactly this engine-divergent class, which cannot be emitted raw).
 """
 
 from __future__ import annotations
 
 import math
 import os
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
 import duckdb
 import pytest
 
+from sentiment_analysis_vector_search_spark import registry
 from sentiment_analysis_vector_search_spark.functions.stable import py_stable_ln
 
 SF_DIRS = [
@@ -35,139 +45,65 @@ SF_DIRS = [
     if os.path.isdir(d)
 ]
 
-# minimum distance from the nearest 1e-6 grid midpoint, in ulps of the
-# value (the r11 verdict's bar: > 1e3 ulps)
-MIN_ULPS = 1e3
-
-_TOKS = (
-    "SELECT list_filter(string_split_regex(lower(text), '\\s+'),"
-    " w -> w <> '') AS t FROM documents"
-)
+MIN_ULPS = 1e3  # the r11 verdict's bar for surfaces that must round
 
 
-def _con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
-    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
-    return con
-
-
-def _midpoint_ulps(v: float) -> float:
-    """Distance of v from the nearest half-way point of the 1e-6
-    rounding grid, measured in ulps of v. Exact via Decimal (binary
-    expansion of the double, no float noise in the measurement)."""
-    if v == 0.0 or not math.isfinite(v):
-        return math.inf
-    frac = (abs(Decimal(v)) * 10**6) % 1
-    dist = abs(frac - Decimal("0.5")) * Decimal("1e-6")
-    return float(dist) / math.ulp(v)
-
-
-def _assert_far(values, label: str) -> None:
-    assert values, f"{label}: no values to check"
-    worst = min(_midpoint_ulps(v) for v in values)
-    assert worst > MIN_ULPS, f"{label}: value within {worst:.1f} ulps of a 1e-6 midpoint"
-
-
-@pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_zipf_points_far_from_round6_midpoints(sf_dir):
-    # corpus_zipf_fit: x = round(sln(rk), 6), y = round(sln(c), 6)
-    con = _con(sf_dir)
-    rows = con.sql(
-        f"""
-        WITH toks AS ({_TOKS}),
-        uc AS (SELECT w, count(*) AS c
-               FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
-        SELECT row_number() OVER (ORDER BY c DESC, w) AS rk, c
-        FROM (SELECT * FROM uc ORDER BY c DESC, w LIMIT 200)
-        """
-    ).fetchall()
-    con.close()
-    _assert_far([py_stable_ln(rk) for rk, _ in rows if rk > 1], "zipf x")
-    _assert_far([py_stable_ln(c) for _, c in rows], "zipf y")
-
-
-@pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_bigram_lm_logp_far_from_round6_midpoints(sf_dir):
-    # text_bigram_lm_score: logp = round(sln(np1) - sln(cv), 6)
-    con = _con(sf_dir)
-    rows = con.sql(
-        f"""
-        WITH toks AS ({_TOKS}),
-        uc AS (SELECT w, count(*) AS c
-               FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-        vsize AS (SELECT count(*) AS v FROM uc),
-        bi AS (SELECT t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
-               FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS p
-                     FROM toks)),
-        bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2)
-        SELECT DISTINCT bc.n_pair + 1 AS np1, uc.c + vsize.v AS cv
-        FROM bc JOIN uc ON bc.w1 = uc.w, vsize
-        """
-    ).fetchall()
-    con.close()
-    _assert_far(
-        [py_stable_ln(np1) - py_stable_ln(cv) for np1, cv in rows], "lm logp"
-    )
-
-
-@pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_pmi_far_from_round6_midpoints(sf_dir):
-    # tok_bigram_pmi: round((((sln(np)-sln(nb))-sln(ca))-sln(cb))+2 sln(nu), 6)
-    con = _con(sf_dir)
-    rows = con.sql(
-        f"""
-        WITH toks AS ({_TOKS}),
-        uc AS (SELECT w, count(*) AS c
-               FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-        nu AS (SELECT cast(sum(c) as bigint) AS n_uni FROM uc),
-        bi AS (SELECT t[cast(p as int)] AS w1, t[cast(p as int) + 1] AS w2
-               FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS p
-                     FROM toks)),
-        bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
-        nb AS (SELECT cast(sum(n_pair) as bigint) AS n_bi FROM bc)
-        SELECT bc.n_pair, nb.n_bi, a.c AS ca, b.c AS cb, nu.n_uni
-        FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, nu, nb
-        WHERE bc.n_pair >= 5
-        """
-    ).fetchall()
-    con.close()
-    vals = [
-        (
-            ((py_stable_ln(np) - py_stable_ln(nb)) - py_stable_ln(ca))
-            - py_stable_ln(cb)
-        )
-        + 2.0 * py_stable_ln(nu)
-        for np, nb, ca, cb, nu in rows
-    ]
-    _assert_far(vals, "pmi")
-
-
-def _dec10(x: float) -> Decimal:
-    """sql_vardec semantics: shortest repr, HALF_UP at scale 10."""
-    return Decimal(repr(x)).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
-
-
-@pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_psi_must_not_round_6dp(sf_dir):
-    """q_events_psi_drift emits the UNROUNDED decimal-summed psi — and
-    this test documents why: at sf0.001 the 'error' cohort's exact
-    decimal sum is 0.0575625000, DEAD ON a 1e-6 rounding midpoint (0.37
-    ulps), where Spark's HALF_UP and DuckDB's float round can land on
-    adjacent doubles. Guard 1: the registered oracle applies no round to
-    psi. Guard 2: the near-tie is real (so the no-round choice stays
-    justified if the data generator changes)."""
-    from sentiment_analysis_vector_search_spark import registry
-
+def _oracle(name: str) -> str:
     registry.load_all_modules()
-    oracle = registry.ORACLES["q_events_psi_drift"]
-    tail = oracle[oracle.rindex("SELECT") :]
-    psi_expr = tail.split("n_b,")[1].split("AS psi")[0]
-    assert "round(" not in psi_expr, "psi must stay unrounded"
+    return registry.ORACLES[name]
+
+
+def _final_select(sql: str) -> str:
+    return sql[sql.rindex("SELECT") :]
+
+
+# ---------------------------------------------------------------------------
+# Leg 1: raw-emit guards — the bit-identical surfaces stay unrounded
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "query,col_fragment",
+    [
+        ("sample_weighted", "wkey"),
+        ("q_events_psi_drift", "AS psi"),
+        ("corpus_data_card", "AS lang_entropy"),
+        ("corpus_data_card", "AS top_lang_share"),
+        ("text_bigram_lm_score", "AS logp"),
+        ("tok_bigram_pmi", "AS pmi"),
+    ],
+)
+def test_bit_identical_surfaces_stay_unrounded(query, col_fragment):
+    sql = _oracle(query)
+    assert col_fragment.split()[-1] in sql, (query, col_fragment)
+    for line in sql.splitlines():
+        if col_fragment in line:
+            assert "round(" not in line, (
+                f"{query}: {col_fragment} must stay unrounded "
+                f"(SCALING rule 33) — got: {line.strip()}"
+            )
+
+
+def test_zipf_points_stay_unrounded():
+    sql = _oracle("corpus_zipf_fit")
+    pts = sql[sql.index("pts AS") : sql.index("), s AS")]
+    assert "round(" not in pts, pts
+
+
+def test_psi_midpoint_tie_is_real():
+    """The documented justification for psi's raw emit: at sf0.001 the
+    'error' cohort's exact decimal sum sits ON a 1e-6 midpoint. If the
+    generator changes and the tie disappears, this fails so the
+    decision gets re-evaluated (it should stay raw regardless — the
+    driver corpus is unseen)."""
+    from decimal import ROUND_HALF_UP
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.001 absent")
     B = 10
-    con = _con(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
     rows = con.sql(
         f"""
         WITH ev AS (
@@ -186,8 +122,7 @@ def test_psi_must_not_round_6dp(sf_dir):
           FROM (SELECT DISTINCT event_type FROM ev) t,
                (SELECT unnest(range({B})) AS bin) x
         )
-        SELECT b.event_type, b.bin,
-               coalesce(a.nc, 0) AS c, coalesce(d0.nc, 0) AS d, t.m, t.n
+        SELECT b.event_type, coalesce(a.nc, 0), coalesce(d0.nc, 0), t.m, t.n
         FROM bins b
         LEFT JOIN cnt a ON a.event_type = b.event_type AND a.bin = b.bin
                        AND a.cohort = 0
@@ -198,40 +133,98 @@ def test_psi_must_not_round_6dp(sf_dir):
     ).fetchall()
     con.close()
     sums: dict[str, Decimal] = {}
-    for et, _bin, c, d, m, n in rows:
+    for et, c, d, m, n in rows:
         term = (
             float(c + 1) / float(m + B) - float(d + 1) / float(n + B)
         ) * (
             ((py_stable_ln(c + 1) - py_stable_ln(m + B)) - py_stable_ln(d + 1))
             + py_stable_ln(n + B)
         )
-        sums[et] = sums.get(et, Decimal(0)) + _dec10(term)
-    worst = min(
-        _midpoint_ulps(float(str(s))) for s in sums.values()
-    )
-    if sf_dir.endswith("sf0.001"):
-        # the documented near-tie: 'error' psi == 0.0575625000 exactly
-        assert worst < MIN_ULPS, (
-            "the sf0.001 psi midpoint tie disappeared — rounding psi "
-            f"may be safe again, re-evaluate (worst={worst:.1f} ulps)"
+        sums[et] = sums.get(et, Decimal(0)) + Decimal(repr(term)).quantize(
+            Decimal("1e-10"), rounding=ROUND_HALF_UP
         )
+    worst = min(_midpoint_ulps(float(str(s))) for s in sums.values())
+    assert worst < MIN_ULPS, (
+        f"the sf0.001 psi midpoint tie disappeared (worst={worst:.1f} ulps) "
+        "— re-evaluate, but keep psi raw"
+    )
+
+
+def test_rule33_no_new_rounded_stable_ln_oracles():
+    """Fleet guard: no registered oracle may wrap a stable_ln text in
+    round() — the staged/inline ln emission is always bit-identical, so
+    any such round is the divergence class this file exists to kill.
+    (Recognized by the series' distinctive range-reduction fragment.)"""
+    registry.load_all_modules()
+    frag = "length(bin(cast("
+    offenders = []
+    for name, sql in registry.ORACLES.items():
+        i = 0
+        while True:
+            i = sql.find(frag, i)
+            if i < 0:
+                break
+            prefix = sql[max(0, i - 120) : i].lower()
+            # a round( whose parenthesis is still open right before the
+            # ln text means the ln feeds a round directly
+            j = prefix.rfind("round(")
+            if j >= 0 and prefix[j:].count("(") > prefix[j:].count(")"):
+                offenders.append(name)
+                break
+            i += len(frag)
+    assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Leg 2: boundary distance of surfaces that MUST round
+# ---------------------------------------------------------------------------
+
+
+def _midpoint_ulps(v: float) -> float:
+    """Distance of v from the nearest half-way point of the 1e-6
+    rounding grid, in ulps of v — exact via Decimal."""
+    if v == 0.0 or not math.isfinite(v):
+        return math.inf
+    frac = (abs(Decimal(v)) * 10**6) % 1
+    dist = abs(frac - Decimal("0.5")) * Decimal("1e-6")
+    return float(dist) / math.ulp(v)
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_data_card_entropy_far_from_round6_midpoints(sf_dir):
-    # corpus_data_card: lang_entropy = round(dec_sum(ent_term), 6)
-    con = _con(sf_dir)
-    rows = con.sql(
-        """
-        WITH lc AS (SELECT source, lang, count(*) AS c
-                    FROM documents GROUP BY source, lang),
-        n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
-        SELECT lc.source, lc.c, n.n_docs FROM lc JOIN n USING (source)
-        """
-    ).fetchall()
+def test_percentile_surfaces_far_from_round6_midpoints(sf_dir):
+    """The surfaces that keep round(x, 6) do so because their engine
+    legs genuinely differ in low bits (percentile_cont/percentile
+    interpolation): the round is safe only while the values sit far
+    from the 1e-6 midpoints. Local-evidence pin at both graded SFs for
+    the data-card char percentiles and q_value_percentiles' legs."""
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    vals = [
+        v
+        for row in con.sql(
+            """
+            SELECT cast(quantile_cont(n_chars, 0.5) as double),
+                   cast(quantile_cont(n_chars, 0.9) as double)
+            FROM documents GROUP BY source
+            """
+        ).fetchall()
+        for v in row
+    ]
+    vals += [
+        v
+        for row in con.sql(
+            """
+            SELECT cast(quantile_cont(value, 0.5) as double),
+                   cast(quantile_cont(value, 0.9) as double),
+                   cast(quantile_cont(value, 0.99) as double)
+            FROM events
+            """
+        ).fetchall()
+        for v in row
+    ]
     con.close()
-    sums: dict[str, Decimal] = {}
-    for src, c, n_docs in rows:
-        term = (c * 1.0 / n_docs) * (py_stable_ln(n_docs) - py_stable_ln(c))
-        sums[src] = sums.get(src, Decimal(0)) + _dec10(term)
-    _assert_far([float(str(s)) for s in sums.values()], "lang_entropy")
+    worst = min(_midpoint_ulps(v) for v in vals)
+    assert worst > MIN_ULPS, f"percentile leg within {worst:.1f} ulps of a midpoint"
