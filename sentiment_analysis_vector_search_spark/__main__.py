@@ -72,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
     p_ivfr.add_argument("--max-drift", type=float, default=0.02)
     p_ivfr.add_argument("--force", action="store_true")
 
+    for kind in ("pq", "ivfpq"):
+        p_r = sub.add_parser(
+            f"{kind}-refresh",
+            help=f"measure {kind.upper()} codebook drift; re-train + fully "
+            "re-encode behind the crash-recoverable swap when it passes "
+            "--max-drift (needs the primary vector store: --sf-dir)",
+        )
+        p_r.add_argument("index_dir")
+        p_r.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        p_r.add_argument("--max-drift", type=float, default=0.02)
+        p_r.add_argument("--force", action="store_true")
+
     p_vac = sub.add_parser(
         "vacuum", help="snapshot-table maintenance: expire versions + orphans"
     )
@@ -382,6 +394,29 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         out = ivf_codebook_refresh(
             spark, args.index_dir, max_drift=args.max_drift, force=args.force
+        )
+        print(json.dumps(out, sort_keys=True))
+        return 0
+
+    if args.cmd in ("pq-refresh", "ivfpq-refresh"):
+        import json
+
+        from .operators.similarity import _vectors
+        from .session import get_spark
+
+        spark = get_spark(f"cli-{args.cmd}")
+        spark.sparkContext.setLogLevel("ERROR")
+        vectors = _vectors(spark, args.sf_dir).select("vec_id", "v")
+        if args.cmd == "pq-refresh":
+            from .operators.similarity2 import pq_codebook_refresh as _refresh
+        else:
+            from .operators.ivfpq import ivfpq_codebook_refresh as _refresh
+        out = _refresh(
+            spark,
+            args.index_dir,
+            vectors,
+            max_drift=args.max_drift,
+            force=args.force,
         )
         print(json.dumps(out, sort_keys=True))
         return 0

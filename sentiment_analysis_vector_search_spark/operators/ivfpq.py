@@ -101,7 +101,13 @@ def ann_ivfpq_index_query(
     partition filters, so only probed cell directories are opened; and
     the ADC join keys on query_id so each query scores ONLY vectors in
     its own probed cells — with nprobe = #cells this degenerates to the
-    flat PQ scan byte-for-byte."""
+    flat PQ scan byte-for-byte.
+
+    Opens with ``ivfpq_index_recover(forward_only=True)`` so a committed
+    refresh swap a crash left half-done is completed before the read;
+    uncommitted staging is left for the refresh writer (similarity.py
+    writer/reader contract)."""
+    ivfpq_index_recover(index_dir, forward_only=True)
     qprobe = _probe_cells(spark, index_dir, queries, nprobe)
     cells = sorted({r["cell"] for r in qprobe.select("cell").distinct().collect()})
     enc = spark.read.parquet(f"{index_dir}/codes").where(F.col("cell").isin(cells))
@@ -183,3 +189,194 @@ def ivfpq_index_add(
         writer.mode("append").parquet(f"{index_dir}/codes")
     else:
         writer.mode("overwrite").parquet(stage_dir)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ codebook lifecycle (r12 verdict #2): the composed index carries
+# TWO frozen codebooks — the coarse IVF partitioner and the per-subspace
+# PQ codebooks — and streamed ingest (stream_ivfpq_ingest) appends
+# against both, so both drift. The refresh re-trains each with one Lloyd
+# step over the current assignment/encoding, then rebuilds the codes
+# table in full (re-ASSIGN against the new coarse codebook AND re-ENCODE
+# against the new PQ codebook — a stored code row is stale if either
+# codebook moved), committing all three directories behind the shared
+# marker-file swap (similarity.py::_swap_recover) with the same
+# writer/reader contract: refresh is the single writer, query opens
+# recover forward-only. Raw vectors live only in the primary store, so
+# drift and refresh take it as input, like pq_codebook_refresh.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from ..functions.stable import davg
+from .similarity import _swap_recover
+from .similarity2 import _norm_vectors, _pq_cell_stats
+
+_IVFPQ_DIRS = ("coarse_codebook", "pq_codebook", "codes")
+
+
+def ivfpq_index_recover(index_dir: str, forward_only: bool = False) -> None:
+    """Marker-file swap recovery over the three IVFPQ directories.
+    ``forward_only=True`` is the reader mode — see similarity.py's
+    writer/reader contract."""
+    _swap_recover(index_dir, _IVFPQ_DIRS, forward_only=forward_only)
+
+
+def _coarse_cell_means(codes: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Per-cell decimal-mean member vector of the CURRENT assignment:
+    (cell, m array<double>, mnrm). codes carries (vec_id, cell) M times
+    (once per subspace) — distinct first so each vector counts once."""
+    members = codes.select("vec_id", "cell").distinct().join(
+        vecs.select("vec_id", "v"), "vec_id"
+    )
+    return (
+        members.select("cell", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(davg(F.col("val")).alias("cv"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda x: x["cv"],
+            ).alias("m")
+        )
+        .withColumn("mnrm", F.sqrt(_dot("m", "m")))
+    )
+
+
+def ivfpq_index_drift(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> dict:
+    """Drift of both codebooks vs the primary store: per-cell coarse
+    centroid drift (1 - cosine of stored centroid vs member mean) and
+    the PQ sub-centroid drift + ADC residual (similarity2 note).
+    ``max_drift`` is the max over both layers — the refresh gate."""
+    vecs = _norm_vectors(vectors)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    coarse = spark.read.parquet(f"{index_dir}/coarse_codebook")
+    c = (
+        _coarse_cell_means(codes, vecs)
+        .join(coarse, F.col("cell") == coarse["label"])
+        .select(
+            (
+                F.lit(1.0)
+                - _dot("m", "c")
+                / F.greatest(F.col("mnrm") * F.col("cn"), F.lit(1e-300))
+            ).alias("drift")
+        )
+        .agg(
+            F.max("drift").alias("max_drift"),
+            F.avg("drift").alias("mean_drift"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .collect()[0]
+    )
+    pq_cb = spark.read.parquet(f"{index_dir}/pq_codebook")
+    stats = _pq_cell_stats(codes, vecs)
+    mnrm = F.sqrt(_dot("m", "m"))
+    p = (
+        stats.join(
+            F.broadcast(pq_cb),
+            (stats["s"] == pq_cb["s"]) & (stats["code"] == pq_cb["label"]),
+        )
+        .select(
+            (
+                F.lit(1.0)
+                - _dot("m", "sc")
+                / F.greatest(mnrm * F.sqrt(F.col("sc2")), F.lit(1e-300))
+            ).alias("drift"),
+            (
+                F.col("msv2") - F.lit(2.0) * _dot("m", "sc") + F.col("sc2")
+            ).alias("residual"),
+            "n_mem",
+        )
+        .agg(
+            F.max("drift").alias("max_drift"),
+            F.avg("drift").alias("mean_drift"),
+            F.count(F.lit(1)).alias("n_cells"),
+            (
+                F.sum(F.col("residual") * F.col("n_mem")) / F.sum("n_mem")
+            ).alias("mean_residual"),
+        )
+        .collect()[0]
+    )
+    return {
+        "coarse_max_drift": float(c["max_drift"]),
+        "coarse_mean_drift": float(c["mean_drift"]),
+        "coarse_n_cells": int(c["n_cells"]),
+        "pq_max_drift": float(p["max_drift"]),
+        "pq_mean_drift": float(p["mean_drift"]),
+        "pq_n_cells": int(p["n_cells"]),
+        "mean_adc_residual": float(p["mean_residual"]),
+        "max_drift": max(float(c["max_drift"]), float(p["max_drift"])),
+    }
+
+
+def ivfpq_codebook_refresh(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    max_drift: float = 0.02,
+    force: bool = False,
+) -> dict:
+    """Drift-triggered refresh of BOTH codebooks + full codes rebuild
+    behind the three-directory marker-file swap (module note). Returns
+    the drift measurement plus {"refreshed": bool}; measurement-only
+    while the max drift over both layers stays under ``max_drift`` and
+    ``force`` is False. Single-writer: one refresh at a time per index."""
+    import json
+
+    from ..sinks import spread_repartition
+
+    ivfpq_index_recover(index_dir)
+    drift = ivfpq_index_drift(spark, index_dir, vectors)
+    if not force and drift["max_drift"] < max_drift:
+        return {**drift, "refreshed": False}
+
+    vecs = _norm_vectors(vectors)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    # one Lloyd step per layer over the current assignment/encoding
+    coarse_new = (
+        _coarse_cell_means(codes, vecs)
+        .select(
+            F.col("cell").alias("label"),
+            F.col("m").alias("c"),
+            F.col("mnrm").alias("cn"),
+        )
+        .localCheckpoint(eager=True)  # consumers: write + re-assign
+    )
+    pq_cb_new = (
+        _pq_cell_stats(codes, vecs)
+        .select(F.col("code").alias("label"), "s", F.col("m").alias("sc"))
+        .withColumn("sc2", _dot("sc", "sc"))
+        .localCheckpoint(eager=True)  # consumers: write + re-encode
+    )
+    sim = _dot("v", "c") / (F.col("nrm") * F.col("cn"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("label"))
+    assigned = (
+        vecs.crossJoin(F.broadcast(coarse_new))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(wv))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("cell"))
+    )
+    codes_new = _pq_encode(vecs, pq_cb_new).join(assigned, "vec_id")
+    coarse_new.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(index_dir, "coarse_codebook__new")
+    )
+    pq_cb_new.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(index_dir, "pq_codebook__new")
+    )
+    (
+        spread_repartition(codes_new, "cell", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_os.path.join(index_dir, "codes__new"))
+    )
+    marker = _os.path.join(index_dir, "_refresh_commit.json")
+    tmp = marker + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"drift_at_refresh": drift}, f)
+    _os.replace(tmp, marker)
+    ivfpq_index_recover(index_dir)  # the swap IS forward recovery
+    return {**drift, "refreshed": True}

@@ -772,11 +772,14 @@ def ann_ivf_index_query(
     partition filters so the assignment scan is statically pruned — the
     collect moves nq x nprobe cell ids, bounded metadata. The rerank is
     the same broadcast-queries candidate join as the in-memory path.
-    Opens with ``ivf_index_recover`` (two existence checks when idle) so
-    a refresh swap a crash left half-done is completed/rolled back
-    before the read — queries never see a torn index.
+    Opens with ``ivf_index_recover(forward_only=True)`` (one existence
+    check when idle) so a COMMITTED refresh swap a crash left half-done
+    is completed before the read — queries never see a torn index.
+    Forward-only: uncommitted __new staging is left for the refresh
+    writer to commit or clean (r12 advice — a query open must not
+    rmtree the staging a live refresh is still writing).
     """
-    ivf_index_recover(index_dir)
+    ivf_index_recover(index_dir, forward_only=True)
     cents_n = spark.read.parquet(f"{index_dir}/codebook")
     q = queries.select(
         "query_id",
@@ -881,14 +884,75 @@ def ivf_index_add(
 #   2. atomically write _refresh_commit.json   <- the commit point
 #   3. per directory: rename cur -> cur__old, rename new -> cur, rm old
 #   4. remove the marker
-# ivf_index_recover (run at refresh start and at index-query open)
-# rolls FORWARD when the marker exists (the new index is complete by
-# invariant 1) and rolls BACK stray __new dirs when it does not (the
-# swap never committed). The SCD2 bucket-swap protocol, lifted to a
-# two-directory artifact (file_sink.py:1107 precedent).
+# ivf_index_recover rolls FORWARD when the marker exists (the new index
+# is complete by invariant 1) and rolls BACK stray __new dirs when it
+# does not (the swap never committed). The SCD2 bucket-swap protocol,
+# lifted to a two-directory artifact (file_sink.py:1107 precedent).
+#
+# Writer/reader contract (r12 advice): rollback is a WRITER action —
+# only the refresh itself (the single writer; refreshes must not run
+# concurrently) may delete uncommitted __new staging, because a query
+# that opened mid-refresh would otherwise rmtree the staging the live
+# refresh is still writing. Query opens therefore recover FORWARD-ONLY
+# (forward_only=True): they complete a committed-but-torn swap (the
+# marker proves the __new dirs are complete and the writer is past its
+# point of no return) and leave pre-marker staging untouched.
 # ---------------------------------------------------------------------------
 
 _IVF_REFRESH_MARKER = "_refresh_commit.json"
+
+
+def _swap_recover(
+    index_dir: str,
+    names: tuple[str, ...],
+    marker_name: str = _IVF_REFRESH_MARKER,
+    forward_only: bool = False,
+) -> None:
+    """Generic marker-file swap recovery over ``names`` subdirectories
+    of ``index_dir`` (shared by the IVF / PQ / IVFPQ codebook refresh
+    lifecycles). Marker present -> roll forward (install every __new);
+    marker absent -> roll back stray staging, UNLESS ``forward_only``
+    (the reader-side mode: never delete another process's staging)."""
+    import contextlib
+    import shutil
+
+    marker = os.path.join(index_dir, marker_name)
+    committed = os.path.exists(marker)
+    if not committed and forward_only:
+        return
+    for name in names:
+        cur = os.path.join(index_dir, name)
+        new = cur + "__new"
+        old = cur + "__old"
+        if committed:
+            # forward: the __new dirs were complete before the marker.
+            # In reader mode a live post-commit writer may be doing the
+            # same renames concurrently — the sequence is idempotent, so
+            # whoever loses a rename race just skips that step.
+            try:
+                if os.path.isdir(new):
+                    if os.path.isdir(cur):
+                        if os.path.isdir(old):
+                            shutil.rmtree(old)
+                        os.rename(cur, old)
+                    os.rename(new, cur)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+            except OSError:
+                if not forward_only:
+                    raise
+        else:
+            # back: an uncommitted staging attempt; current index wins.
+            # WRITER-ONLY (refresh start) — never reached in reader mode.
+            if os.path.isdir(new):
+                shutil.rmtree(new)
+            if os.path.isdir(old) and not os.path.isdir(cur):
+                os.rename(old, cur)  # defensive; unreachable by protocol
+            elif os.path.isdir(old):
+                shutil.rmtree(old)
+    if committed:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(marker)
 
 
 def ivf_index_drift(spark: SparkSession, index_dir: str) -> dict:
@@ -920,9 +984,17 @@ def ivf_index_drift(spark: SparkSession, index_dir: str) -> dict:
             "aggregate(zip_with(m, m, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
         )
     )
+    # greatest(denom, tiny): a zero-norm member mean (or a zero-norm
+    # stored centroid) must read as full drift (1.0), not divide to NaN
+    # and silently disable the NaN < max_drift refresh gate (r12 advice)
     d = (
         cell_mean.join(cents, cell_mean["cell"] == cents["label"])
-        .select((F.lit(1.0) - dot / (mnrm * F.col("cn"))).alias("drift"))
+        .select(
+            (
+                F.lit(1.0)
+                - dot / F.greatest(mnrm * F.col("cn"), F.lit(1e-300))
+            ).alias("drift")
+        )
         .agg(
             F.max("drift").alias("max_drift"),
             F.avg("drift").alias("mean_drift"),
@@ -937,38 +1009,15 @@ def ivf_index_drift(spark: SparkSession, index_dir: str) -> dict:
     }
 
 
-def ivf_index_recover(index_dir: str) -> None:
+def ivf_index_recover(index_dir: str, forward_only: bool = False) -> None:
     """Complete (marker present) or roll back (no marker) a refresh swap
     a crash left half-done — idempotent, cheap, safe to run at every
-    index open."""
-    import shutil
-
-    marker = os.path.join(index_dir, _IVF_REFRESH_MARKER)
-    committed = os.path.exists(marker)
-    for name in ("codebook", "assignments"):
-        cur = os.path.join(index_dir, name)
-        new = cur + "__new"
-        old = cur + "__old"
-        if committed:
-            # forward: the __new dirs were complete before the marker
-            if os.path.isdir(new):
-                if os.path.isdir(cur):
-                    if os.path.isdir(old):
-                        shutil.rmtree(old)
-                    os.rename(cur, old)
-                os.rename(new, cur)
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-        else:
-            # back: an uncommitted staging attempt; current index wins
-            if os.path.isdir(new):
-                shutil.rmtree(new)
-            if os.path.isdir(old) and not os.path.isdir(cur):
-                os.rename(old, cur)  # defensive; unreachable by protocol
-            elif os.path.isdir(old):
-                shutil.rmtree(old)
-    if committed:
-        os.remove(marker)
+    index open. ``forward_only=True`` is the READER mode (query opens):
+    it never deletes uncommitted __new staging, which may belong to a
+    refresh still writing it (module note: writer/reader contract)."""
+    _swap_recover(
+        index_dir, ("codebook", "assignments"), forward_only=forward_only
+    )
 
 
 def ivf_codebook_refresh(

@@ -335,7 +335,13 @@ def ann_pq_index_query(
     live in the corpus vec_id space (e.g. querying the index with its
     own vectors) — for external queries, an id that coincidentally
     equals a vec_id must NOT hide that corpus vector (r5 advice).
+
+    Opens with ``pq_index_recover(forward_only=True)`` so a committed
+    refresh swap a crash left half-done is completed before the read;
+    uncommitted staging is left for the refresh writer (similarity.py
+    writer/reader contract).
     """
+    pq_index_recover(index_dir, forward_only=True)
     cb = spark.read.parquet(f"{index_dir}/codebook")
     enc = spark.read.parquet(f"{index_dir}/codes")
     q = queries.select(
@@ -375,3 +381,180 @@ def pq_index_add(
         enc.write.mode("append").parquet(f"{index_dir}/codes")
     else:
         enc.write.mode("overwrite").parquet(stage_dir)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook lifecycle (r12 verdict #2 — the PQ mirror of
+# ivf_codebook_refresh at similarity.py): incremental ingest encodes
+# against FROZEN per-subspace codebooks, so a drifting corpus slowly
+# inflates the ADC quantization error; when the drift signal passes a
+# threshold, the store owner re-trains (one Lloyd step over the current
+# assignment) and — because the codes themselves are quantizations, not
+# assignments — re-ENCODEs the whole corpus against the new codebook.
+# Both directories (codebook, codes) commit behind the same marker-file
+# swap protocol as the IVF index (similarity.py::_swap_recover), with
+# the same writer/reader contract: refresh is the single writer; query
+# opens recover forward-only.
+#
+# The drift metric is twofold, one bounded pass over the index:
+#   - per-(subspace, code) centroid drift: 1 - cosine(stored
+#     sub-centroid, decimal mean of the subvectors currently encoded to
+#     it) — the refresh gate, mirroring ivf_index_drift;
+#   - per-subspace mean ADC residual E||sv - sc||^2 (the quantization
+#     error a query's ADC scores actually absorb), computed from the
+#     SAME grouped pass via E||sv-sc||^2 = E<sv,sv> - 2<E sv, sc> + sc2.
+# Reading the residual needs the raw subvectors, which the index
+# deliberately does not store — both drift and refresh take the PRIMARY
+# vector store (the same relation ann_pq_index_query's rerank reads).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from .similarity import _swap_recover
+
+
+def _norm_vectors(vectors: DataFrame) -> DataFrame:
+    """(vec_id, v array<double>, nrm) from a raw primary-store relation."""
+    return vectors.select(
+        "vec_id", F.col("v").cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(_dot("v", "v")))
+
+
+def _pq_cell_stats(codes: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Per-(s, code) stats of the CURRENT encoding against the primary
+    store: member-mean subvector ``m``, member count ``n_mem`` and mean
+    subvector energy ``msv2`` — one codes-sized join + one partial agg
+    to |subspaces| x |codes| x subdim rows. Each (vec, s) row explodes
+    to exactly _PQ_SUBDIM pos rows, so per-(s, code, pos) means of the
+    row-constant sv2 equal the per-cell mean."""
+    vsub = _sub_rows(vectors.select("vec_id", "v"), "v", ["vec_id"])
+    rows = (
+        codes.select("vec_id", "s", "code")
+        .join(vsub, ["vec_id", "s"])
+        .withColumn("sv2", _dot("sv", "sv"))
+    )
+    per_pos = (
+        rows.select("s", "code", "sv2", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("s", "code", "pos")
+        .agg(
+            davg(F.col("val")).alias("cv"),
+            davg(F.col("sv2")).alias("msv2"),
+            F.count(F.lit(1)).alias("n_mem"),
+        )
+    )
+    return per_pos.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda x: x["cv"]
+        ).alias("m"),
+        F.max("msv2").alias("msv2"),
+        F.max("n_mem").alias("n_mem"),
+    )
+
+
+def pq_index_drift(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> dict:
+    """Drift of a persisted PQ index vs the primary store (module note):
+    per-cell sub-centroid drift (the gate) + per-subspace mean ADC
+    residual. A handful of scalars to the driver."""
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    stats = _pq_cell_stats(codes, _norm_vectors(vectors))
+    mnrm = F.sqrt(_dot("m", "m"))
+    cells = (
+        stats.join(
+            F.broadcast(cb), (stats["s"] == cb["s"]) & (stats["code"] == cb["label"])
+        )
+        .select(
+            stats["s"].alias("sub"),
+            "n_mem",
+            # zero-norm member mean or stored centroid reads as full
+            # drift, never NaN (same guard as ivf_index_drift)
+            (
+                F.lit(1.0)
+                - _dot("m", "sc")
+                / F.greatest(mnrm * F.sqrt(F.col("sc2")), F.lit(1e-300))
+            ).alias("drift"),
+            (
+                F.col("msv2") - F.lit(2.0) * _dot("m", "sc") + F.col("sc2")
+            ).alias("residual"),
+        )
+        .localCheckpoint(eager=True)  # two tiny consumers below
+    )
+    d = cells.agg(
+        F.max("drift").alias("max_drift"),
+        F.avg("drift").alias("mean_drift"),
+        F.count(F.lit(1)).alias("n_cells"),
+    ).collect()[0]
+    sub = (
+        cells.groupBy("sub")
+        .agg(
+            (
+                F.sum(F.col("residual") * F.col("n_mem")) / F.sum("n_mem")
+            ).alias("sub_residual")
+        )
+        .agg(
+            F.max("sub_residual").alias("max_sub"),
+            F.avg("sub_residual").alias("mean_sub"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_drift": float(d["max_drift"]),
+        "mean_drift": float(d["mean_drift"]),
+        "n_cells": int(d["n_cells"]),
+        "max_subspace_residual": float(sub["max_sub"]),
+        "mean_adc_residual": float(sub["mean_sub"]),
+    }
+
+
+def pq_index_recover(index_dir: str, forward_only: bool = False) -> None:
+    """Marker-file swap recovery for the PQ index (codebook + codes).
+    ``forward_only=True`` is the reader mode — see similarity.py's
+    writer/reader contract."""
+    _swap_recover(index_dir, ("codebook", "codes"), forward_only=forward_only)
+
+
+def pq_codebook_refresh(
+    spark: SparkSession,
+    index_dir: str,
+    vectors: DataFrame,
+    max_drift: float = 0.02,
+    force: bool = False,
+) -> dict:
+    """Drift-triggered per-subspace codebook re-train + full re-ENCODE
+    of the primary store, behind the marker-file swap (module note).
+    Returns the drift measurement plus {"refreshed": bool}; no-op
+    (measurement only) while max cell drift stays under ``max_drift``
+    and ``force`` is False. Single-writer: at most one refresh at a
+    time per index."""
+    import json
+
+    pq_index_recover(index_dir)
+    drift = pq_index_drift(spark, index_dir, vectors)
+    if not force and drift["max_drift"] < max_drift:
+        return {**drift, "refreshed": False}
+
+    vecs = _norm_vectors(vectors)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    # one Lloyd step: new sub-centroid = member-mean subvector of the
+    # CURRENT encoding (the same decimal-stable arithmetic as training)
+    cb_new = (
+        _pq_cell_stats(codes, vecs)
+        .select(F.col("code").alias("label"), "s", F.col("m").alias("sc"))
+        .withColumn("sc2", _dot("sc", "sc"))
+        .localCheckpoint(eager=True)  # two consumers: write + re-encode
+    )
+    cb_dir_new = _os.path.join(index_dir, "codebook__new")
+    codes_dir_new = _os.path.join(index_dir, "codes__new")
+    cb_new.coalesce(1).write.mode("overwrite").parquet(cb_dir_new)
+    # full re-ENCODE (codes are quantizations, not assignments — every
+    # stored code is stale the moment its sub-centroid moves)
+    _pq_encode(vecs, cb_new).write.mode("overwrite").parquet(codes_dir_new)
+    marker = _os.path.join(index_dir, "_refresh_commit.json")
+    tmp = marker + ".__tmp__"
+    with open(tmp, "w") as f:
+        json.dump({"drift_at_refresh": drift}, f)
+    _os.replace(tmp, marker)
+    pq_index_recover(index_dir)  # the swap IS forward recovery
+    return {**drift, "refreshed": True}

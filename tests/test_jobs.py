@@ -169,3 +169,33 @@ def test_cli_optimize_verb(spark, tmp_path, capsys):
     assert out == {"files": 2}
     assert sum(1 for n in os.listdir(path) if n.endswith(".parquet")) == 2
     assert spark.read.parquet(path).count() == 500
+
+
+def test_cli_pq_and_ivfpq_refresh_verbs(spark, sf_dir, tmp_path, capsys):
+    """`pq-refresh` / `ivfpq-refresh` run the codebook lifecycle end to
+    end from the CLI: measurement-only under a high threshold, a real
+    swap under --force, and a still-serving index afterwards."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    for kind, refresh in (("pq", "pq-refresh"), ("ivfpq", "ivfpq-refresh")):
+        out = str(tmp_path / f"{kind}_r")
+        assert main(["index", kind, out, "--sf-dir", sf_dir]) == 0
+        rc = main([refresh, out, "--sf-dir", sf_dir, "--max-drift", "10.0"])
+        assert rc == 0
+        meas = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert meas["refreshed"] is False and meas["max_drift"] < 10.0
+        rc = main([refresh, out, "--sf-dir", sf_dir, "--force"])
+        assert rc == 0
+        done = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert done["refreshed"] is True
+        assert not os.path.exists(os.path.join(out, "_refresh_commit.json"))
+        emb = f"{sf_dir}/embeddings.parquet"
+        rc = main(
+            ["knn", kind, out, "--vectors-dir", emb, "--query-vec-id", "1", "--k", "5"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert 0 < len(rows) <= 5

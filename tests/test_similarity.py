@@ -450,3 +450,36 @@ def test_ivf_query_open_recovers_torn_swap(spark, sf_dir, tmp_path):
     assert got.count() > 0
     assert os.path.isdir(cb)
     assert not os.path.exists(os.path.join(index_dir, "_refresh_commit.json"))
+
+
+def test_ivf_query_open_is_forward_only(spark, sf_dir, tmp_path):
+    """A query open must NOT delete uncommitted __new staging — it may
+    belong to a refresh that is still writing (r12 advice, the
+    writer/reader contract in similarity.py); only the refresh writer
+    (ivf_index_recover default mode) rolls staging back."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+        ann_ivf_index_query,
+        build_ivf_index,
+        ivf_index_recover,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, index_dir)
+    cb = os.path.join(index_dir, "codebook")
+    shutil.copytree(cb, cb + "__new")
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    got = ann_ivf_index_query(spark, index_dir, queries)
+    assert got.count() > 0
+    assert os.path.isdir(cb + "__new"), "query open deleted live staging"
+    # the writer-side recover is the one that rolls it back
+    ivf_index_recover(index_dir)
+    assert not os.path.isdir(cb + "__new")

@@ -339,3 +339,173 @@ def test_compact_index_preserves_pq_codes(spark, sf_dir, tmp_path):
         (r.vec_id, r.s, r.code) for r in spark.read.parquet(f"{idx}/codes").collect()
     )
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook lifecycle (r12 verdict #2): drift gate, marker-file swap,
+# FULL re-encode, crash recovery, forward-only query opens.
+# ---------------------------------------------------------------------------
+
+
+def _pq_lifecycle_fixtures(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.operators.similarity import (
+        _N_QUERIES,
+        _vectors,
+    )
+
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    queries = _vectors(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return vecs, queries
+
+
+def test_pq_codebook_refresh_gate_swap_and_full_reencode(spark, sf_dir, tmp_path):
+    """Gate no-ops under the threshold; a forced refresh commits a clean
+    swap whose stored codes equal a FROM-SCRATCH encode against the
+    refreshed codebook (the full re-ENCODE invariant — no stale code
+    rows survive the swap), and the index still serves with a recall
+    floor vs brute force."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _norm_vectors,
+        _pq_encode,
+        ann_pq_index_query,
+        build_pq_index,
+        pq_codebook_refresh,
+        pq_index_drift,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, sf_dir, idx)
+    vecs, queries = _pq_lifecycle_fixtures(spark, sf_dir)
+
+    d0 = pq_index_drift(spark, idx, vecs)
+    assert d0["n_cells"] >= 2 and 0.0 <= d0["max_drift"] < 1.0
+    assert d0["mean_adc_residual"] >= 0.0
+    assert d0["max_subspace_residual"] >= d0["mean_adc_residual"] - 1e-12
+
+    out = pq_codebook_refresh(spark, idx, vecs, max_drift=d0["max_drift"] + 1.0)
+    assert out["refreshed"] is False
+    assert not os.path.isdir(os.path.join(idx, "codebook__new"))
+
+    n_before = spark.read.parquet(f"{idx}/codes").count()
+    out = pq_codebook_refresh(spark, idx, vecs, force=True)
+    assert out["refreshed"] is True
+    for leftover in ("codebook__new", "codes__new", "codebook__old",
+                     "codes__old", "_refresh_commit.json"):
+        assert not os.path.exists(os.path.join(idx, leftover)), leftover
+
+    # full re-encode pin: stored codes == encode-from-scratch against
+    # the refreshed codebook, row for row
+    cb1 = spark.read.parquet(f"{idx}/codebook")
+    want = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in _pq_encode(_norm_vectors(vecs), cb1).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.s, r.code)
+        for r in spark.read.parquet(f"{idx}/codes").collect()
+    )
+    assert got == want
+    assert len(got) == n_before
+
+    # one Lloyd step must not INCREASE quantization error
+    d1 = pq_index_drift(spark, idx, vecs)
+    assert d1["mean_adc_residual"] <= d0["mean_adc_residual"] + 1e-9
+
+    # served recall floor after refresh (same floor discipline as
+    # test_pq_recall_vs_bruteforce; refresh only tightens centroids)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in entrymod.queries()["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    got_q = {
+        (r.query_id, r.vec_id)
+        for r in ann_pq_index_query(
+            spark, idx, queries, vecs, exclude_self=True
+        ).collect()
+    }
+    recall = len(brute & got_q) / len(brute)
+    assert recall >= 0.3, f"post-refresh recall@10 {recall:.2f} < 0.3"
+
+
+def test_pq_refresh_crash_recovery(spark, sf_dir, tmp_path):
+    """Marker present -> writer recovery rolls FORWARD; marker absent ->
+    writer recovery rolls BACK stray staging (both crash states)."""
+    import json
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        build_pq_index,
+        pq_index_recover,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, sf_dir, idx)
+    cb = os.path.join(idx, "codebook")
+    codes = os.path.join(idx, "codes")
+
+    # crash before the marker: staging rolled back, index untouched
+    shutil.copytree(cb, cb + "__new")
+    pq_index_recover(idx)
+    assert not os.path.isdir(cb + "__new") and os.path.isdir(cb)
+
+    # committed refresh, crash mid-swap in the worst state: codebook
+    # displaced to __old, __new not installed, codes untouched
+    shutil.copytree(cb, cb + "__new")
+    shutil.copytree(codes, codes + "__new")
+    with open(os.path.join(idx, "_refresh_commit.json"), "w") as f:
+        json.dump({"drift_at_refresh": {}}, f)
+    os.rename(cb, cb + "__old")
+    pq_index_recover(idx)
+    for leftover in ("codebook__new", "codes__new", "codebook__old",
+                     "codes__old", "_refresh_commit.json"):
+        assert not os.path.exists(os.path.join(idx, leftover)), leftover
+    assert spark.read.parquet(cb).count() >= 2
+    assert spark.read.parquet(codes).count() > 0
+
+
+def test_pq_query_open_is_forward_only(spark, sf_dir, tmp_path):
+    """A query open must complete a COMMITTED torn swap, but must NEVER
+    delete uncommitted __new staging — that directory may belong to a
+    refresh that is still writing it (r12 advice, the writer/reader
+    contract)."""
+    import json
+    import os
+    import shutil
+
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        ann_pq_index_query,
+        build_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, sf_dir, idx)
+    vecs, queries = _pq_lifecycle_fixtures(spark, sf_dir)
+    cb = os.path.join(idx, "codebook")
+
+    # uncommitted staging (a live refresh mid-write): query works and
+    # the staging SURVIVES the open
+    shutil.copytree(cb, cb + "__new")
+    got = ann_pq_index_query(spark, idx, queries, vecs, exclude_self=True)
+    assert got.count() > 0
+    assert os.path.isdir(cb + "__new"), "query open deleted live staging"
+    shutil.rmtree(cb + "__new")
+
+    # committed torn swap (writer crashed post-marker with the codebook
+    # displaced): the open rolls forward and serves
+    shutil.copytree(cb, cb + "__new")
+    with open(os.path.join(idx, "_refresh_commit.json"), "w") as f:
+        json.dump({}, f)
+    os.rename(cb, cb + "__old")
+    got = ann_pq_index_query(spark, idx, queries, vecs, exclude_self=True)
+    assert got.count() > 0
+    assert os.path.isdir(cb)
+    assert not os.path.exists(os.path.join(idx, "_refresh_commit.json"))
