@@ -293,3 +293,47 @@ def dist_group_prefix_sum(
         .withColumn("cum", F.col("sum_off") + F.col("_lcum"))
         .select(group_col, order_col, tie_col, val_col, "rk", "cum")
     )
+
+
+def dist_group_prefix_sum_auto(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    val_col: str,
+    stats: dict[str, dict] | None = None,
+    broadcast_max_bytes: int | None = None,
+) -> DataFrame:
+    """Strategy-aware grouped prefix sum: :func:`dist_group_prefix_sum`
+    or a plain per-group running-sum window per
+    :func:`grouped_rank_strategy` (the same offsets-budget + fair-share
+    gate — the prefix-sum device's offset relation is the rank device's
+    plus one sum column, so the crossover is identical), returning the
+    identical (group, order, tie, val, rk, cum) surface either way
+    (pytest-pinned equal). Without stats the device runs — correct in
+    both regimes, merely wasteful in the many-tiny-groups one (r12
+    verdict #3: the prefix-sum auto twin)."""
+    strategy = "dist"
+    if stats is not None and group_col in stats:
+        n_part = max(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            8,
+        )
+        strategy = grouped_rank_strategy(
+            stats, group_col, n_part, broadcast_max_bytes
+        )
+    if strategy == "dist":
+        return dist_group_prefix_sum(df, group_col, order_col, tie_col, val_col)
+    # bounded-group regime by the chooser's own gate (see
+    # dist_group_rank_auto): every group sits far below one task's fair
+    # share, so the per-group window never funnels a data-sized partition
+    w = Window.partitionBy(group_col).orderBy(order_col, tie_col)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(group_col, order_col, tie_col, val_col).select(
+        group_col,
+        order_col,
+        tie_col,
+        val_col,
+        F.row_number().over(w).alias("rk"),
+        F.sum(val_col).over(w_run).alias("cum"),
+    )

@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.hashing import md5_long, sql_md5_long
-from ..functions.ranks import dist_group_prefix_sum, dist_group_rank
+from ..functions.ranks import dist_group_prefix_sum_auto, dist_group_rank_auto
 from ..functions.stable import (
     dsum,
     sql_dec2double,
@@ -102,8 +102,16 @@ def q_group_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines) and the emitted values are raw doubles read from the same
     parquet — no arithmetic touches them. The oracle states the same
     semantics with the direct global-window formulation."""
+    from ..stats import table_stats
+
+    # stats-routed (r12 verdict #3): event_type's few-big-groups shape
+    # picks the range-partition device; a many-tiny-groups caller gets
+    # the plain window via the same chooser
     ev = table(spark, sf_dir, "events")
-    ranked = dist_group_rank(ev, "event_type", "value", "event_id")
+    ranked = dist_group_rank_auto(
+        ev, "event_type", "value", "event_id",
+        stats=table_stats(spark, sf_dir, "events"),
+    )
 
     def tgt(q: float):
         return F.ceil(F.lit(q) * F.col("n_g"))
@@ -174,8 +182,13 @@ def q_group_percentiles_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linearly-interpolated (type-7) per-group quartiles through
     dist_group_rank — matches pandas' default quantile on every group
     without a per-group sort window (pytest-pinned vs pandas)."""
+    from ..stats import table_stats
+
     ev = table(spark, sf_dir, "events")
-    ranked = dist_group_rank(ev, "event_type", "value", "event_id")
+    ranked = dist_group_rank_auto(
+        ev, "event_type", "value", "event_id",
+        stats=table_stats(spark, sf_dir, "events"),
+    )
 
     def lo(q: float):
         return F.floor((F.col("n_g") - F.lit(1)) * F.lit(q) + F.lit(1))
@@ -329,8 +342,9 @@ def sample_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine choice) and survive while the running character total
     stays within the budget.
 
-    Scale shape: the rank AND running sum come from
-    ``dist_group_prefix_sum`` — range partitioning spreads a dominant
+    Scale shape: the rank AND running sum come from the stats-routed
+    ``dist_group_prefix_sum_auto`` (source's few-big-groups shape picks
+    the device; r12 verdict #3) — range partitioning spreads a dominant
     source over many tasks, the only window runs per (physical
     partition, source) segment, and the offset relation is bounded
     metadata. Output is <= budget x |sources| rows no matter the corpus
@@ -345,7 +359,12 @@ def sample_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("cbudget:"), F.col("doc_id").cast("string"))
         ).alias("hk"),
     )
-    ps = dist_group_prefix_sum(keyed, "source", "hk", "doc_id", "n_chars")
+    from ..stats import table_stats
+
+    ps = dist_group_prefix_sum_auto(
+        keyed, "source", "hk", "doc_id", "n_chars",
+        stats=table_stats(spark, sf_dir, "documents"),
+    )
     return (
         ps.where(F.col("cum") <= _CB_BUDGET)
         .select(
@@ -552,7 +571,12 @@ def q_source_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = table(spark, sf_dir, "documents").select(
         "source", "n_chars", "doc_id"
     )
-    pre = dist_group_prefix_sum(docs, "source", "n_chars", "doc_id", "n_chars")
+    from ..stats import table_stats
+
+    pre = dist_group_prefix_sum_auto(
+        docs, "source", "n_chars", "doc_id", "n_chars",
+        stats=table_stats(spark, sf_dir, "documents"),
+    )
     tot = pre.groupBy("source").agg(F.max("cum").alias("total"))
     j = pre.join(F.broadcast(tot), "source")
     aggs = [F.expr(_wp_sel(p)).alias(f"wp{p}") for p in _WP_QS]
