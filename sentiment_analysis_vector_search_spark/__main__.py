@@ -166,6 +166,20 @@ def main(argv: list[str] | None = None) -> int:
     p_hist.add_argument("stats_dir")
     p_hist.add_argument("--width", type=float, default=None)
     p_hist.add_argument("--bins", type=int, default=None)
+    p_hist.add_argument("--offset", type=float, default=None)
+    p_hist.add_argument(
+        "--derive",
+        action="store_true",
+        help="derive width/offset from the persisted table stats "
+        "({stats_dir}/{table}.json, maintained by analyze-incremental) "
+        "instead of the hand defaults; explicit --width/--offset win",
+    )
+    p_hist.add_argument(
+        "--group-col",
+        default=None,
+        help="maintain the GROUPED artifact at (group, bin) grain and "
+        "serve per-group quantiles",
+    )
     p_hist.add_argument(
         "--quantiles", default="0.5,0.9,0.99", help="comma-separated q values"
     )
@@ -740,18 +754,62 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("cli-hist")
         spark.sparkContext.setLogLevel("ERROR")
-        w = st.HIST_WIDTH if args.width is None else args.width
         b = st.HIST_BINS if args.bins is None else args.bins
+        w, o = args.width, args.offset
+        if args.derive and (w is None or o is None):
+            stats = st.load_table_stats(args.stats_dir, args.table)
+            if stats is None or args.col not in stats:
+                print(
+                    f"--derive: no persisted stats for {args.table}.{args.col}"
+                    f" in {args.stats_dir} (run analyze-incremental first)"
+                )
+                return 1
+            knobs = st.hist_knobs_for(stats, args.col, bins=b)
+            w = knobs["width"] if w is None else w
+            o = knobs["offset"] if o is None else o
+        w = st.HIST_WIDTH if w is None else w
+        o = 0.0 if o is None else o
+        batch = spark.read.parquet(args.batch_path)
+        qs = [float(q) for q in args.quantiles.split(",") if q]
+        if args.group_col is not None:
+            gcounts = st.incremental_histogram_grouped(
+                args.stats_dir, args.table, args.group_col, args.col,
+                batch, width=w, bins=b, batch_id=args.batch_id, offset=o,
+            )
+            print(
+                json.dumps(
+                    {
+                        "n_rows": sum(
+                            sum(c.values()) for c in gcounts.values()
+                        ),
+                        "n_groups": len(gcounts),
+                        "width": w,
+                        "bins": b,
+                        "offset": o,
+                        "quantiles": {
+                            g: {
+                                str(q): st.hist_quantile(c, w, q, o)
+                                for q in qs
+                            }
+                            for g, c in sorted(gcounts.items())
+                            if c
+                        },
+                    },
+                    indent=1,
+                    sort_keys=True,
+                )
+            )
+            return 0
         counts = st.incremental_histogram(
             args.stats_dir,
             args.table,
             args.col,
-            spark.read.parquet(args.batch_path),
+            batch,
             width=w,
             bins=b,
             batch_id=args.batch_id,
+            offset=o,
         )
-        qs = [float(q) for q in args.quantiles.split(",") if q]
         print(
             json.dumps(
                 {
@@ -759,8 +817,9 @@ def main(argv: list[str] | None = None) -> int:
                     "n_bins_used": len(counts),
                     "width": w,
                     "bins": b,
+                    "offset": o,
                     "quantiles": {
-                        str(q): st.hist_quantile(counts, w, q) for q in qs
+                        str(q): st.hist_quantile(counts, w, q, o) for q in qs
                     },
                 },
                 indent=1,

