@@ -291,15 +291,28 @@ def run_scale_bench(spark, queries) -> tuple[dict, dict]:
     # with SPARK_GRAFT_EMB_BAND_BITS=5 (the knob is read at import,
     # hence the fresh interpreter) to keep the small-corpus opt-in's
     # band-occupancy quadratic measured and visible on identical data.
+    #
+    # r13 adjudication of the drifting ratio (2.27 driver-r12 / 1.7
+    # builder / 1.19-1.9 r11 — the r12 verdict #5 ask): the MECHANISM is
+    # real and exactly the designed quadratic — counted on this repo's
+    # corpora, LSH candidate pairs at 10x vectors are 9.99x the linear
+    # expectation at BOTH widths (fixed bucket count => occupancy grows
+    # with n), but 5-bit absolute volume is 7.4x the default's (530,526
+    # -> 53,025,424 pairs base->tiled at 5 bits vs 72,148 -> 7,190,033
+    # at 8 bits), so the verify leg dominates ~7x sooner. The RATIO
+    # variance across hosts was the single timed rep: isolated
+    # fresh-JVM 3-rep reruns at final r13 HEAD (two JVMs) landed
+    # tightly (see CHANGES_r13.md numbers) — so the demo now gets the
+    # same best-of-2 slot the minhash scale leg got in r12, which
+    # bounds one-rep scheduler noise out of the reported number.
     knob_bits = os.environ.get("SPARK_GRAFT_SCALE_KNOB_BITS", "5")
     if (
         knob_bits != "0"
         and "dedup_components" in detail["queries"]
         and time.perf_counter() - started <= budget
     ):
-        # demo only (quadratic blowup signal >> measurement noise): one
-        # timed rep after the warmup keeps it inside the default budget
-        secs = _components_subprocess(knob_bits, timed_reps=1)
+        # demo (quadratic blowup signal >> noise): best-of-2 timed reps
+        secs = _components_subprocess(knob_bits, timed_reps=2)
         if secs is not None:
             detail["queries"][f"dedup_components@{knob_bits}bit"] = secs
             total += secs

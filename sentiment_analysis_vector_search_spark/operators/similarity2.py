@@ -558,3 +558,84 @@ def pq_codebook_refresh(
     _os.replace(tmp, marker)
     pq_index_recover(index_dir)  # the swap IS forward recovery
     return {**drift, "refreshed": True}
+
+
+# ---------------------------------------------------------------------------
+# PQ refinement-factor audit (r13, r12 verdict #7c) — the PQ twin of
+# dedup_minhash_quality_audit: a calibration table of shortlist size
+# (the IVFADC+R refinement factor) against measured recall@k vs brute
+# force, on the store's own data. A vector-store owner reads this table
+# to pick _PQ_RERANK: too small and the compressed-domain ordering's
+# quantization error silently drops true neighbors; too large and the
+# exact-rerank pass reads the primary store for candidates ADC already
+# ranked correctly. The ADC scoring runs ONCE (ranked to max(rerank_ns));
+# each audited size is a rank cut over that one relation, and recall
+# aggregates at (rerank_n) grain — bounded unions over a checkpointed
+# shortlist, no recomputation per point on the curve.
+# ---------------------------------------------------------------------------
+
+
+def pq_refinement_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    rerank_ns: tuple[int, ...] = (10, 25, 50, 100),
+    k: int = _TOP_K,
+) -> DataFrame:
+    """(rerank_n, n_queries, k, hits, recall) — recall@k of the PQ
+    shortlist+exact-rerank pipeline vs brute-force cosine, one row per
+    audited shortlist size (module note)."""
+    from .similarity import ann_bruteforce_topk
+
+    max_n = max(rerank_ns)
+    cb = _pq_codebook(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    enc = _pq_encode(vecs, cb)
+    queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    lut = _pq_lut(queries, cb)
+    cond = (enc.s == lut.s) & (enc.code == lut.label) & (
+        enc.vec_id != lut.query_id
+    )
+    adc = (
+        enc.join(F.broadcast(lut), cond)
+        .groupBy("query_id", "vec_id")
+        .agg(
+            dsum(F.col("lutv")).alias("adc_sum"),
+            F.max("qnrm").alias("qnrm"),
+            F.max("nrm").alias("nrm"),
+        )
+        .withColumn(
+            "adc_cosine",
+            F.round(F.col("adc_sum") / (F.col("qnrm") * F.col("nrm")), 6),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("vec_id")
+    )
+    ranked = (
+        adc.withColumn("srk", F.row_number().over(wa))
+        .where(F.col("srk") <= max_n)
+        .select("query_id", "vec_id", "srk")
+        .localCheckpoint(eager=True)  # len(rerank_ns) consumers below
+    )
+    brute = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = queries.count()
+    denom = float(n_queries * k)
+    curves = []
+    for n in sorted(rerank_ns):
+        shortlist = ranked.where(F.col("srk") <= n).drop("srk")
+        got = _exact_rerank(shortlist, vecs, queries, k).select(
+            "query_id", "vec_id"
+        )
+        hits = got.join(brute, ["query_id", "vec_id"]).count()
+        curves.append((n, n_queries, k, hits, hits / denom))
+    return spark.createDataFrame(
+        curves, "rerank_n int, n_queries bigint, k int, hits bigint, recall double"
+    )

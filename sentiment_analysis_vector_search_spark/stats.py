@@ -358,6 +358,109 @@ def choose_join_strategy(
     return "shuffle"
 
 
+def choose_join_order(
+    fact_stats: dict[str, dict],
+    dims: list[dict],
+    broadcast_max_bytes: int | None = None,
+) -> list[dict]:
+    """Stats-driven join ORDER for a 3+-table star around one fact
+    (r13, r12 verdict #7b): ``choose_join_strategy`` picks the physical
+    strategy per edge, this picks the SEQUENCE. Each dim entry is
+    ``{"name", "stats", "fact_col"[, "dim_col"][, "row_bytes"]}`` where
+    ``stats`` characterizes the (possibly pre-filtered) dimension as the
+    caller will actually join it — filtering is where selectivities
+    come from, and dim-side stats are one bounded scan each
+    (partition_stats) or free from the maintained artifacts.
+
+    Model: per-edge selectivity = estimate_join_rows(fact, dim) /
+    fact_rows — the surviving fact fraction after that inner join.
+    Under the star independence model the total intermediate after any
+    prefix is fact_rows x the product of its selectivities, so sorting
+    ascending by selectivity minimizes EVERY intermediate
+    simultaneously (the greedy is exact here, not a heuristic; ties
+    break by estimated output then name for determinism). The classic
+    failure this prevents at 100 TB: joining the selectivity~1
+    calendar/spine dim first drags the full fact row width through
+    every subsequent shuffle that a 1%-selective dim would have cut
+    100x on step one.
+
+    Returns ordered steps ``{"dim", "selectivity", "est_rows_after",
+    "strategy"}`` — ``est_rows_after`` is the modeled intermediate
+    cardinality after that join; ``strategy`` comes from
+    ``choose_join_strategy`` with the fact as the big side (broadcast
+    edges are order-insensitive cost-wise, but keeping them early still
+    shrinks the row count the first shuffle edge sees)."""
+    budget = (
+        DEFAULT_BROADCAST_MAX_BYTES
+        if broadcast_max_bytes is None
+        else broadcast_max_bytes
+    )
+    if not dims:
+        return []
+    first = dims[0]
+    f0 = fact_stats[first["fact_col"]]
+    fact_rows = max(f0["n_rows"] - f0.get("n_nulls", 0), 1)
+    steps = []
+    for d in dims:
+        fact_col = d["fact_col"]
+        dim_col = d.get("dim_col", fact_col)
+        fs, ds = fact_stats[fact_col], d["stats"][dim_col]
+        if fs.get("kmv") and ds.get("kmv"):
+            est = estimate_join_rows(fact_stats, d["stats"], fact_col, dim_col)
+        else:
+            # FK-containment fallback when either side lacks a KMV
+            # sketch (table_stats' memoized ANALYZE carries none): in a
+            # star, surviving dim keys are a subset of fact keys, so
+            # matching ndv = min(ndv) and each side contributes its
+            # avg rows/key — the same model estimate_join_rows uses,
+            # minus the measured intersection.
+            rows_f = max(fs["n_rows"] - fs.get("n_nulls", 0), 0)
+            rows_d = max(ds["n_rows"] - ds.get("n_nulls", 0), 0)
+            ndv_f = max(float(fs.get("approx_ndv") or 1.0), 1.0)
+            ndv_d = max(float(ds.get("approx_ndv") or 1.0), 1.0)
+            est = min(ndv_f, ndv_d) * (rows_f / ndv_f) * (rows_d / ndv_d)
+        sel = min(est / fact_rows, 1.0)
+        row_bytes = d.get("row_bytes", _DEFAULT_WIDTH * len(d["stats"]))
+        strategy = choose_join_strategy(
+            d["stats"], fact_stats, fact_col, row_bytes, budget
+        )
+        steps.append(
+            {
+                "dim": d["name"],
+                "selectivity": sel,
+                "strategy": strategy,
+                "_est": est,
+            }
+        )
+    steps.sort(key=lambda st: (st["selectivity"], st["_est"], st["dim"]))
+    running = float(fact_rows)
+    for st in steps:
+        running *= st["selectivity"]
+        st["est_rows_after"] = round(running, 1)
+        st["selectivity"] = round(st["selectivity"], 6)
+        del st["_est"]
+    return steps
+
+
+def ordered_star_join(
+    fact: DataFrame,
+    dims: dict[str, tuple[DataFrame, str, str]],
+    plan: list[dict],
+) -> DataFrame:
+    """Apply a ``choose_join_order`` plan: inner-join each dimension in
+    plan order, broadcast-hinting the edges the per-edge chooser marked
+    'broadcast'. ``dims`` maps name -> (df, fact_col, dim_col). The
+    OUTPUT relation is order-independent (inner joins commute) — only
+    the intermediates differ, which is the whole point — pinned by
+    pytest against the reversed order."""
+    out = fact
+    for step in plan:
+        df, fact_col, dim_col = dims[step["dim"]]
+        side = F.broadcast(df) if step["strategy"] == "broadcast" else df
+        out = out.join(side, out[fact_col] == df[dim_col], "inner")
+    return out
+
+
 def dim_hint(
     spark: SparkSession,
     sf_dir: str,

@@ -509,3 +509,41 @@ def test_pq_query_open_is_forward_only(spark, sf_dir, tmp_path):
     assert got.count() > 0
     assert os.path.isdir(cb)
     assert not os.path.exists(os.path.join(idx, "_refresh_commit.json"))
+
+
+def test_pq_refinement_audit_curve(spark, sf_dir):
+    """The refinement-factor calibration table (r12 verdict #7c): recall
+    is monotone non-decreasing in shortlist size, the largest audited
+    size reproduces the production _PQ_RERANK recall (same pipeline), and
+    every recall sits in (0, 1]."""
+    from sentiment_analysis_vector_search_spark.operators.similarity2 import (
+        _PQ_RERANK,
+        pq_refinement_audit,
+    )
+
+    rows = sorted(
+        (r["rerank_n"], r["recall"], r["hits"], r["n_queries"], r["k"])
+        for r in pq_refinement_audit(
+            spark, sf_dir, rerank_ns=(10, 50, _PQ_RERANK)
+        ).collect()
+    )
+    assert [n for n, *_ in rows] == [10, 50, _PQ_RERANK]
+    recalls = [rec for _, rec, *_ in rows]
+    assert all(0.0 < r <= 1.0 for r in recalls), recalls
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
+    # the audit's largest point IS the production pipeline's recall
+    # (shared encode/LUT/shortlist/rerank machinery)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in qs["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in qs["ann_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    want = len(brute & pq) / len(brute)
+    got = dict((n, rec) for n, rec, *_ in rows)[_PQ_RERANK]
+    assert abs(got - want) < 1e-9, (got, want)

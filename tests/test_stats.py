@@ -1022,3 +1022,76 @@ def test_cli_hist_derive_and_group(spark, sf_dir, tmp_path, capsys):
     assert gout["n_rows"] == out["n_rows"]
     for _g, qs in gout["quantiles"].items():
         assert set(qs) == {"0.5", "0.9", "0.99"}
+
+
+def test_choose_join_order_star_demo(spark, sf_dir):
+    """Stats-driven multi-way join ORDER (r12 verdict #7b) on the
+    q5/q9-style lineitem star: the most selective (filtered) dimension
+    joins first, modeled intermediates shrink monotonically, the
+    per-edge strategy still comes from choose_join_strategy, and the
+    joined OUTPUT is identical under the reversed order (inner joins
+    commute — only the intermediates differ)."""
+    from pyspark.sql import functions as F
+
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        choose_join_order,
+        ordered_star_join,
+        partition_stats,
+        table_stats,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    fact_stats = table_stats(spark, sf_dir, "lineitem")
+
+    # dims AS JOINED: orders unfiltered (spine, selectivity ~1),
+    # supplier cut to one nation (~1/25), part cut to one brand (~1/25)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select("s_suppkey", "s_name")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey", "p_brand")
+    )
+    dim_specs = [
+        ("orders", orders, "l_orderkey", "o_orderkey"),
+        ("supplier", supp, "l_suppkey", "s_suppkey"),
+        ("part", part, "l_partkey", "p_partkey"),
+    ]
+    plan = choose_join_order(
+        fact_stats,
+        [
+            {"name": n, "stats": partition_stats(df), "fact_col": fc,
+             "dim_col": dc}
+            for n, df, fc, dc in dim_specs
+        ],
+    )
+    order = [st["dim"] for st in plan]
+    # the unfiltered spine must come LAST; the filtered dims first
+    assert order[-1] == "orders", plan
+    assert set(order[:2]) == {"supplier", "part"}, plan
+    sels = {st["dim"]: st["selectivity"] for st in plan}
+    assert sels["supplier"] < 0.3 and sels["part"] < 0.3
+    assert sels["orders"] > 0.9
+    # modeled intermediates shrink monotonically along the chosen order
+    after = [st["est_rows_after"] for st in plan]
+    assert all(a >= b for a, b in zip(after, after[1:])), after
+    # the tiny filtered dims broadcast per the per-edge chooser
+    strat = {st["dim"]: st["strategy"] for st in plan}
+    assert strat["supplier"] == "broadcast" and strat["part"] == "broadcast"
+
+    dims = {n: (df, fc, dc) for n, df, fc, dc in dim_specs}
+    got = ordered_star_join(li, dims, plan)
+    rev = ordered_star_join(li, dims, list(reversed(plan)))
+    cols = ["l_orderkey", "l_linenumber", "s_name", "p_brand", "o_orderdate"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, rev.select(*cols).collect()))
+    assert a == b and len(a) > 0
+    # plan shape: the chosen order's physical plan broadcasts both
+    # filtered dims (no data-sized shuffle before the first cut)
+    phys = got._jdf.queryExecution().executedPlan().toString().lower()
+    assert phys.count("broadcasthashjoin") >= 2, phys[:800]
