@@ -439,7 +439,13 @@ def _time_queries(
             and statistics.median(runs) >= _SWING_GRADE_FLOOR_MULT * _SPREAD_FLOOR
             and max(runs) / min(runs) >= _RETRY_RATIO
         ):
-            _jvm_settle(spark)
+            # escalate after the first failed retry: a light settle did
+            # not quiet the JVM, so pay the deep double-GC + cleaner
+            # drain before spending further reps (r13 — both local-run
+            # graded-swing sets were churn whose reps CLIMBED through
+            # light settles; the deep settle is the only device that
+            # drains the ContextCleaner backlog mid-suite)
+            (_deep_settle if retries >= 1 else _jvm_settle)(spark)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
