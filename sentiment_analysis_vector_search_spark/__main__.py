@@ -181,6 +181,13 @@ def main(argv: list[str] | None = None) -> int:
         "serve per-group quantiles",
     )
     p_hist.add_argument(
+        "--check",
+        action="store_true",
+        help="after the fold, run the support tripwire against the "
+        "persisted table stats (rebuild_recommended when min/max moved "
+        "past the fitted support or the derived width changed)",
+    )
+    p_hist.add_argument(
         "--quantiles", default="0.5,0.9,0.99", help="comma-separated q values"
     )
     p_hist.add_argument(
@@ -771,34 +778,43 @@ def main(argv: list[str] | None = None) -> int:
         o = 0.0 if o is None else o
         batch = spark.read.parquet(args.batch_path)
         qs = [float(q) for q in args.quantiles.split(",") if q]
+        def _support(group_col=None):
+            if not args.check:
+                return None
+            try:
+                return st.histogram_support_check(
+                    args.stats_dir, args.table, args.col,
+                    group_col=group_col,
+                )
+            except KeyError as e:
+                return {"error": str(e)}
+
         if args.group_col is not None:
             gcounts = st.incremental_histogram_grouped(
                 args.stats_dir, args.table, args.group_col, args.col,
                 batch, width=w, bins=b, batch_id=args.batch_id, offset=o,
             )
-            print(
-                json.dumps(
-                    {
-                        "n_rows": sum(
-                            sum(c.values()) for c in gcounts.values()
-                        ),
-                        "n_groups": len(gcounts),
-                        "width": w,
-                        "bins": b,
-                        "offset": o,
-                        "quantiles": {
-                            g: {
-                                str(q): st.hist_quantile(c, w, q, o)
-                                for q in qs
-                            }
-                            for g, c in sorted(gcounts.items())
-                            if c
-                        },
-                    },
-                    indent=1,
-                    sort_keys=True,
-                )
-            )
+            out = {
+                "n_rows": sum(
+                    sum(c.values()) for c in gcounts.values()
+                ),
+                "n_groups": len(gcounts),
+                "width": w,
+                "bins": b,
+                "offset": o,
+                "quantiles": {
+                    g: {
+                        str(q): st.hist_quantile(c, w, q, o)
+                        for q in qs
+                    }
+                    for g, c in sorted(gcounts.items())
+                    if c
+                },
+            }
+            chk = _support(args.group_col)
+            if chk is not None:
+                out["support_check"] = chk
+            print(json.dumps(out, indent=1, sort_keys=True))
             return 0
         counts = st.incremental_histogram(
             args.stats_dir,
@@ -810,22 +826,20 @@ def main(argv: list[str] | None = None) -> int:
             batch_id=args.batch_id,
             offset=o,
         )
-        print(
-            json.dumps(
-                {
-                    "n_rows": sum(counts.values()),
-                    "n_bins_used": len(counts),
-                    "width": w,
-                    "bins": b,
-                    "offset": o,
-                    "quantiles": {
-                        str(q): st.hist_quantile(counts, w, q, o) for q in qs
-                    },
-                },
-                indent=1,
-                sort_keys=True,
-            )
-        )
+        out = {
+            "n_rows": sum(counts.values()),
+            "n_bins_used": len(counts),
+            "width": w,
+            "bins": b,
+            "offset": o,
+            "quantiles": {
+                str(q): st.hist_quantile(counts, w, q, o) for q in qs
+            },
+        }
+        chk = _support()
+        if chk is not None:
+            out["support_check"] = chk
+        print(json.dumps(out, indent=1, sort_keys=True))
         return 0
 
     if args.cmd == "analyze-incremental":

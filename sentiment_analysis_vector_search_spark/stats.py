@@ -796,6 +796,75 @@ def served_hist_quantiles(
     return {str(q): hist_quantile(art["counts"], w, q, o) for q in qs}
 
 
+def histogram_support_check(
+    stats_dir: str,
+    name: str,
+    col: str,
+    stats: dict[str, dict] | None = None,
+    group_col: str | None = None,
+) -> dict:
+    """The re-band tripwire for the maintained histogram (r13 — the
+    dedup_index_stats discipline applied to the sixth artifact): compare
+    the STORED knobs against the knobs the CURRENT maintained min/max
+    stats derive. A drifting corpus can push values past the fitted
+    support, where they silently clamp into the edge bins and quantile
+    estimates flatten; this check is how the store owner notices.
+
+    ``stats``: the live stats dict (``load_table_stats`` /
+    ``table_stats``); defaults to the persisted ``{stats_dir}/{name}.json``.
+    Returns {"stored": knobs, "derived": knobs, "support_lo/hi",
+    "min_in_support", "max_in_support", "edge_bin_fraction",
+    "rebuild_recommended"} — recommended when the observed min/max fall
+    outside the stored support OR the derived width differs (the
+    range widened enough for the snap to move). Raises KeyError when no
+    artifact exists (an explicit contract, like served_hist_quantiles)."""
+    loader = load_histogram_grouped if group_col else load_histogram
+    art = (
+        loader(stats_dir, name, group_col, col)
+        if group_col
+        else loader(stats_dir, name, col)
+    )
+    if not art:
+        raise KeyError(f"no maintained histogram for {name}.{col} in {stats_dir}")
+    if stats is None:
+        stats = load_table_stats(stats_dir, name)
+    if stats is None or col not in stats:
+        raise KeyError(
+            f"no maintained stats for {name}.{col} in {stats_dir}"
+            " (run incremental_analyze first)"
+        )
+    w = float(art["width"])
+    o = float(art.get("offset", 0.0))
+    bins = int(art["bins"])
+    stored = {"width": w, "bins": bins, "offset": o}
+    derived = hist_knobs_for(stats, col, bins=bins)
+    lo, hi = o, o + bins * w
+    mn = float(stats[col]["min_value"])
+    mx = float(stats[col]["max_value"])
+    if group_col:
+        counts_iter = art["counts"].values()
+    else:
+        counts_iter = [art["counts"]]
+    edge = total = 0
+    for c in counts_iter:
+        for b, n in c.items():
+            total += n
+            if b in (0, bins - 1):
+                edge += n
+    return {
+        "stored": stored,
+        "derived": derived,
+        "support_lo": lo,
+        "support_hi": hi,
+        "min_in_support": mn >= lo,
+        "max_in_support": mx < hi,
+        "edge_bin_fraction": (edge / total) if total else 0.0,
+        "rebuild_recommended": (
+            mn < lo or mx >= hi or derived["width"] != w
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # GROUPED fixed-width histogram (r13, r12 verdict #7a) — the r12
 # artifact at group grain: one partial-agg scan to (group, bin) rows

@@ -1095,3 +1095,59 @@ def test_choose_join_order_star_demo(spark, sf_dir):
     # filtered dims (no data-sized shuffle before the first cut)
     phys = got._jdf.queryExecution().executedPlan().toString().lower()
     assert phys.count("broadcasthashjoin") >= 2, phys[:800]
+
+
+def test_histogram_support_tripwire(spark, sf_dir, tmp_path, capsys):
+    """The re-band tripwire (r13): an artifact whose fitted support no
+    longer covers the maintained min/max recommends a rebuild; a
+    still-covering one does not; the CLI surfaces it under --check."""
+    import json
+    import os
+
+    import pytest
+
+    from sentiment_analysis_vector_search_spark.__main__ import main
+    from sentiment_analysis_vector_search_spark.catalog import table
+    from sentiment_analysis_vector_search_spark.stats import (
+        hist_knobs_for,
+        histogram_support_check,
+        incremental_analyze,
+        incremental_histogram,
+        load_table_stats,
+    )
+
+    stats_dir = str(tmp_path / "stats")
+    ev = table(spark, sf_dir, "events")
+    incremental_analyze(spark, stats_dir, "events", ev, batch_id=0)
+    stats = load_table_stats(stats_dir, "events")
+    knobs = hist_knobs_for(stats, "value")
+    incremental_histogram(
+        stats_dir, "events", "value", ev,
+        width=knobs["width"], bins=knobs["bins"], offset=knobs["offset"],
+        batch_id=0,
+    )
+    ok = histogram_support_check(stats_dir, "events", "value")
+    assert ok["min_in_support"] and ok["max_in_support"]
+    assert ok["rebuild_recommended"] is False
+    assert 0.0 <= ok["edge_bin_fraction"] <= 1.0
+
+    # corpus drifted: maintained max now far past the fitted support
+    drifted = dict(stats)
+    drifted["value"] = dict(stats["value"])
+    drifted["value"]["max_value"] = 1e6
+    bad = histogram_support_check(stats_dir, "events", "value", stats=drifted)
+    assert bad["max_in_support"] is False
+    assert bad["rebuild_recommended"] is True
+    assert bad["derived"]["width"] != bad["stored"]["width"]
+
+    # no artifact / no stats: explicit refusals
+    with pytest.raises(KeyError):
+        histogram_support_check(stats_dir, "missing", "value")
+
+    # CLI: --check rides the fold output
+    rc = main(["hist", "events", "value", os.path.join(sf_dir, "events.parquet"),
+               stats_dir, "--derive", "--check"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert out["support_check"]["rebuild_recommended"] is False
