@@ -380,3 +380,128 @@ def ivfpq_codebook_refresh(
     _os.replace(tmp, marker)
     ivfpq_index_recover(index_dir)  # the swap IS forward recovery
     return {**drift, "refreshed": True}
+
+
+def ivfpq_refinement_audit(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    rerank_ns: tuple[int, ...] = (10, 50, _PQ_RERANK),
+    k: int = _TOP_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(nprobe, rerank_n, n_queries, k, hits, recall) — the composed
+    index's calibration GRID (r13; the IVFPQ extension of
+    similarity2.pq_refinement_audit): recall@k vs brute force for every
+    (probe width, shortlist size) pair, over a PERSISTED index — the
+    sweep a store owner runs to site the nprobe/rerank operating point.
+
+    One compressed-domain pass: candidates are gathered at max(nprobes)
+    with each candidate carrying its cell's PROBE RANK for its query, so
+    every smaller nprobe is a rank cut over the same checkpointed
+    relation (narrower probes = prefix of the wider probe's cells) and
+    every rerank_n is a further rank cut — no re-scoring per grid point.
+    Along rerank_n recall is monotone by construction (exact top-k over
+    a candidate superset can only swap a true neighbor for a better true
+    neighbor); along nprobe the CANDIDATE set grows but the fixed-size
+    ADC shortlist may trade members, so monotonicity is expected, not
+    guaranteed — that residual is exactly what the audit measures.
+
+    Opens forward-only like the query path. Brute force is the exact
+    scan over ``vectors`` (the primary store)."""
+    from .similarity2 import _norm_vectors
+
+    ivfpq_index_recover(index_dir, forward_only=True)
+    max_probe = max(nprobes)
+    qprobe = _probe_cells(spark, index_dir, queries, max_probe)
+    # re-derive each probed cell's rank for its query (bounded relation:
+    # nq x max_probe rows) — the cut key for the nprobe axis
+    coarse = spark.read.parquet(f"{index_dir}/coarse_codebook")
+    qsim = _dot("qv", "c") / (F.col("qnrm") * F.col("cn"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("label"))
+    qprobe_rk = (
+        qprobe.join(F.broadcast(coarse), qprobe["cell"] == coarse["label"])
+        .withColumn("sim", qsim)
+        .withColumn("probe_rk", F.row_number().over(wq))
+        .select("query_id", "qv", "qnrm", "cell", "probe_rk")
+        .localCheckpoint(eager=True)
+    )
+    cells = sorted({r["cell"] for r in qprobe_rk.select("cell").distinct().collect()})
+    enc = spark.read.parquet(f"{index_dir}/codes").where(F.col("cell").isin(cells))
+    pairs_filter = (
+        (F.col("vec_id") != F.col("query_id")) if exclude_self else F.lit(True)
+    )
+    pq_cb = spark.read.parquet(f"{index_dir}/pq_codebook")
+    lut = _pq_lut(
+        qprobe_rk.select("query_id", "qv", "qnrm").distinct(), pq_cb
+    ).select(
+        F.col("query_id").alias("lq"), "qnrm", F.col("s").alias("ls"),
+        F.col("label").alias("ll"), "lutv",
+    )
+    pairs = enc.join(
+        F.broadcast(qprobe_rk.select("query_id", "cell", "probe_rk")), "cell"
+    ).where(pairs_filter)
+    adc = (
+        pairs.join(
+            F.broadcast(lut),
+            (pairs["s"] == F.col("ls"))
+            & (pairs["code"] == F.col("ll"))
+            & (pairs["query_id"] == F.col("lq")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            dsum(F.col("lutv")).alias("adc_sum"),
+            F.max("qnrm").alias("qnrm"),
+            F.max("nrm").alias("nrm"),
+            F.min("probe_rk").alias("probe_rk"),
+        )
+        .withColumn(
+            "adc_cosine", F.round(F.col("adc_sum") / (F.col("qnrm") * F.col("nrm")), 6)
+        )
+        .select("query_id", "vec_id", "adc_cosine", "probe_rk")
+        .localCheckpoint(eager=True)  # one scoring pass, grid-many cuts
+    )
+    vecs = _norm_vectors(vectors)
+    q = queries.select("query_id", "qv", F.sqrt(_dot("qv", "qv")).alias("qnrm"))
+    # exact brute-force truth over the primary store (one pass)
+    bq = q.select("query_id", F.col("qv").alias("bqv"), F.col("qnrm").alias("bqnrm"))
+    bcos = F.round(_dot("v", "bqv") / (F.col("bqnrm") * F.col("nrm")), 6)
+    wb = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    brute = (
+        vecs.crossJoin(F.broadcast(bq))
+        .where(pairs_filter)
+        .withColumn("cosine", bcos)
+        .withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_queries = q.count()
+    denom = float(n_queries * k)
+    from .similarity2 import _exact_rerank
+
+    grid = []
+    for nprobe in sorted(nprobes):
+        cand = adc.where(F.col("probe_rk") <= nprobe)
+        wa = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_cosine"), F.asc("vec_id")
+        )
+        ranked = cand.withColumn("srk", F.row_number().over(wa)).where(
+            F.col("srk") <= max(rerank_ns)
+        ).localCheckpoint(eager=True)
+        for n in sorted(rerank_ns):
+            shortlist = ranked.where(F.col("srk") <= n).select(
+                "query_id", "vec_id"
+            )
+            got = _exact_rerank(shortlist, vecs, q, k).select(
+                "query_id", "vec_id"
+            )
+            hits = got.join(brute, ["query_id", "vec_id"]).count()
+            grid.append((nprobe, n, n_queries, k, hits, hits / denom))
+    return spark.createDataFrame(
+        grid,
+        "nprobe int, rerank_n int, n_queries bigint, k int,"
+        " hits bigint, recall double",
+    )

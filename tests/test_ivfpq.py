@@ -309,3 +309,52 @@ def test_ivfpq_refresh_crash_recovery_and_forward_only_open(spark, sf_dir, tmp_p
         for suffix in ("__new", "__old"):
             assert not os.path.exists(os.path.join(idx, name + suffix))
     assert not os.path.exists(os.path.join(idx, "_refresh_commit.json"))
+
+
+def test_ivfpq_refinement_audit_grid(spark, sf_dir, tmp_path):
+    """The composed calibration grid (r13): recall monotone along the
+    rerank axis within each nprobe; full-probe + max-rerank reproduces
+    the serving path's recall; all recalls in (0, 1]."""
+    from sentiment_analysis_vector_search_spark.operators.ivfpq import (
+        ivfpq_refinement_audit,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, sf_dir, idx)
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    q = _queries(spark, sf_dir)
+    n_cells = spark.read.parquet(f"{idx}/coarse_codebook").count()
+
+    grid = {
+        (r["nprobe"], r["rerank_n"]): r["recall"]
+        for r in ivfpq_refinement_audit(
+            spark, idx, q, vecs,
+            nprobes=(1, n_cells), rerank_ns=(10, 100),
+            exclude_self=True,
+        ).collect()
+    }
+    assert len(grid) == 4
+    assert all(0.0 < v <= 1.0 for v in grid.values()), grid
+    # monotone along rerank within each nprobe (guaranteed: exact top-k
+    # over a candidate superset only swaps true neighbors for better)
+    assert grid[(1, 10)] <= grid[(1, 100)] + 1e-12
+    assert grid[(n_cells, 10)] <= grid[(n_cells, 100)] + 1e-12
+    # full probe sees a candidate superset of the narrow probe
+    assert grid[(n_cells, 100)] >= grid[(1, 100)] - 1e-12
+
+    # the grid's (default-ish) corner reproduces the serving path
+    import __spark_entry__ as entrymod
+
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in entrymod.queries()["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    served = {
+        (r.query_id, r.vec_id)
+        for r in ann_ivfpq_index_query(
+            spark, idx, q, vecs, nprobe=n_cells, rerank_n=100,
+            exclude_self=True,
+        ).collect()
+    }
+    want = len(brute & served) / len(brute)
+    assert abs(grid[(n_cells, 100)] - want) < 1e-9, (grid, want)
