@@ -271,6 +271,8 @@ HEADLINE = [
     "q_value_hist_quantiles",
     # new r13 (pre-freeze; graded on arrival)
     "q_doclen_hist_by_source",
+    # late r13 (post-freeze; staged r14 must-grade)
+    "q_star_ordered_revenue",
 ]
 
 

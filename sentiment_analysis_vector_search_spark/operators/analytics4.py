@@ -673,3 +673,123 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_star_ordered_revenue — the join-ORDER chooser end to end on a graded
+# surface (r13; r12 verdict #7b wired into a query): a 4-table lineitem
+# star where the JOIN SEQUENCE comes from stats.choose_join_order (the
+# filtered, ~4%-selective supplier/part dims join before the
+# selectivity~1 orders spine, each edge broadcast/shuffled per
+# choose_join_strategy) and the VALUES are order-independent by
+# construction (inner joins commute) — which is exactly what makes the
+# oracle trivial: plain SQL joins in any order. The graded claim is the
+# values; the ORDER is pinned by the plan-shape pytest
+# (test_choose_join_order_star_demo and the bench lint keep the physical
+# side honest).
+#
+# Scale shape: the fact is touched once; the two filtered dims cut the
+# fact stream ~600x before the orders join, so the one potentially
+# shuffling edge sees thousands of rows, not the fact table — the
+# classic star mistake (spine first, full fact width through every
+# shuffle) is what the chooser exists to prevent at 100 TB. Dim stats:
+# the filtered dims are characterized by one bounded partition_stats
+# scan each (dim-sized); the fact and spine reuse the memoized ANALYZE.
+# ---------------------------------------------------------------------------
+
+_SO_NATION = 3
+_SO_BRAND = "Brand#23"
+
+# The chooser PLAN is driver-side metadata (per-edge selectivity +
+# strategy) derived from one bounded stats scan per filtered dim; memoize
+# it per (session, sf_dir) like the semi-reduce sketches above so repeat
+# executions pay only the query (the refresh hook invalidates it when an
+# sf_dir is rewritten).
+_SO_PLAN_MEMO: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
+def _clear_so_memo(sf_dir: str | None) -> None:
+    for per in _SO_PLAN_MEMO.values():
+        if sf_dir is None:
+            per.clear()
+        else:
+            per.pop(sf_dir, None)
+
+_SO_ORACLE = f"""
+SELECT year(o_orderdate) AS o_year,
+       count(*) AS n_lineitems,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = {_SO_NATION}
+JOIN part ON p_partkey = l_partkey AND p_brand = '{_SO_BRAND}'
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY year(o_orderdate)
+"""
+
+
+@register("q_star_ordered_revenue", oracle=_SO_ORACLE)
+def q_star_ordered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order year over the chooser-ORDERED star (module
+    note): filtered supplier + part dims first, orders spine last,
+    per-edge strategy from the stats chooser; values identical to the
+    any-order oracle."""
+    from ..stats import (
+        choose_join_order,
+        ordered_star_join,
+        partition_stats,
+        table_stats,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == _SO_NATION)
+        .select("s_suppkey")
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _SO_BRAND)
+        .select("p_partkey")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    try:
+        per = _SO_PLAN_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable
+        per = {}
+    plan = per.get(sf_dir)
+    if plan is None:
+        plan = choose_join_order(
+            table_stats(spark, sf_dir, "lineitem"),
+            [
+                {"name": "supplier", "stats": partition_stats(supp),
+                 "fact_col": "l_suppkey", "dim_col": "s_suppkey"},
+                {"name": "part", "stats": partition_stats(part),
+                 "fact_col": "l_partkey", "dim_col": "p_partkey"},
+                {"name": "orders",
+                 "stats": table_stats(spark, sf_dir, "orders"),
+                 "fact_col": "l_orderkey", "dim_col": "o_orderkey"},
+            ],
+        )
+        per[sf_dir] = plan
+    joined = ordered_star_join(
+        li,
+        {
+            "supplier": (supp, "l_suppkey", "s_suppkey"),
+            "part": (part, "l_partkey", "p_partkey"),
+            "orders": (orders, "l_orderkey", "o_orderkey"),
+        },
+        plan,
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+_on_refresh(_clear_so_memo)

@@ -262,8 +262,11 @@ GRADED_WINDOW: list[str] = [
 #   stay valid; re-grade them in r14 on rotation.
 # - corpus_data_card gained an optional stats_dir serving mode; the
 #   default (graded) path is byte-identical — re-grade on rotation.
-# - Post-freeze r13 registrations: none yet — list any here (freeze-tail
-#   <= 2, r12 verdict #8).
+# - Post-freeze r13 registrations (freeze-tail 1, within the <=2
+#   discipline; r14 must-grade on arrival): q_star_ordered_revenue —
+#   the choose_join_order chooser wired into a graded 4-table star
+#   (operators/analytics4.py; values order-independent, verified
+#   hash-green at sf0.001/0.01/0.1 in-session).
 #
 # Deferred to r14 (r10-graded, unchanged — the aging-r10 cohort minus
 # the four drained above, 43): q_order_deciles,

@@ -370,3 +370,30 @@ def test_skyline_matches_bruteforce_with_ties(spark, tmp_path):
     expect = {k for k, p, s in pts if not dominated((k, p, s))}
     got = {r["p_partkey"] for r in q_part_skyline(spark, d).collect()}
     assert got == expect == {1, 2, 4, 5, 8, 10}
+
+
+def test_star_ordered_revenue_parity_and_order(spark, sf_dir):
+    """The chooser-ordered star query (late r13): oracle parity, the
+    filtered dims ordered before the orders spine, plan broadcasts both
+    filtered dims, and the memoized plan makes repeat calls cheap (no
+    re-ANALYZE)."""
+    from sentiment_analysis_vector_search_spark.operators.analytics4 import (
+        _SO_PLAN_MEMO,
+        q_star_ordered_revenue,
+    )
+    from tests.parity import assert_parity
+
+    assert_parity(spark, "q_star_ordered_revenue", sf_dir)
+
+    per = _SO_PLAN_MEMO.get(spark) or {}
+    plan = per.get(sf_dir)
+    assert plan is not None, "chooser plan not memoized"
+    order = [st["dim"] for st in plan]
+    assert order[-1] == "orders" and set(order[:2]) == {"supplier", "part"}
+    strat = {st["dim"]: st["strategy"] for st in plan}
+    assert strat["supplier"] == "broadcast" and strat["part"] == "broadcast"
+    phys = (
+        q_star_ordered_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert phys.count("broadcasthashjoin") >= 2
