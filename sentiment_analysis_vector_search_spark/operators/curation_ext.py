@@ -664,35 +664,12 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard against any eval doc clears the threshold, found by an
     asymmetric MinHash-LSH probe (broadcast eval bands against banded
     corpus signatures) and verified exactly on candidates only."""
-    from ..functions.hashing import MOD31
-    from .dedup import _MH_PARAMS, _N_BANDS, _ROWS_PER_BAND, shingle_sets
+    from .dedup import band_structs_expr, minhash_sig_exprs, shingle_sets
 
     sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    base = md5_int31(F.col("sh"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs())
+    band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )

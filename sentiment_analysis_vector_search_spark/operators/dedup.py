@@ -215,6 +215,43 @@ _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _MH_PARAMS = minhash_params(_N_HASHES, seed=42)
 
 
+# Spark-side SQL text twins of the minhash signature/band builders.
+# The stacked-Column idiom costs ~10 py4j round trips per hash term
+# (~0.3 s of per-EXECUTION driver latency across the 16 aggregates +
+# 4 band structs; each bench rep and each production submission
+# rebuilds the DataFrame). One parsed expression per aggregate yields
+# the identical analyzed ops — results and plans unchanged.
+_SPARK_MD5_INT31_SH = "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"
+
+
+def minhash_sig_exprs() -> list:
+    """The 16 ``min((md5_int31(sh) * a + b) % MOD31) AS mh{i}`` aggregate
+    columns, parsed from SQL text (Spark-side twin of the oracle's
+    ``_sql_minhash_aggs``)."""
+    return [
+        F.expr(
+            f"min((({_SPARK_MD5_INT31_SH}) * {a} + {b}) % {MOD31}) AS mh{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+
+
+def band_structs_expr():
+    """array(struct(band, bh), ...) over the mh columns as ONE parsed
+    expression (Spark-side twin of the oracle's ``_sql_band_selects``)."""
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bh)".format(
+            b=band,
+            cols=", ".join(
+                f"cast(mh{band * _ROWS_PER_BAND + r} as string)"
+                for r in range(_ROWS_PER_BAND)
+            ),
+        )
+        for band in range(_N_BANDS)
+    )
+    return F.expr(f"array({structs})")
+
+
 def _sql_minhash_aggs() -> str:
     base = sql_md5_int31("sh")
     return ",\n         ".join(
@@ -271,30 +308,8 @@ def dedup_minhash_lsh(
     if sh is None:
         sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = _sizes(sh)
-    base = md5_int31(F.col("sh"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs())
+    band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -421,21 +436,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word"),
     ).where(F.col("word").isNotNull())
     bits = toks.select("doc_id", md5_long(F.col("word")).alias("h"))
+    # The 60 conditional sums and the 60-term signature fold are built as
+    # SQL TEXT (one parse round trip per expression) instead of stacked
+    # Column operators: the Column form costs ~8 py4j round trips per
+    # term — ~1 s of per-EXECUTION driver latency for this constructor
+    # alone (measured r13; each bench rep and each production submission
+    # rebuilds the DataFrame). The parsed trees are the identical ops, so
+    # plan and results are unchanged (pytest-pinned vs the oracle).
     sums = bits.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"s{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS s{i}"
+            )
             for i in range(_SIM_BITS)
         ]
     )
-    sig_col = None
-    for i in range(_SIM_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig_col = term if sig_col is None else sig_col + term
-    sig = sums.select("doc_id", sig_col.cast("bigint").alias("simhash"))
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIM_BITS)
+    )
+    sig = sums.select(
+        "doc_id", F.expr(f"cast(({sig_terms}) as bigint) AS simhash")
+    )
     bands = (
         sig.select(
             "doc_id",
@@ -1126,30 +1148,8 @@ GROUP BY 1
 def dedup_minhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = _sizes(sh)
-    base = md5_int31(F.col("sh"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    ).localCheckpoint(eager=True)  # feeds bands AND both estimate join sides
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).localCheckpoint(eager=True)  # feeds bands AND both estimate join sides
+    band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode_outer(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )

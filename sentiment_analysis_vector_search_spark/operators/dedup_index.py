@@ -35,8 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MOD31, md5_int31
-from .dedup import _JACCARD_T, _MH_PARAMS, _N_BANDS, _ROWS_PER_BAND
+from .dedup import (
+    _JACCARD_T,
+    band_structs_expr,
+    minhash_sig_exprs,
+)
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
@@ -62,30 +65,8 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 def _band_rows(sh: DataFrame) -> DataFrame:
     """(band, bh, doc_id) LSH band buckets from a shingle relation."""
-    base = md5_int31(F.col("sh"))
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min((base * F.lit(a) + F.lit(b)) % F.lit(MOD31)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_PARAMS)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{band * _ROWS_PER_BAND + r}").cast("string")
-                            for r in range(_ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("bh"),
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs())
+    band_structs = band_structs_expr()
     return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         F.col("b.band").alias("band"), F.col("b.bh").alias("bh"), "doc_id"
     )

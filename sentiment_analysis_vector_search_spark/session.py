@@ -47,6 +47,19 @@ def get_spark(app_name: str = "sentiment_analysis_vector_search_spark", shuffle_
         # (bench_scale: ~50M-row checkpointed shingle relations + join
         # execution memory) comfortable on the 128 GiB box; 8g OOM'd it.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # PySpark 4's DataFrame debugging wraps EVERY DataFrame/Column API
+        # call with call-site capture: getActiveSession + conf.get +
+        # PySparkCurrentOrigin.set/clear — 3-4 extra py4j round trips per
+        # call (~0.17 ms each here). Expression-heavy constructors pay
+        # hundreds of wrapped calls PER EXECUTION (each bench rep and each
+        # production job submission rebuilds the DataFrame): measured
+        # interleaved at sf0.1, dedup_simhash construction 1.65 s -> 0.74 s,
+        # dedup_keep_canonical 2.29 -> 1.89, dedup_minhash_lsh 1.56 -> 1.30
+        # with it off. Cost of disabling: error messages lose the enriched
+        # Python call-site context (DataFrame ops still raise the same
+        # typed errors) — the right trade for a production engine; flip it
+        # back on when debugging a specific failure.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
