@@ -102,7 +102,10 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_dec").cast("double") / F.col("out_dec").cast("double")).alias("w"),
     )
     nodes = nation.select(F.col("n_name").alias("node"))
-    ranks = pagerank(nodes, edges, iters=_PR_ITERS)
+    # broadcast_ranks: the node set is the nation DIMENSION (bounded at
+    # any SF), and the edge checkpoint hides sizes from Catalyst — see
+    # pagerank()'s docstring (r13: 5 SMJ -> broadcast joins).
+    ranks = pagerank(nodes, edges, iters=_PR_ITERS, broadcast_ranks=True)
     w = Window.orderBy(F.desc("pagerank"), F.asc("n_name"))  # #nations rows only
     return (
         ranks.select(F.col("node").alias("n_name"), F.col("r").alias("pagerank"))
@@ -199,7 +202,12 @@ def q_nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    # Broadcast the probe sides: the oriented edge relation is
+    # #nations²-bounded at ANY SF, but it sits behind the lineage cut so
+    # Catalyst sees the unknown-size default and planned both triangle
+    # joins as sort-merge (r13 plan audit). On a billion-EDGE graph this
+    # operator's degree-ordered variant would drop the hints.
+    tri = ab.join(broadcast(bc), "b").join(broadcast(ac), ["a", "c"])
     nm = lambda alias, key: broadcast(
         nation.select(
             F.col("n_nationkey").alias(key), F.col("n_name").alias(alias)
