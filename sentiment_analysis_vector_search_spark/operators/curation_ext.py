@@ -668,7 +668,14 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs())
+    # Lazy lineage cut (r13): without it the band self-join/probe
+    # branches each re-run the 16-aggregate signature groupBy over the
+    # corpus-sized shingle relation (final-plan audit: 0 ReusedExchange
+    # — a broadcast side defeats exchange reuse). Behind the cut the
+    # aggregation runs once; the doc-grain frame is small at any SF.
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).localCheckpoint(
+        eager=False
+    )
     band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")

@@ -308,7 +308,14 @@ def dedup_minhash_lsh(
     if sh is None:
         sh = shingle_sets(spark, sf_dir, materialize=True)
     sizes = _sizes(sh)
-    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs())
+    # Lazy lineage cut (r13): without it the band self-join/probe
+    # branches each re-run the 16-aggregate signature groupBy over the
+    # corpus-sized shingle relation (final-plan audit: 0 ReusedExchange
+    # — a broadcast side defeats exchange reuse). Behind the cut the
+    # aggregation runs once; the doc-grain frame is small at any SF.
+    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).localCheckpoint(
+        eager=False
+    )
     band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
@@ -455,9 +462,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_terms = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIM_BITS)
     )
+    # Lazy lineage cut on the doc-grain signature relation (r13): the
+    # final AQE plan showed BOTH self-join sides evaluating the whole
+    # scan→tokenize→60-sum pipeline (2 parquet scans, 0 ReusedExchange —
+    # the planner broadcast one side, which defeats the exchange-reuse
+    # the explicit repartition was counting on). Behind the cut the
+    # signature aggregation runs ONCE and both sides read the same RDD
+    # blocks. (Contrast emb_candidate_pairs, where the duplicated
+    # subtree is 2k cheap rows and the broadcast WINS — this one is a
+    # corpus-sized token aggregation.)
     sig = sums.select(
         "doc_id", F.expr(f"cast(({sig_terms}) as bigint) AS simhash")
-    )
+    ).localCheckpoint(eager=False)
     bands = (
         sig.select(
             "doc_id",
