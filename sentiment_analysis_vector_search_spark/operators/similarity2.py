@@ -277,7 +277,11 @@ def _exact_rerank(
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC shortlist + exact rerank top-k. Returns
     (query_id, vec_id, cosine, rk) with exact cosines."""
-    cb = _pq_codebook(spark, sf_dir)
+    # Lazy lineage cut (r13): cb feeds BOTH the encode and the LUT —
+    # without it the final plan ran the codebook derivation (posexplode
+    # + two aggregations over embeddings) TWICE (6 embeddings scans, 10
+    # HashAggregates). The codebook is k x M rows at any corpus size.
+    cb = _pq_codebook(spark, sf_dir).localCheckpoint(eager=False)
     vecs = _vectors(spark, sf_dir)
     enc = _pq_encode(vecs, cb)
     queries = vecs.where(F.col("vec_id") < _N_QUERIES).select(
