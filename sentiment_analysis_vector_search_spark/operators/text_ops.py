@@ -225,7 +225,19 @@ def tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select("doc_id", F.explode(S.tokens(F.col("text"))).alias("word")).where(
         ~F.col("word").isin(*S.STOPWORDS) & (F.col("word") != "")
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # Lazy lineage cut (r13): tf feeds THREE plan branches (vocab, the
+    # weighted join, and — via weighted — both the norm aggregate and the
+    # final join). The final plan otherwise re-ran the tokenize-explode +
+    # (doc, word) groupBy once per branch (4 documents scans, 14
+    # HashAggregates — tfidf_vectors and its three downstream consumers
+    # doc_top_keywords / rag_retrieve / rag_hybrid_retrieve all paid it).
+    # The (doc, word, tf) relation is the same grain the persisted text
+    # index materializes — bounded, and one pass at any corpus size.
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = docs.count()  # scalar; table stats — not a per-row collect
     vocab = tf.groupBy("word").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
