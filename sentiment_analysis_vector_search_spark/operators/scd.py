@@ -116,6 +116,13 @@ def scd2_from_events(ev: DataFrame) -> DataFrame:
             F.col("prev_state").isNull()
             | (F.col("prev_state") != F.col("state"))
         )
+        # Lazy lineage cut (r13): changes feeds BOTH phase-B branches
+        # (interval closing + chunk first-change bounds) — without it the
+        # final plan re-ran the whole phase-A pipeline (two more events
+        # scans + the per-chunk lag window + the day-grain join) once per
+        # branch. The change relation is state-transition grain — far
+        # smaller than the event log at any scale.
+        .localCheckpoint(eager=False)
     )
 
     # --- phase B: interval closing, at change grain, chunk-split ---
