@@ -181,9 +181,12 @@ FROM rolled r JOIN cohort_sizes s ON s.cohort_q = r.cohort_q
 @register("q_cohort_ltv", oracle=_LTV_ORACLE)
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
+    # Lazy lineage cut (r13): firsts feeds the cohort-size aggregate AND
+    # the aging join; without it the per-customer first-order groupBy over
+    # orders executed twice. Customer-grain — small at any SF.
     firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.date_trunc("quarter", F.min("o_orderdate")).alias("cohort_q")
-    )
+    ).localCheckpoint(eager=False)
     sizes = firsts.groupBy("cohort_q").agg(
         F.count(F.lit(1)).alias("cohort_customers")
     )
@@ -330,7 +333,9 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("date").alias("d"),
         F.dayofweek("ts").alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    # (lazy cut: daily feeds the type spine, the train leg and the test
+    # leg — one events aggregation instead of three, r13)
     types = daily.select("event_type").distinct()
     dows = ev.select(F.dayofweek("ts").alias("dow")).distinct()
     spine = types.crossJoin(F.broadcast(dows))

@@ -411,9 +411,14 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
     )
+    # Lazy lineage cut (r13): cent feeds BOTH the c2 aggregate and the
+    # broadcast scoring join — without it the centroid aggregation (a
+    # full pass over the exploded embedding relation) executed twice.
+    # The (label, pos) frame is |labels|×dim rows at any corpus size.
     cent = (
         v.groupBy("label", "pos")
         .agg(davg(F.col("val")).alias("centroid"))
+        .localCheckpoint(eager=False)
     )
     c2 = cent.groupBy("label").agg(
         dsum(F.col("centroid") * F.col("centroid")).alias("c2")
