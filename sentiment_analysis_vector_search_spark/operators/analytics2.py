@@ -422,11 +422,13 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
 
     ev = table(spark, sf_dir, "events")
+    # Lazy lineage cut (r13): pc feeds the global-average scalar AND the
+    # arm rollup; without it the per-user groupBy over events ran twice.
     pc = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "purchases"
         )
-    )
+    ).localCheckpoint(eager=False)
     avg_row = pc.agg(
         (F.sum("purchases") * F.lit(1.0) / F.count(F.lit(1))).alias("avg_p")
     )
