@@ -293,7 +293,26 @@ _ITERATIVE_MIN_REPS = 5
 # Neighbor JVM state, not the query: they get the _ITERATIVE mechanics
 # (settle + untimed rewarm, then a JVM settle before EVERY timed rep,
 # 5-rep minimum) so the graded swing list stays empty under rule 36.
-_PER_REP_SETTLE = {"docs_source_profile", "q20_part_promotion"}
+#
+# r13 optimization round: the stateful STREAMING drains join the set,
+# on the same isolated-rerun evidence — stream_stateful_user_stats read
+# in-suite medians 10.93 / 2.01 / 11.14 s across three full runs at
+# near-identical code while an isolated fresh-JVM 5-rep run measured
+# [1.55-2.02] (median 1.64); stream_interval_join 6.30/1.60/4.08 vs
+# isolated 1.62; stream_dedup_exact 3.38/0.90/4.74. Each drain starts
+# and tears down a streaming query + state store against a ~100-query-
+# old JVM — exactly the ContextCleaner/old-gen backlog the per-rep
+# settle exists for. Methodology note (OPTIMIZATION_r13.md): this
+# changes only WHEN the JVM is settled around these queries' reps, not
+# what is timed; the pre-change artifacts are kept
+# (bench_detail_r13opt_baseline.json).
+_PER_REP_SETTLE = {
+    "docs_source_profile",
+    "q20_part_promotion",
+    "stream_stateful_user_stats",
+    "stream_interval_join",
+    "stream_dedup_exact",
+}
 
 # Broadcast/mapInArrow-heavy queries (the similarity block): each rep
 # builds and tears down broadcast relations + Arrow/python-worker state,

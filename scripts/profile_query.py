@@ -45,6 +45,9 @@ def main() -> int:
             os.makedirs(f"plans/{tag}", exist_ok=True)
             with open(f"plans/{tag}/{name}_{suffix}.txt", "w") as f:
                 f.write(plan_str(fn(spark, args.sf_dir)))
+        if args.reps == 0:  # plan-dump-only mode
+            out[name] = {}
+            continue
         spark.sparkContext.setJobDescription(f"{name}: warmup")
         fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
