@@ -538,6 +538,12 @@ def _final_line(
             # canonical fixed-job median: divide totals by this before
             # comparing rounds (hosts differ round-to-round)
             obj["calib"] = calib
+            # r13 verdict #6: the calib-normalized total printed NEXT TO
+            # the raw value (r12→r13 compared runs at calib 0.896 vs
+            # 0.66 — raw totals conflate host state with code changes).
+            # Additions-only: the contract fields are unchanged.
+            if calib > 0:
+                obj["total_calib_adj"] = round(total / calib, 2)
         obj["floor"] = _floor(timings)
         if swings is not None:
             # the zero-swing grading standard's verdict surface: swings
@@ -656,6 +662,14 @@ def main() -> None:
         },
         "graded_swings": graded_swings,
         "exempt_swings": exempt_swings,
+        # auditability (r13 advice, low): which queries ran under the
+        # per-rep JVM-settle / gc-settle / iterative rep mechanics, so a
+        # grader can see whose medians exclude cross-query JVM churn
+        "settle_sets": {
+            "per_rep_settle": sorted(_PER_REP_SETTLE),
+            "gc_settle": sorted(_GC_SETTLE),
+            "iterative": sorted(_ITERATIVE),
+        },
         "sf": sf,
         "reps": reps,
     }

@@ -158,6 +158,33 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(cores)
 
 
+def corpus_cut(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Lineage cut for a CORPUS-GRAIN intermediate (shingle sets, minhash/
+    simhash signature relations — anything whose row count scales with the
+    corpus, unlike the bounded dimension-grain cuts).
+
+    Default: ``localCheckpoint`` — blocks live executor-local and
+    NON-REPLICATED, the cheapest cut in a single JVM and fine for bounded
+    relations. At 100 TB the trade matters (r13 verdict #7): losing an
+    executor fails the job instead of recomputing lineage, and for a
+    corpus-grain relation that is a real reliability exposure. Setting
+    ``SPARK_GRAFT_RELIABLE_CK_DIR=<hdfs-or-s3-path>`` routes these cuts
+    through a RELIABLE ``checkpoint`` into that directory instead: the
+    write crosses the network once, but blocks survive executor loss.
+    Default behavior (unset) is byte-identical to before — the flag is a
+    deployment posture knob, not a semantics change.
+    """
+    import os
+
+    ckdir = os.environ.get("SPARK_GRAFT_RELIABLE_CK_DIR")
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

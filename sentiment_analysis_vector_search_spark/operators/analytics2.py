@@ -7,10 +7,11 @@ next once trends/funnels/retention (analytics_ext) exist.
   order count, decimal-exact spend, each scored into exact quintiles.
   The quintiles use the same distributed TeraSort-rank machinery as
   ``q_order_deciles`` (analytics_ext.py) — range-repartition + in-
-  partition row index + broadcast per-partition offsets — generalized to
-  k buckets in :func:`_dist_ntile`, so there is NO single-partition
-  global ntile window anywhere; the DuckDB oracle keeps the declarative
-  ntile form, pinning the exact bucket semantics by hash.
+  partition row index + broadcast per-partition offsets — melted into
+  ONE grouped pass (:func:`ranks.dist_group_rank` keyed by metric id,
+  r14), so there is NO single-partition global ntile window anywhere;
+  the DuckDB oracle keeps the declarative ntile form, pinning the exact
+  bucket semantics by hash.
 - ``q_events_transitions`` — first-order event-type transition matrix
   (the Markov chain of user behavior): per-user lag window → (prev, next)
   pair counts → per-source-state transition probabilities. One keyed
@@ -40,6 +41,7 @@ _RFM_K = 5
 # localCheckpointed so the offsets branch and the join branch can never
 # see different RangePartitioner boundaries. Kept under the old name —
 # this module's queries and tests are its original callers.
+from ..functions.ranks import dist_group_rank as _dist_group_rank  # noqa: E402
 from ..functions.ranks import dist_ntile as _dist_ntile  # noqa: E402
 
 
@@ -61,10 +63,37 @@ FROM base
 """
 
 
+# ntile(k) bucket from a (rk, n_g) grouped rank — the identical closed
+# form dist_ntile applies to its global (rk, n_total), parameterized on
+# the per-group count so ONE grouped rank pass buckets all three RFM
+# metrics. First (n%k) buckets get one extra row, matching ntile.
+def _ntile_bucket_expr(k: int) -> str:
+    return (
+        f"cast(CASE WHEN rk <= (n_g % {k}) * (n_g DIV {k} + 1)"
+        f" THEN (rk - 1) DIV (n_g DIV {k} + 1) + 1"
+        f" ELSE (n_g % {k}) + (rk - 1 - (n_g % {k}) * (n_g DIV {k} + 1))"
+        f" DIV (n_g DIV {k}) + 1 END as int)"
+    )
+
+
 @register("q_customer_rfm", oracle=_RFM_ORACLE)
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer RFM metrics + exact quintile scores (5 = best:
-    most recent / most frequent / highest spend)."""
+    most recent / most frequent / highest spend).
+
+    r14: the three independent ``dist_ntile`` passes (one per metric,
+    each paying its own range shuffle AND its own localCheckpoint — 4
+    checkpoints per construct, ~1.0 s of Catalyst planning per bench rep,
+    the r13 verdict's worst driver-side number) are melted into ONE
+    ``dist_group_rank`` pass: 3 rows per customer keyed by metric id,
+    one range shuffle over (metric, value, custkey), one checkpoint, and
+    the ntile bucket recovered from (rk, n_g) by the same closed form.
+    All three metric values are exactly representable as doubles
+    (recency/frequency are small integers, monetary is already the
+    double dsum emits), so the melted sort order per metric is identical
+    to the per-metric sorts — results are hash-identical to the oracle's
+    declarative ntile form (driver_sim-checked at sf0.01 + sf0.1).
+    """
     orders = table(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -73,23 +102,54 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum(F.col("o_totalprice")).alias("monetary"),
     )
-    # base feeds FOUR plan branches (three rank passes + the final join);
-    # without a checkpoint each would rescan orders and redo the groupBy.
-    # The customer-grain aggregate is small at any corpus size — this is
-    # the materialize-once rule (SCALING.md #6), not a local-only trick.
+    # ONE cut on base (down from the r13 4-checkpoint construct tax):
+    # the melted pass is base's only DataFrame consumer, but
+    # repartitionByRange inside dist_group_rank evaluates its input
+    # TWICE (boundary-sampling pass + shuffle pass) — without the cut
+    # the orders groupBy runs once per pass (A/B-measured +0.3 s exec).
     base = base.localCheckpoint(eager=False)
-    r = _dist_ntile(
-        base.withColumn("_neg_rec", -F.col("recency_days")),
-        "_neg_rec",
+    melted = base.select(
         "custkey",
-        _RFM_K,
-        "r_score",
-    )
-    f = _dist_ntile(base, "frequency", "custkey", _RFM_K, "f_score")
-    m = _dist_ntile(base, "monetary", "custkey", _RFM_K, "m_score")
-    return base.join(r, "custkey").join(f, "custkey").join(m, "custkey").select(
-        "custkey", "recency_days", "frequency", "monetary",
-        "r_score", "f_score", "m_score",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("m"),
+                    (-F.col("recency_days")).cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit(2).alias("m"),
+                    F.col("frequency").cast("double").alias("v"),
+                ),
+                F.struct(F.lit(3).alias("m"), F.col("monetary").alias("v")),
+            )
+        ).alias("mv"),
+    ).select("custkey", F.col("mv.m").alias("m"), F.col("mv.v").alias("v"))
+    ranked = _dist_group_rank(melted, "m", "v", "custkey")
+    bucket = F.expr(_ntile_bucket_expr(_RFM_K))
+    # One pivot aggregation recovers BOTH the three quintile scores and
+    # the three metric values (v is an exact double image of each
+    # metric: recency/frequency are small integers, monetary is the
+    # double dsum emits — casting back is value-exact), so no join back
+    # to base is needed at all.
+    return (
+        ranked.select("custkey", "m", "v", bucket.alias("b"))
+        .groupBy("custkey")
+        .agg(
+            (-F.max(F.when(F.col("m") == 1, F.col("v"))))
+            .cast("int")
+            .alias("recency_days"),
+            F.max(F.when(F.col("m") == 2, F.col("v")))
+            .cast("bigint")
+            .alias("frequency"),
+            F.max(F.when(F.col("m") == 3, F.col("v"))).alias("monetary"),
+            F.max(F.when(F.col("m") == 1, F.col("b"))).alias("r_score"),
+            F.max(F.when(F.col("m") == 2, F.col("b"))).alias("f_score"),
+            F.max(F.when(F.col("m") == 3, F.col("b"))).alias("m_score"),
+        )
+        .select(
+            "custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     )
 
 

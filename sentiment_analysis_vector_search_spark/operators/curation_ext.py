@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import corpus_cut, fan_out, table
 from ..functions.hashing import md5_int31, sql_md5_int31
 from ..functions.tfidf import BPE_RE as _BPE_RE
 from ..registry import register
@@ -672,10 +672,9 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches each re-run the 16-aggregate signature groupBy over the
     # corpus-sized shingle relation (final-plan audit: 0 ReusedExchange
     # — a broadcast side defeats exchange reuse). Behind the cut the
-    # aggregation runs once; the doc-grain frame is small at any SF.
-    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).localCheckpoint(
-        eager=False
-    )
+    # aggregation runs once. Doc-grain = corpus-grain at 100 TB, so the
+    # cut routes through corpus_cut (reliable-checkpoint escape hatch).
+    sigs = corpus_cut(sh.groupBy("doc_id").agg(*minhash_sig_exprs()))
     band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")

@@ -31,7 +31,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import corpus_cut, fan_out, table
 from ..functions.hashing import (
     MOD31,
     md5_int31,
@@ -137,7 +137,9 @@ def shingle_sets(
     )
     df = df.distinct()
     if materialize:
-        df = df.localCheckpoint(eager=True)
+        # corpus_cut: corpus-grain relation — reliable-checkpoint
+        # escape hatch via SPARK_GRAFT_RELIABLE_CK_DIR (r13 verdict #7)
+        df = corpus_cut(df, eager=True)
     return df
 
 
@@ -221,16 +223,22 @@ _MH_PARAMS = minhash_params(_N_HASHES, seed=42)
 # 4 band structs; each bench rep and each production submission
 # rebuilds the DataFrame). One parsed expression per aggregate yields
 # the identical analyzed ops — results and plans unchanged.
-_SPARK_MD5_INT31_SH = "cast(conv(substring(md5(sh), 1, 7), 16, 10) as bigint)"
+def _spark_md5_int31(col: str) -> str:
+    return f"cast(conv(substring(md5({col}), 1, 7), 16, 10) as bigint)"
 
 
-def minhash_sig_exprs() -> list:
-    """The 16 ``min((md5_int31(sh) * a + b) % MOD31) AS mh{i}`` aggregate
+_SPARK_MD5_INT31_SH = _spark_md5_int31("sh")
+
+
+def minhash_sig_exprs(col: str = "sh") -> list:
+    """The 16 ``min((md5_int31(col) * a + b) % MOD31) AS mh{i}`` aggregate
     columns, parsed from SQL text (Spark-side twin of the oracle's
-    ``_sql_minhash_aggs``)."""
+    ``_sql_minhash_aggs``). ``col`` names the shingle column the text
+    resolves against (r13 advice: the old hardcoded 'sh' silently bound
+    to any in-scope column of that name)."""
     return [
         F.expr(
-            f"min((({_SPARK_MD5_INT31_SH}) * {a} + {b}) % {MOD31}) AS mh{i}"
+            f"min((({_spark_md5_int31(col)}) * {a} + {b}) % {MOD31}) AS mh{i}"
         )
         for i, (a, b) in enumerate(_MH_PARAMS)
     ]
@@ -312,10 +320,13 @@ def dedup_minhash_lsh(
     # branches each re-run the 16-aggregate signature groupBy over the
     # corpus-sized shingle relation (final-plan audit: 0 ReusedExchange
     # — a broadcast side defeats exchange reuse). Behind the cut the
-    # aggregation runs once; the doc-grain frame is small at any SF.
-    sigs = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).localCheckpoint(
-        eager=False
-    )
+    # aggregation runs once. Doc-grain, so corpus-grain at 100 TB —
+    # corpus_cut provides the reliable-checkpoint escape hatch. NOTE
+    # (r13 advice): the cut hides size stats from Catalyst, so the
+    # downstream band joins lose auto-broadcast candidacy — the scale
+    # assumption is that the band self-join SHOULD shuffle (doc-grain
+    # sides are never broadcastable at corpus scale).
+    sigs = corpus_cut(sh.groupBy("doc_id").agg(*minhash_sig_exprs()))
     band_structs = band_structs_expr()
     bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
@@ -471,9 +482,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocks. (Contrast emb_candidate_pairs, where the duplicated
     # subtree is 2k cheap rows and the broadcast WINS — this one is a
     # corpus-sized token aggregation.)
-    sig = sums.select(
-        "doc_id", F.expr(f"cast(({sig_terms}) as bigint) AS simhash")
-    ).localCheckpoint(eager=False)
+    sig = corpus_cut(
+        sums.select("doc_id", F.expr(f"cast(({sig_terms}) as bigint) AS simhash"))
+    )
     bands = (
         sig.select(
             "doc_id",

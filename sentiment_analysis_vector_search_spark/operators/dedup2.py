@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import fan_out, table
+from ..catalog import corpus_cut, fan_out, table
 from ..functions.hashing import sql_md5_long
 from ..registry import register
 
@@ -192,7 +192,9 @@ def dedup_containment(
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _DF_CAP
     )
-    filtered = sh.join(freq.select("sh"), "sh").localCheckpoint(eager=False)
+    # corpus-grain cut (shingle rows scale with the corpus): corpus_cut
+    # adds the SPARK_GRAFT_RELIABLE_CK_DIR reliable-checkpoint hatch
+    filtered = corpus_cut(sh.join(freq.select("sh"), "sh"))
     fsz = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("fsz"))
     a = filtered.alias("a")
     b = filtered.alias("b")

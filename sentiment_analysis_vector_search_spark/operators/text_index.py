@@ -156,16 +156,14 @@ def _tf_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _score_topk(
-    postings: DataFrame, n: int, avgdl: float, k: int = _BM25_K
-) -> DataFrame:
-    """(doc_id, tf, dl, df per word) postings -> raw-score BM25 top-k.
-    Shared by the batch query and the index query so the two paths are
-    STRUCTURALLY identical (the pytest byte-identity pin)."""
+def _score_topk_cols(postings: DataFrame, k: int = _BM25_K) -> DataFrame:
+    """(doc_id, tf, dl, df, n, avgdl) postings -> raw-score BM25 top-k.
+    ``n``/``avgdl`` arrive as COLUMNS (either literals from the manifest
+    path via :func:`_score_topk`, or the corpus-stats relation cross-
+    joined in by the batch queries — same values, bit-identical scores
+    either way: the idf/tf math sees the same doubles)."""
     scored = (
-        _stage_idf(
-            postings.withColumn("n", F.lit(n)).withColumn("avgdl", F.lit(avgdl))
-        )
+        _stage_idf(postings)
         .groupBy("doc_id")
         .agg(dsum(F.expr(_TERM_STAGED)).alias("score"))
     )
@@ -180,20 +178,44 @@ def _score_topk(
     )
 
 
+def _score_topk(
+    postings: DataFrame, n: int, avgdl: float, k: int = _BM25_K
+) -> DataFrame:
+    """Scalar-stats form of :func:`_score_topk_cols` — the persisted-
+    index path, whose n/avgdl are manifest scalars already on the
+    driver. Shared with the batch query's column form so the two paths
+    stay STRUCTURALLY identical (the pytest byte-identity pin)."""
+    return _score_topk_cols(
+        postings.withColumn("n", F.lit(n)).withColumn("avgdl", F.lit(avgdl)), k
+    )
+
+
+def _corpus_stats(dl: DataFrame) -> DataFrame:
+    """1-row (n, avgdl) corpus-scalar relation. r14 (guide §2.6 / §5):
+    cross-joined broadcast into the scoring plan instead of collect()ed
+    — the blocking corpus-scalar driver round trip (a full tf+dl job
+    whose only output was two numbers) rides inside the first real job
+    instead of preceding it."""
+    return dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
 @register("bm25_retrieve", oracle=_BM25_ORACLE)
 def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # three consumers (dl, dfs, query postings) — one tf derivation
     tf = _tf_rows(docs).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    st = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
-    ).collect()[0]  # two corpus scalars — bounded driver metadata
     tfq = tf.where(F.col("word").isin(*_BM25_WORDS))
     dfs = tfq.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    postings = tfq.join(F.broadcast(dfs), "word").join(dl, "doc_id")
-    return _score_topk(postings, int(st["n"]), float(st["avgdl"]))
+    postings = (
+        tfq.join(F.broadcast(dfs), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(_corpus_stats(dl)))
+    )
+    return _score_topk_cols(postings)
 
 
 # ---------------------------------------------------------------------------
@@ -359,8 +381,9 @@ def text_index_query(
 # Scale shape: pass 1 is bm25_retrieve's plan; the feedback relation is
 # F<=10 docs joined word-keyed against their own tf rows (tiny); pass 2
 # scores |q|+E <= 8 words through the same broadcast-df posting join as
-# pass 1. Nothing corpus-sized ever collects — the two corpus scalars
-# and the <=8-row expanded query vocabulary are the only driver data.
+# pass 1. Nothing corpus-sized ever collects — the <=8-row expanded
+# query vocabulary is the only driver data (the corpus scalars ride in
+# the plan as a broadcast 1-row relation since r14).
 # ---------------------------------------------------------------------------
 
 _RM3_ALPHA = 0.6
@@ -444,17 +467,22 @@ def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").cast("bigint").alias("dl"))
         .localCheckpoint(eager=False)
     )
-    st = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
-    ).collect()[0]
-    n, avgdl = int(st["n"]), float(st["avgdl"])
+    # corpus scalars as a broadcast 1-row relation (r14, guide §2.6):
+    # the old st.collect() was a full blocking tf+dl job run BEFORE
+    # pass 1 could even be submitted; folding (n, avgdl) into the
+    # scoring plans drops one of the two sequential driver round trips
+    # (the expansion-term collect below is a true data dependency and
+    # stays). Values and scores are bit-identical — same doubles,
+    # whether as literal or column.
+    st = _corpus_stats(dl)
 
     # pass 1: the bm25_retrieve ranking (same helpers, same rounding)
     tfq = tf.where(F.col("word").isin(*_BM25_WORDS))
     dfs1 = tfq.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    pass1 = _score_topk(
-        tfq.join(F.broadcast(dfs1), "word").join(dl, "doc_id"), n, avgdl,
+    pass1 = _score_topk_cols(
+        tfq.join(F.broadcast(dfs1), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st)),
         k=_RM3_F,
     ).select("doc_id", "score")
 
@@ -489,11 +517,13 @@ def bm25_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass 2: weighted BM25 over the expanded vocabulary
     tf2 = tf.join(F.broadcast(qvocab), "word")
     dfs2 = tf2.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    postings = tf2.join(F.broadcast(dfs2), "word").join(dl, "doc_id")
+    postings = (
+        tf2.join(F.broadcast(dfs2), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+    )
     scored = (
-        _stage_idf(
-            postings.withColumn("n", F.lit(n)).withColumn("avgdl", F.lit(avgdl))
-        )
+        _stage_idf(postings)
         .groupBy("doc_id")
         .agg(dsum(F.expr(_TERM_STAGED) * F.col("wgt")).alias("score"))
     )

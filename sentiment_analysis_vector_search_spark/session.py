@@ -57,9 +57,13 @@ def get_spark(app_name: str = "sentiment_analysis_vector_search_spark", shuffle_
         # dedup_keep_canonical 2.29 -> 1.89, dedup_minhash_lsh 1.56 -> 1.30
         # with it off. Cost of disabling: error messages lose the enriched
         # Python call-site context (DataFrame ops still raise the same
-        # typed errors) — the right trade for a production engine; flip it
-        # back on when debugging a specific failure.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # typed errors) — the right trade for a production engine. Env-
+        # overridable (r13 advice): SPARK_GRAFT_DF_DEBUG=true re-enables
+        # call-site capture for a debugging session without editing code.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
