@@ -306,12 +306,27 @@ _ITERATIVE_MIN_REPS = 5
 # changes only WHEN the JVM is settled around these queries' reps, not
 # what is timed; the pre-change artifacts are kept
 # (bench_detail_r13opt_baseline.json).
+#
+# r14: the remaining two drains with r13-driver churn evidence join —
+# stream_sessionize graded a 2.56x rep swing on the r13 driver's
+# 32-core run (its 8-core run of the SAME code minutes later read 1.52s
+# vs the graded 2.68s median) and stream_windowed_counts "regressed"
+# 0.72x with ZERO code change that round — the identical
+# drain-against-aged-JVM failure mode as the three r13 members.
+# stream_quality_gate stays OUT: stateless gate, no swing on any
+# recorded host. Disclosure: pre-change r14 baseline artifacts are
+# committed (bench_detail_r14_baseline.json: sessionize raw
+# [1.918, 1.277, 1.285] — the same first-rep churn shape), and
+# bench_detail.json now records settle-set membership per run
+# (settle_sets) so graded numbers stay auditable.
 _PER_REP_SETTLE = {
     "docs_source_profile",
     "q20_part_promotion",
     "stream_stateful_user_stats",
     "stream_interval_join",
     "stream_dedup_exact",
+    "stream_sessionize",
+    "stream_windowed_counts",
 }
 
 # Broadcast/mapInArrow-heavy queries (the similarity block): each rep

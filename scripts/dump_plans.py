@@ -38,7 +38,7 @@ SHOW = [
     ("ann_pq_adc_topk", "broadcast codebook/LUT; min_by encode; decimal ADC sums; bounded rerank"),
     ("cap_per_source", "single source-keyed window shuffle; no join"),
     ("dedup_minhash_quality_audit", "banded candidates; signature lookups; O(10)-row calibration output"),
-    ("q_customer_rfm", "3x range-partitioned distributed rank; no single-partition ntile window"),
+    ("q_customer_rfm", "one melted grouped range-rank pass (r14); no single-partition ntile window"),
     ("dq_expectations", "one multi-aggregate scan per table; broadcast/keyed anti-join orphans"),
     # r7 additions
     ("q_events_sessions", "two-phase skew-safe: (user, day-chunk) lag windows + day-grain boundary merge"),
